@@ -1,0 +1,200 @@
+"""Model / mesh / training configuration.
+
+The reference exposes configuration as Julia keyword arguments
+(``dlrm(...)``, /root/reference/src/model/model.jl:173-192) plus preset model
+builders (``kaggle_dlrm``, /root/reference/src/data/criteo.jl:408-433).  Here
+configuration is a first-class frozen dataclass so it can be closed over by
+jitted functions as static data.
+
+Size math mirrors the reference exactly
+(/root/reference/src/model/model.jl:214-229):
+
+* ``pre_triangle = feature_size * num_tables / bottom_out + 1`` — the number
+  of "features" entering the pairwise dot-product interaction (the +1 is the
+  bottom-MLP output itself).
+* ``top_input = pad(pre_triangle*(pre_triangle-1)/2 + bottom_out)`` — the
+  lower-triangle pair count concatenated with the bottom-MLP output, padded up
+  to ``interaction_pad_to`` (the reference's ``POST_INTERACTION_PAD_TO_MUL``,
+  /root/reference/src/model/model.jl:32).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+
+NUM_DENSE_FEATURES = 13  # Criteo continuous features (criteo.jl:88)
+NUM_SPARSE_FEATURES = 26  # Criteo categorical features (criteo.jl:89)
+
+# Criteo Kaggle DAC vocabulary sizes (/root/reference/src/data/criteo.jl:350-377).
+KAGGLE_TABLE_SIZES: Tuple[int, ...] = (
+    1460, 583, 10131227, 2202608, 305, 24, 12517, 633, 3, 93145, 5683,
+    8351593, 3194, 27, 14992, 5461306, 10, 5652, 2173, 4, 7046547, 18, 15,
+    286181, 105, 142572,
+)
+
+# Criteo Terabyte vocabulary sizes (/root/reference/src/data/criteo.jl:379-406).
+TERABYTE_TABLE_SIZES: Tuple[int, ...] = (
+    227605432, 39060, 17295, 7424, 20265, 3, 7122, 1543, 63, 130229467,
+    3067956, 405282, 10, 2209, 11938, 155, 4, 976, 14, 292775614, 40790948,
+    187188510, 590152, 12973, 108, 36,
+)
+
+
+def _round_up(x: int, m: int) -> int:
+    return m * ((x + m - 1) // m)
+
+
+@dataclasses.dataclass(frozen=True)
+class DLRMConfig:
+    """Static description of one DLRM topology.
+
+    Attributes:
+      bottom_mlp_sizes: layer widths of the bottom (dense) MLP *including* the
+        input width, e.g. ``(13, 512, 256, 16)``.  Every layer uses ReLU
+        (the reference passes ``sigmoid_index=0`` for the bottom MLP,
+        model.jl:209, so no layer gets sigmoid).
+      top_mlp_sizes: layer widths of the top MLP *excluding* the input width
+        (which is derived), e.g. ``(512, 256, 1)``.  The final layer is
+        linear + sigmoid; all others ReLU (model.jl:230 passes
+        ``sigmoid_index = lastindex``).
+      feature_size: embedding dimension shared by all tables.
+      table_sizes: rows per embedding table.
+      n_hot: lookups per sample per table (1 = one-hot; >1 = multi-hot with
+        sum pooling, matching EmbeddingTables' pooled lookup as exercised by
+        ref/pytorch_reference_multi.hdf5).
+      interaction_pad_to: pad the interaction output width up to a multiple of
+        this (reference knob ``POST_INTERACTION_PAD_TO_MUL``).  Padded entries
+        are zeros; the top MLP input width includes the padding.
+      weight_dtype / embedding_dtype: parameter storage dtypes.
+      compute_dtype: dtype for MLP/interaction math (bf16 on TPU for speed;
+        f32 for fixture parity).
+    """
+
+    bottom_mlp_sizes: Tuple[int, ...]
+    top_mlp_sizes: Tuple[int, ...]
+    feature_size: int
+    table_sizes: Tuple[int, ...]
+    n_hot: int = 1
+    interaction_pad_to: int = 1
+    weight_dtype: jnp.dtype = jnp.float32
+    embedding_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.float32
+    seed: int = 51234  # reference seeds its RNG with 51234 (model.jl:193)
+
+    def __post_init__(self):
+        object.__setattr__(self, "bottom_mlp_sizes", tuple(self.bottom_mlp_sizes))
+        object.__setattr__(self, "top_mlp_sizes", tuple(self.top_mlp_sizes))
+        object.__setattr__(self, "table_sizes", tuple(self.table_sizes))
+        if self.num_dense != self.bottom_mlp_sizes[0]:
+            pass  # input width is just bottom_mlp_sizes[0]; nothing to check
+        if (self.feature_size * self.num_tables) % self.bottom_out != 0:
+            raise ValueError(
+                "feature_size * num_tables must be divisible by the bottom MLP "
+                f"output width (got {self.feature_size} * {self.num_tables} "
+                f"vs {self.bottom_out}); mirrors model.jl:220"
+            )
+
+    # -- derived sizes ------------------------------------------------------
+    @property
+    def num_dense(self) -> int:
+        return self.bottom_mlp_sizes[0]
+
+    @property
+    def num_tables(self) -> int:
+        return len(self.table_sizes)
+
+    @property
+    def bottom_out(self) -> int:
+        return self.bottom_mlp_sizes[-1]
+
+    @property
+    def pre_triangle(self) -> int:
+        """Feature count entering the pairwise interaction (model.jl:221)."""
+        return self.feature_size * self.num_tables // self.bottom_out + 1
+
+    @property
+    def num_pairs(self) -> int:
+        p = self.pre_triangle
+        return (p * p - p) // 2
+
+    @property
+    def interaction_padding(self) -> int:
+        raw = self.num_pairs + self.bottom_out
+        return _round_up(raw, self.interaction_pad_to) - raw
+
+    @property
+    def top_input(self) -> int:
+        """Top-MLP input width, incl. padding (model.jl:223-227)."""
+        return self.num_pairs + self.bottom_out + self.interaction_padding
+
+    @property
+    def full_top_mlp_sizes(self) -> Tuple[int, ...]:
+        return (self.top_input,) + self.top_mlp_sizes
+
+    @property
+    def table_offsets(self) -> Tuple[int, ...]:
+        """Row offset of each table inside the stacked embedding array."""
+        off, out = 0, []
+        for n in self.table_sizes:
+            out.append(off)
+            off += n
+        return tuple(out)
+
+    @property
+    def total_rows(self) -> int:
+        return sum(self.table_sizes)
+
+
+# -- presets -----------------------------------------------------------------
+
+def fixture_config() -> DLRMConfig:
+    """Topology of ref/pytorch_reference_single.hdf5 (7 tables of 1000x16)."""
+    return DLRMConfig(
+        bottom_mlp_sizes=(13, 512, 256, 64, 16),
+        top_mlp_sizes=(512, 256, 1),
+        feature_size=16,
+        table_sizes=(1000,) * 7,
+    )
+
+
+def multi_fixture_config() -> DLRMConfig:
+    """Topology of ref/pytorch_reference_multi.hdf5 (10-hot pooled lookups)."""
+    return dataclasses.replace(fixture_config(), n_hot=10)
+
+
+def kaggle_config(feature_size: int = 16, **kw) -> DLRMConfig:
+    """Criteo Kaggle DLRM (criteo.jl:408-433): bottom [13,512,256,fs],
+    top [·,1024,1024,512,256,1], 26 tables, ~33.8M total rows."""
+    return DLRMConfig(
+        bottom_mlp_sizes=(13, 512, 256, feature_size),
+        top_mlp_sizes=(1024, 1024, 512, 256, 1),
+        feature_size=feature_size,
+        table_sizes=KAGGLE_TABLE_SIZES,
+        **kw,
+    )
+
+
+def terabyte_config(feature_size: int = 128, **kw) -> DLRMConfig:
+    """Criteo Terabyte / MLPerf-scale DLRM (criteo.jl:379-406)."""
+    return DLRMConfig(
+        bottom_mlp_sizes=(13, 512, 256, feature_size),
+        top_mlp_sizes=(1024, 1024, 512, 256, 1),
+        feature_size=feature_size,
+        table_sizes=TERABYTE_TABLE_SIZES,
+        **kw,
+    )
+
+
+def tiny_config(num_tables: int = 4, rows: int = 32, feature_size: int = 8,
+                n_hot: int = 1) -> DLRMConfig:
+    """Small config for unit tests and multi-chip dry runs."""
+    return DLRMConfig(
+        bottom_mlp_sizes=(13, 16, feature_size),
+        top_mlp_sizes=(16, 1),
+        feature_size=feature_size,
+        table_sizes=(rows,) * num_tables,
+        n_hot=n_hot,
+    )

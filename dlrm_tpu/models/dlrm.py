@@ -1,0 +1,115 @@
+"""The DLRM model: parameter pytree, initialization, forward pass.
+
+Mirrors the reference's model container and forward
+(/root/reference/src/model/model.jl:116-166):
+
+    dense (B,13) ──► bottom MLP ──┐
+                                  ├─► dot interaction ─► top MLP ─► sigmoid
+    sparse ids (B,T[,H]) ─ lookup ┘
+
+Parameters are a plain pytree::
+
+    {"bottom": [{"w","b"}...], "emb": (total_rows, D), "top": [{"w","b"}...]}
+
+with all embedding tables stacked into one array (see ops/embedding.py) so a
+whole batch is one fused gather.  Stage boundaries are wrapped in
+``jax.named_scope`` — the TPU-native analog of the reference's zero-cost
+callback telemetry (model.jl:130-166): scopes show up in ``jax.profiler``
+traces for per-phase timing without perturbing compilation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from dlrm_tpu.config import DLRMConfig
+from dlrm_tpu.ops import embedding as emb_ops
+from dlrm_tpu.ops.interaction import dot_interaction
+from dlrm_tpu.ops.mlp import init_mlp, mlp_apply
+
+
+def init_params(key: jax.Array, config: DLRMConfig,
+                emb_init: str = "scaled_uniform") -> dict:
+    """Initialize the full parameter pytree.
+
+    MLP weights: Glorot normal, zero bias (model.jl:58-59).
+    Embeddings: U(-1/sqrt(rows), 1/sqrt(rows)) per table — the reference's
+    ScaledUniform (model.jl:61-65), same as the PyTorch DLRM reference.
+    """
+    kb, kt, ke = jax.random.split(key, 3)
+    bottom = init_mlp(kb, config.bottom_mlp_sizes, config.weight_dtype)
+    top = init_mlp(kt, config.full_top_mlp_sizes, config.weight_dtype)
+    if emb_init == "scaled_uniform":
+        parts = []
+        for i, rows in enumerate(config.table_sizes):
+            ke, sub = jax.random.split(ke)
+            bound = 1.0 / jnp.sqrt(jnp.float32(rows))
+            parts.append(
+                jax.random.uniform(
+                    sub, (rows, config.feature_size), jnp.float32,
+                    minval=-bound, maxval=bound,
+                ).astype(config.embedding_dtype)
+            )
+        emb = jnp.concatenate(parts, axis=0)
+    elif emb_init == "zeros":
+        emb = jnp.zeros((config.total_rows, config.feature_size),
+                        config.embedding_dtype)
+    else:
+        raise ValueError(emb_init)
+    return {"bottom": bottom, "emb": emb, "top": top}
+
+
+def forward_from_pooled(dense_params: dict, pooled: jax.Array,
+                        dense: jax.Array, config: DLRMConfig) -> jax.Array:
+    """Forward pass given already-pooled embedding vectors (B, T, D).
+
+    This split (lookup outside, rest inside) is what lets training compute
+    compressed sparse embedding gradients — see
+    ops/embedding.sparse_value_and_grad.
+    """
+    cd = config.compute_dtype
+    cd = None if cd == dense_params["bottom"][0]["w"].dtype else cd
+    with jax.named_scope("bottom_mlp"):
+        x = mlp_apply(dense_params["bottom"], dense, final="relu",
+                      compute_dtype=cd)
+    with jax.named_scope("interaction"):
+        z = dot_interaction(x, pooled.astype(x.dtype),
+                            pad_to=config.interaction_pad_to)
+    with jax.named_scope("top_mlp"):
+        out = mlp_apply(dense_params["top"], z, final="sigmoid",
+                        compute_dtype=cd)
+    return out[:, 0]
+
+
+def forward(params: dict, dense: jax.Array, sparse: jax.Array,
+            config: DLRMConfig) -> jax.Array:
+    """Full forward: (dense (B,13), sparse ids (B,T[,H])) -> CTR (B,).
+
+    Equivalent to the reference's ``(D::DLRMModel)(dense, sparse)``
+    (model.jl:152-166).
+    """
+    with jax.named_scope("lookup"):
+        pooled = emb_ops.lookup(params["emb"], sparse, config.table_offsets)
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    return forward_from_pooled(dense_params, pooled, dense, config)
+
+
+def split_params(params: dict):
+    """(dense_params, emb) — the two halves train steps treat differently."""
+    return {"bottom": params["bottom"], "top": params["top"]}, params["emb"]
+
+
+def merge_params(dense_params: dict, emb: jax.Array) -> dict:
+    return {"bottom": dense_params["bottom"], "emb": emb,
+            "top": dense_params["top"]}
+
+
+def get_table(params_or_emb, config: DLRMConfig, i: int) -> jax.Array:
+    """Slice table ``i`` out of the stacked embedding array."""
+    emb = params_or_emb["emb"] if isinstance(params_or_emb, dict) \
+        else params_or_emb
+    off = config.table_offsets[i]
+    return emb[off:off + config.table_sizes[i]]
