@@ -1,0 +1,99 @@
+"""Headline benchmark: DLRM training examples/s/chip on Criteo Kaggle.
+
+Runs the full jitted train step (forward + backward + dense SGD + sparse
+scatter-add embedding update, donated buffers) on synthetic Kaggle-shaped
+data and reports steady-state throughput.  Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "examples/s/chip", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so the baseline is the
+first recorded run of this benchmark on this hardware (BENCH_BASELINE.json,
+written on first use); later rounds report their ratio against it.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 32768          # reference experiment batch (src/DLRM.jl:82-83)
+FEATURE_SIZE = 16      # reference kaggle_dlrm default (criteo.jl:412)
+WARMUP = 5
+ITERS = 20
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import dlrm_tpu
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform})")
+
+    config = dlrm_tpu.kaggle_config(feature_size=FEATURE_SIZE)
+    log(f"model: kaggle fs={FEATURE_SIZE}, {config.total_rows:,} rows, "
+        f"top_in={config.top_input}")
+    params = dlrm_tpu.init_params(jax.random.key(0), config)
+    params = jax.device_put(params, dev)
+    jax.block_until_ready(params)
+
+    rng = np.random.default_rng(0)
+    dense = jnp.asarray(rng.normal(size=(BATCH, 13)).astype(np.float32))
+    sparse = jnp.asarray(np.stack(
+        [rng.integers(0, s, size=BATCH) for s in config.table_sizes],
+        axis=1).astype(np.int32))
+    labels = jnp.asarray((rng.random(BATCH) > 0.5).astype(np.float32))
+
+    step = dlrm_tpu.make_jit_train_step(config, lr=0.1)
+    t0 = time.perf_counter()
+    for _ in range(WARMUP):
+        params, loss = step(params, dense, sparse, labels)
+    jax.block_until_ready(params)
+    log(f"compile+warmup: {time.perf_counter() - t0:.1f}s, "
+        f"loss={float(loss):.4f}")
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        params, loss = step(params, dense, sparse, labels)
+    jax.block_until_ready(params)
+    dt = time.perf_counter() - t0
+    step_time = dt / ITERS
+    throughput = BATCH / step_time
+    log(f"step time: {step_time*1e3:.2f} ms -> {throughput:,.0f} examples/s")
+
+    baseline = None
+    if os.path.exists(BASELINE_PATH):
+        try:
+            with open(BASELINE_PATH) as f:
+                baseline = json.load(f).get("value")
+        except Exception:
+            baseline = None
+    if baseline is None:
+        baseline = throughput
+        try:
+            with open(BASELINE_PATH, "w") as f:
+                json.dump({"metric": "dlrm_kaggle_train_examples_per_s",
+                           "value": throughput,
+                           "device": str(dev),
+                           "batch": BATCH}, f)
+        except OSError:
+            pass
+
+    print(json.dumps({
+        "metric": f"dlrm_kaggle_fs{FEATURE_SIZE}_train_b{BATCH}",
+        "value": round(throughput, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(throughput / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

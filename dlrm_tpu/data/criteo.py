@@ -1,0 +1,269 @@
+"""Criteo DAC preprocessing pipeline and memory-mapped batch loader.
+
+Reproduces the reference's data layer (/root/reference/src/data/criteo.jl)
+with a byte-compatible on-disk format, so binary files produced by either
+implementation interoperate:
+
+* **Record layout** (criteo.jl:91-95): little-endian packed 160-byte record
+  = int32 label + 13 x float32 log-transformed dense + 26 x uint32
+  categorical.  Here it is a numpy structured dtype over an ``np.memmap``
+  (the analog of Julia's bit-compatible struct mmap, criteo.jl:114-123).
+* **binarize** (criteo.jl:137-178): tab-separated text -> records.  Dense
+  fields parse as base-10 ints, empty -> 0, then ``log(max(x,0)+1)``
+  (criteo.jl:55); categorical fields parse as base-16, empty -> 0.  A C++
+  fast path (native/) does the parsing when built; this module is the
+  reference implementation and fallback.
+* **Vocabulary building** (criteo.jl:194-264): per-column unique values in
+  FIRST-APPEARANCE order, merged serially across shards for determinism
+  (criteo.jl:229-238), then remapped to dense ids 1..N **in the file**
+  (matching the reference's 1-based convention so reindexed binaries are
+  identical); the loader shifts to 0-based for the model.
+* **DACLoader** (criteo.jl:284-344): batched marshaling of the mmap into
+  (labels (B,), dense (B,13), sparse (B,26)) arrays.  The reference uses 8
+  Polyester threads; here the marshaling is three vectorized strided copies
+  and batches stream to the device asynchronously (see loader.py).
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+import os
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+NUM_DENSE = 13
+NUM_SPARSE = 26
+
+# Byte-compatible with the reference's DACRecord (criteo.jl:91-95): 160 B.
+DAC_DTYPE = np.dtype([
+    ("label", "<i4"),
+    ("dense", "<f4", (NUM_DENSE,)),
+    ("cat", "<u4", (NUM_SPARSE,)),
+])
+assert DAC_DTYPE.itemsize == 160
+
+
+def _open_maybe_gzip(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt")
+    return open(path, "r")
+
+
+def log_transform(x: np.ndarray) -> np.ndarray:
+    """log(max(x, 0) + 1), the reference's logtransform (criteo.jl:55).
+
+    Computed in float64 and rounded once to float32 so the Python and C++
+    (native/dlrm_data.cpp) paths produce bit-identical records.
+    """
+    return np.log1p(np.maximum(x.astype(np.float64), 0.0)).astype(np.float32)
+
+
+def parse_lines(lines: Iterable[str]) -> np.ndarray:
+    """Parse Criteo text lines into a DAC_DTYPE record array (Python path)."""
+    rows = []
+    for line in lines:
+        line = line.rstrip("\n")
+        if not line:
+            continue
+        f = line.split("\t")
+        if len(f) != 1 + NUM_DENSE + NUM_SPARSE:
+            raise ValueError(
+                f"expected {1 + NUM_DENSE + NUM_SPARSE} tab-separated "
+                f"fields, got {len(f)}")
+        label = int(f[0])
+        dense = [int(v) if v else 0 for v in f[1:1 + NUM_DENSE]]
+        cat = [int(v, 16) if v else 0 for v in f[1 + NUM_DENSE:]]
+        rows.append((label, dense, cat))
+    out = np.zeros(len(rows), dtype=DAC_DTYPE)
+    if rows:
+        out["label"] = [r[0] for r in rows]
+        out["dense"] = log_transform(np.asarray([r[1] for r in rows],
+                                                dtype=np.int64))
+        out["cat"] = np.asarray([r[2] for r in rows], dtype=np.uint32)
+    return out
+
+
+def binarize(src: str, dst: Optional[str] = None,
+             chunk_lines: int = 1 << 18) -> np.ndarray:
+    """Text (optionally .gz) -> binary records; returns the record array.
+
+    Writes to ``dst`` when given (mmap-backed, grown incrementally like the
+    reference's grow-mmap, criteo.jl:120-123), else stays in memory.
+    Uses the C++ parser from dlrm_tpu.data.native when available.
+    """
+    from dlrm_tpu.data import native  # lazy: optional .so
+
+    if native.available() and not src.endswith(".gz"):
+        return native.binarize(src, dst)
+    chunks: List[np.ndarray] = []
+    with _open_maybe_gzip(src) as f:
+        batch: List[str] = []
+        for line in f:
+            batch.append(line)
+            if len(batch) >= chunk_lines:
+                chunks.append(parse_lines(batch))
+                batch = []
+        if batch:
+            chunks.append(parse_lines(batch))
+    data = (np.concatenate(chunks) if chunks
+            else np.zeros(0, dtype=DAC_DTYPE))
+    if dst is not None:
+        mm = np.memmap(dst, dtype=DAC_DTYPE, mode="w+", shape=(len(data),))
+        mm[:] = data
+        mm.flush()
+        return mm
+    return data
+
+
+def load(path: str, writable: bool = False) -> np.ndarray:
+    """Mmap a binarized dataset (criteo.jl:114-118)."""
+    return np.memmap(path, dtype=DAC_DTYPE, mode="r+" if writable else "r")
+
+
+class Vocabulary:
+    """Per-column value -> dense-id maps in first-appearance order.
+
+    ``maps[j]`` sends raw uint32 values of column j to ids 1..N_j (1-based
+    in the file format, per the reference; the loader shifts to 0-based).
+    Internally each column keeps (sorted_values, rank) so remapping is a
+    vectorized searchsorted instead of a Python dict walk.
+    """
+
+    def __init__(self):
+        self.sorted_values: List[np.ndarray] = [
+            np.zeros(0, np.uint32) for _ in range(NUM_SPARSE)]
+        self.ranks: List[np.ndarray] = [
+            np.zeros(0, np.uint32) for _ in range(NUM_SPARSE)]
+
+    @property
+    def sizes(self) -> List[int]:
+        return [len(v) for v in self.sorted_values]
+
+    def update(self, data: np.ndarray) -> "Vocabulary":
+        """Fold one shard's values in, preserving first-appearance order
+        across shards (serial merge, like reindex(setsvector),
+        criteo.jl:229-238)."""
+        cat = np.asarray(data["cat"])
+        for j in range(NUM_SPARSE):
+            col = cat[:, j]
+            # first-appearance unique within this shard
+            uniq, first_idx = np.unique(col, return_index=True)
+            order = np.argsort(first_idx, kind="stable")
+            appear = uniq[order]
+            known = self.sorted_values[j]
+            if len(known):
+                fresh = appear[~_is_member(appear, known)]
+            else:
+                fresh = appear
+            if len(fresh):
+                n0 = len(known)
+                new_ranks = np.arange(n0, n0 + len(fresh), dtype=np.uint32)
+                merged = np.concatenate([known, fresh])
+                merged_ranks = np.concatenate([self.ranks[j], new_ranks])
+                srt = np.argsort(merged, kind="stable")
+                self.sorted_values[j] = merged[srt]
+                self.ranks[j] = merged_ranks[srt]
+        return self
+
+    def remap_column(self, j: int, values: np.ndarray) -> np.ndarray:
+        """values -> 1-based dense ids."""
+        pos = np.searchsorted(self.sorted_values[j], values)
+        if np.any(pos >= len(self.sorted_values[j])) or np.any(
+                self.sorted_values[j][pos] != values):
+            raise KeyError(f"column {j}: value not in vocabulary")
+        return (self.ranks[j][pos] + 1).astype(np.uint32)
+
+    def save(self, path: str) -> None:
+        np.savez(path, **{
+            f"v{j}": self.sorted_values[j] for j in range(NUM_SPARSE)
+        }, **{f"r{j}": self.ranks[j] for j in range(NUM_SPARSE)})
+
+    @classmethod
+    def load(cls, path: str) -> "Vocabulary":
+        z = np.load(path)
+        v = cls()
+        v.sorted_values = [z[f"v{j}"] for j in range(NUM_SPARSE)]
+        v.ranks = [z[f"r{j}"] for j in range(NUM_SPARSE)]
+        return v
+
+
+def _is_member(a: np.ndarray, sorted_b: np.ndarray) -> np.ndarray:
+    pos = np.searchsorted(sorted_b, a)
+    pos = np.minimum(pos, len(sorted_b) - 1)
+    return sorted_b[pos] == a
+
+
+def build_vocabulary(shards: Sequence[np.ndarray]) -> Vocabulary:
+    """Serial fold over shards (determinism, criteo.jl:229-238)."""
+    vocab = Vocabulary()
+    for data in shards:
+        vocab.update(data)
+    return vocab
+
+
+def reindex(data: np.ndarray, vocab: Vocabulary) -> None:
+    """In-place rewrite of categorical columns to dense 1-based ids
+    (criteo.jl:256-264)."""
+    cat = data["cat"]
+    for j in range(NUM_SPARSE):
+        cat[:, j] = vocab.remap_column(j, np.asarray(cat[:, j]))
+    data["cat"] = cat  # memmap write-back for structured views
+
+
+def process(paths, binpath: Optional[str] = None,
+            vocab_path: Optional[str] = None) -> np.ndarray:
+    """Full pipeline (criteo.jl:271-278): binarize all shards (concatenated
+    into one binary), build vocabulary, reindex in place."""
+    if isinstance(paths, str):
+        paths = [paths]
+    shards = [binarize(p) for p in paths]
+    vocab = build_vocabulary(shards)
+    data = np.concatenate([np.asarray(s) for s in shards]) if len(
+        shards) > 1 else np.asarray(shards[0])
+    if binpath is not None:
+        mm = np.memmap(binpath, dtype=DAC_DTYPE, mode="w+",
+                       shape=(len(data),))
+        mm[:] = data
+        data = mm
+    reindex(data, vocab)
+    if isinstance(data, np.memmap):
+        data.flush()
+    if vocab_path is not None:
+        vocab.save(vocab_path)
+    return data
+
+
+class DACLoader:
+    """Batched iterator over a binarized dataset.
+
+    Yields dicts of numpy arrays: labels (B,) f32, dense (B,13) f32,
+    sparse (B,26) int32 **0-based** (file ids are 1-based; shift here).
+    Mirrors the reference DACLoader (criteo.jl:312-344): fixed batch size,
+    trailing partial batch dropped.
+    """
+
+    def __init__(self, dataset: np.ndarray, batch_size: int, *,
+                 drop_remainder: bool = True, zero_based_file: bool = False):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.drop_remainder = drop_remainder
+        self._shift = 0 if zero_based_file else 1
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_remainder and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        b = self.batch_size
+        for i in range(len(self)):
+            window = self.dataset[i * b:(i + 1) * b]
+            yield {
+                "labels": window["label"].astype(np.float32),
+                "dense": np.ascontiguousarray(window["dense"]),
+                "sparse": (window["cat"].astype(np.int64)
+                           - self._shift).astype(np.int32),
+            }

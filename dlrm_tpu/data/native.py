@@ -1,0 +1,115 @@
+"""ctypes bindings for the native (C++) Criteo data engine.
+
+Loads native/libdlrm_data.so (built by ``make -C native``; ``build()`` will
+invoke the compiler on demand).  Pure-Python fallbacks in criteo.py keep
+everything working when the library is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libdlrm_data.so")
+
+_lib = None
+_load_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    if not os.path.exists(_SO_PATH):
+        _load_failed = True
+        return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.dlrm_parse_buffer.restype = ctypes.c_int64
+        lib.dlrm_parse_buffer.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32,
+        ]
+        lib.dlrm_marshal_batch.restype = None
+        lib.dlrm_marshal_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32,
+        ]
+        _lib = lib
+    except OSError:
+        _load_failed = True
+    return _lib
+
+
+def build() -> bool:
+    """Compile the native library in place (idempotent)."""
+    global _load_failed
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+        _load_failed = False
+        return _load() is not None
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_buffer(text: bytes, num_threads: int = 0) -> np.ndarray:
+    """Parse raw Criteo text bytes into a DAC record array (C++ path)."""
+    from dlrm_tpu.data.criteo import DAC_DTYPE
+
+    lib = _load()
+    assert lib is not None
+    if num_threads <= 0:
+        num_threads = min(os.cpu_count() or 1, 16)
+    capacity = text.count(b"\n") + 2
+    out = np.zeros(capacity, dtype=DAC_DTYPE)
+    n = lib.dlrm_parse_buffer(
+        text, len(text), out.ctypes.data_as(ctypes.c_void_p), capacity,
+        num_threads)
+    if n < 0:
+        raise ValueError("native parser: malformed Criteo line")
+    return out[:n].copy()
+
+
+def binarize(src: str, dst: Optional[str] = None) -> np.ndarray:
+    """Native-path binarize: reads the whole file, parses multithreaded."""
+    from dlrm_tpu.data.criteo import DAC_DTYPE
+
+    with open(src, "rb") as f:
+        text = f.read()
+    data = parse_buffer(text)
+    if dst is not None:
+        mm = np.memmap(dst, dtype=DAC_DTYPE, mode="w+", shape=(len(data),))
+        mm[:] = data
+        mm.flush()
+        return mm
+    return data
+
+
+def marshal_batch(records: np.ndarray, start: int, count: int,
+                  id_shift: int = 1):
+    """C++ batch marshal: records[start:start+count] -> (labels, dense,
+    sparse) with 0-based ids."""
+    lib = _load()
+    assert lib is not None
+    labels = np.empty(count, np.float32)
+    dense = np.empty((count, 13), np.float32)
+    sparse = np.empty((count, 26), np.int32)
+    lib.dlrm_marshal_batch(
+        records.ctypes.data_as(ctypes.c_void_p), start, count,
+        labels.ctypes.data_as(ctypes.c_void_p),
+        dense.ctypes.data_as(ctypes.c_void_p),
+        sparse.ctypes.data_as(ctypes.c_void_p), id_shift)
+    return {"labels": labels, "dense": dense, "sparse": sparse}

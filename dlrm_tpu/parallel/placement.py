@@ -1,0 +1,128 @@
+"""Embedding-table placement across device shards.
+
+The reference parallelizes embedding work across tables within one node
+(SimpleParallelStrategy / PreallocationStrategy, SURVEY.md §2.2); the
+TPU-native analog is *model-parallel table sharding*: each device owns a
+subset of whole tables, chosen by greedy balanced bin-packing on row counts
+(rows ∝ HBM bytes ∝ lookup bandwidth).  This module computes the static
+placement plan; the collective lookup/update lives in
+``parallel/embedding.py``.
+
+Static-shape discipline (everything under jit must be uniform across
+devices): every device gets exactly ``slots_per_shard`` table slots — unused
+slots point at a reserved trash row — and every local stack is padded to the
+same ``local_rows``.  Device-dependent slot metadata is passed into
+``shard_map`` as sharded (N, K) arrays, never as per-device Python constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class TablePlacement:
+    """Static plan mapping tables -> (shard, slot) plus local row layout.
+
+    Attributes:
+      table_sizes: rows per table (global order).
+      num_shards: number of devices along the table-sharding axis.
+      slots_per_shard: K = max tables owned by any shard; all shards are
+        padded to K slots.
+      slot_tables: (N, K) global table index per slot (0 for padding slots —
+        never dereferenced thanks to ``slot_valid``).
+      slot_valid: (N, K) 1 for real slots, 0 for padding.
+      slot_local_offsets: (N, K) row offset of each slot's table inside the
+        shard's local stack; padding slots point at the trash row.
+      local_rows: rows per local stack (max over shards, + 1 trash row).
+      table_shard: (T,) owning shard per table.
+      table_slot: (T,) slot index within the owning shard.
+      table_local_offsets: (T,) local row offset of each table in its
+        owner's stack.
+    """
+
+    table_sizes: Tuple[int, ...]
+    num_shards: int
+    slots_per_shard: int
+    slot_tables: np.ndarray
+    slot_valid: np.ndarray
+    slot_local_offsets: np.ndarray
+    local_rows: int
+    table_shard: np.ndarray
+    table_slot: np.ndarray
+    table_local_offsets: np.ndarray
+
+    @property
+    def num_tables(self) -> int:
+        return len(self.table_sizes)
+
+    @property
+    def trash_row(self) -> int:
+        return self.local_rows - 1
+
+    def out_column(self) -> np.ndarray:
+        """(T,) column of table t in the (N*K)-wide exchanged layout
+        (columns ordered shard-major, slot-minor)."""
+        return (self.table_shard * self.slots_per_shard
+                + self.table_slot).astype(np.int32)
+
+
+def plan_placement(table_sizes: Sequence[int], num_shards: int
+                   ) -> TablePlacement:
+    """Greedy balanced assignment: biggest table to the lightest shard."""
+    table_sizes = tuple(int(s) for s in table_sizes)
+    t = len(table_sizes)
+    order = np.argsort(-np.asarray(table_sizes), kind="stable")
+    loads = np.zeros(num_shards, dtype=np.int64)
+    counts = np.zeros(num_shards, dtype=np.int64)
+    table_shard = np.zeros(t, dtype=np.int32)
+    k = -(-t // num_shards) if t else 1  # ceil; >=1 so shapes stay non-empty
+    for ti in order:
+        # lightest shard with a free slot
+        candidates = np.flatnonzero(counts < k)
+        d = candidates[np.argmin(loads[candidates])]
+        table_shard[ti] = d
+        loads[d] += table_sizes[ti]
+        counts[d] += 1
+
+    slot_tables = np.zeros((num_shards, k), dtype=np.int32)
+    slot_valid = np.zeros((num_shards, k), dtype=np.int32)
+    slot_local_offsets = np.zeros((num_shards, k), dtype=np.int32)
+    table_slot = np.zeros(t, dtype=np.int32)
+    table_local_offsets = np.zeros(t, dtype=np.int32)
+    max_rows = 0
+    for d in range(num_shards):
+        tables = [ti for ti in range(t) if table_shard[ti] == d]
+        # preserve global table order within a shard for readability
+        off = 0
+        for s, ti in enumerate(tables):
+            slot_tables[d, s] = ti
+            slot_valid[d, s] = 1
+            slot_local_offsets[d, s] = off
+            table_slot[ti] = s
+            table_local_offsets[ti] = off
+            off += table_sizes[ti]
+        max_rows = max(max_rows, off)
+    local_rows = max_rows + 1  # + trash row for padding slots
+    # padding slots all target the trash row; any id lands inside the stack
+    # only if the id is 0 (ids for padding slots are zeroed in the kernel).
+    for d in range(num_shards):
+        for s in range(k):
+            if not slot_valid[d, s]:
+                slot_local_offsets[d, s] = local_rows - 1
+
+    return TablePlacement(
+        table_sizes=table_sizes,
+        num_shards=num_shards,
+        slots_per_shard=k,
+        slot_tables=slot_tables,
+        slot_valid=slot_valid,
+        slot_local_offsets=slot_local_offsets,
+        local_rows=local_rows,
+        table_shard=table_shard,
+        table_slot=table_slot,
+        table_local_offsets=table_local_offsets,
+    )

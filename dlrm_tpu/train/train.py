@@ -70,6 +70,69 @@ def make_jit_train_step(config: DLRMConfig, lr: float) -> Callable:
     return jax.jit(step, donate_argnums=(0,))
 
 
+def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
+                       labels: jax.Array, *, config: DLRMConfig, lr: float,
+                       mesh, placement, axis: str = "d"):
+    """One hybrid-parallel SGD step (the multi-chip path).
+
+    ``params['emb']`` is the (N, local_rows, D) sharded table stack
+    (parallel/embedding.shard_tables); dense/sparse/labels are batch-sharded
+    over ``axis``.  Embedding exchange is explicit shard_map all-to-all;
+    everything else (MLP compute, psum of data-parallel dense grads) is
+    GSPMD-automatic from the input shardings.
+    """
+    from dlrm_tpu.parallel import embedding as pemb  # local import: no cycle
+
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    with jax.named_scope("lookup"):
+        pooled = pemb.sharded_lookup(params["emb"], sparse, mesh=mesh,
+                                     placement=placement, axis=axis)
+
+    def inner(dp, p):
+        return _loss_from_pooled(dp, p, dense, labels, config)
+
+    loss, (dgrads, d_pooled) = jax.value_and_grad(
+        inner, argnums=(0, 1))(dense_params, pooled)
+    with jax.named_scope("dense_update"):
+        new_dense = jax.tree.map(
+            lambda p, g: (p - lr * g).astype(p.dtype), dense_params, dgrads)
+    with jax.named_scope("sparse_update"):
+        new_emb = pemb.sharded_update_sgd(
+            params["emb"], sparse, d_pooled, lr, mesh=mesh,
+            placement=placement, axis=axis)
+    new_params = {"bottom": new_dense["bottom"], "emb": new_emb,
+                  "top": new_dense["top"]}
+    return new_params, loss
+
+
+def make_sharded_train_step(config: DLRMConfig, lr: float, mesh, placement,
+                            axis: str = "d") -> Callable:
+    """Jitted hybrid train step with explicit in/out shardings."""
+    from dlrm_tpu.parallel.mesh import batch_sharding, param_shardings
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    step = functools.partial(sharded_train_step, config=config, lr=lr,
+                             mesh=mesh, placement=placement, axis=axis)
+    bs = batch_sharding(mesh, axis)
+    repl = NamedSharding(mesh, P())
+    pshard = {
+        "bottom": None, "top": None,
+        "emb": NamedSharding(mesh, P(axis)),
+    }
+
+    def shardings_for(params):
+        return param_shardings(mesh, params, axis)
+
+    jitted = jax.jit(step, donate_argnums=(0,))
+
+    def run(params, dense, sparse, labels):
+        return jitted(params, dense, sparse, labels)
+
+    run.shardings_for = shardings_for
+    run.batch_sharding = bs
+    return run
+
+
 def train(params: dict, data: Iterable, *, config: DLRMConfig,
           lr: float, maxiters: Optional[int] = None,
           callback: Optional[Callable[[int, float], None]] = None,

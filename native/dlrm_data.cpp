@@ -1,0 +1,180 @@
+// Native Criteo data engine: fast text->binary parsing and batch marshal.
+//
+// The reference's data plane is CPU-native for speed (SIMD gather kernels in
+// EmbeddingTables.jl, mmap'd records, Polyester-threaded marshaling —
+// SURVEY.md §2.2/§2.3).  On TPU the *device* side of that is XLA's job, but
+// the host-side preprocessing (parsing a terabyte of tab-separated text) is
+// still CPU-bound and far too slow in Python — this is its C++ equivalent.
+//
+// Record layout is byte-compatible with /root/reference/src/data/criteo.jl:91-95:
+//   int32 label | 13 x float32 log(max(x,0)+1) | 26 x uint32 hex ids  = 160 B.
+//
+// Exposed as a plain C ABI consumed via ctypes (dlrm_tpu/data/native.py).
+
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kDense = 13;
+constexpr int kSparse = 26;
+constexpr int kFields = 1 + kDense + kSparse;
+
+#pragma pack(push, 1)
+struct DacRecord {
+  int32_t label;
+  float dense[kDense];
+  uint32_t cat[kSparse];
+};
+#pragma pack(pop)
+static_assert(sizeof(DacRecord) == 160, "record layout must be 160 bytes");
+
+// Parse a base-10 integer field ending at '\t'/'\n'/end; empty -> 0.
+inline const char* parse_i64(const char* p, const char* end, int64_t* out) {
+  int64_t v = 0;
+  bool neg = false;
+  if (p < end && *p == '-') {
+    neg = true;
+    ++p;
+  }
+  while (p < end && *p >= '0' && *p <= '9') {
+    v = v * 10 + (*p - '0');
+    ++p;
+  }
+  *out = neg ? -v : v;
+  return p;
+}
+
+// Parse a base-16 field; empty -> 0.
+inline const char* parse_hex(const char* p, const char* end, uint32_t* out) {
+  uint64_t v = 0;
+  while (p < end) {
+    char c = *p;
+    uint32_t d;
+    if (c >= '0' && c <= '9') d = c - '0';
+    else if (c >= 'a' && c <= 'f') d = c - 'a' + 10;
+    else if (c >= 'A' && c <= 'F') d = c - 'A' + 10;
+    else break;
+    v = (v << 4) | d;
+    ++p;
+  }
+  *out = static_cast<uint32_t>(v);
+  return p;
+}
+
+// Parse one line [p, nl) into rec. Returns false on malformed line.
+bool parse_line(const char* p, const char* nl, DacRecord* rec) {
+  int64_t label;
+  p = parse_i64(p, nl, &label);
+  if (p >= nl || *p != '\t') return false;
+  ++p;
+  rec->label = static_cast<int32_t>(label);
+  for (int i = 0; i < kDense; ++i) {
+    int64_t v;
+    p = parse_i64(p, nl, &v);
+    if (p >= nl || *p != '\t') return false;
+    ++p;
+    // Compute in double, round once to f32 — keeps the C++ and numpy
+    // (which promotes through double libm) paths bit-identical.
+    double x = v > 0 ? static_cast<double>(v) : 0.0;
+    rec->dense[i] = static_cast<float>(std::log1p(x));
+  }
+  for (int i = 0; i < kSparse; ++i) {
+    p = parse_hex(p, nl, &rec->cat[i]);
+    if (i + 1 < kSparse) {
+      if (p >= nl || *p != '\t') return false;
+      ++p;
+    }
+  }
+  return p == nl;
+}
+
+// Parse text[lo, hi) (must start/end at line boundaries) into out.
+int64_t parse_span(const char* text, size_t lo, size_t hi,
+                   std::vector<DacRecord>* out) {
+  const char* p = text + lo;
+  const char* end = text + hi;
+  while (p < end) {
+    const char* nl = static_cast<const char*>(memchr(p, '\n', end - p));
+    if (nl == nullptr) nl = end;
+    if (nl > p) {
+      DacRecord rec;
+      if (!parse_line(p, nl, &rec)) return -1;
+      out->push_back(rec);
+    }
+    p = nl + 1;
+  }
+  return static_cast<int64_t>(out->size());
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse an in-memory text buffer into caller-allocated records (capacity
+// records).  Multithreaded: the buffer is split at line boundaries.
+// Returns the number of records written, or -1 on parse error / overflow.
+int64_t dlrm_parse_buffer(const char* text, int64_t text_len,
+                          void* records_out, int64_t capacity,
+                          int32_t num_threads) {
+  if (num_threads < 1) num_threads = 1;
+  size_t len = static_cast<size_t>(text_len);
+  // Split points at line boundaries.
+  std::vector<size_t> splits{0};
+  for (int t = 1; t < num_threads; ++t) {
+    size_t target = len * t / num_threads;
+    const char* nl = static_cast<const char*>(
+        memchr(text + target, '\n', len - target));
+    splits.push_back(nl ? static_cast<size_t>(nl - text) + 1 : len);
+  }
+  splits.push_back(len);
+
+  std::vector<std::vector<DacRecord>> parts(num_threads);
+  std::vector<int64_t> status(num_threads, 0);
+  std::vector<std::thread> threads;
+  for (int t = 0; t < num_threads; ++t) {
+    threads.emplace_back([&, t]() {
+      if (splits[t + 1] > splits[t]) {
+        status[t] = parse_span(text, splits[t], splits[t + 1], &parts[t]);
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+
+  int64_t total = 0;
+  for (int t = 0; t < num_threads; ++t) {
+    if (status[t] < 0) return -1;
+    total += static_cast<int64_t>(parts[t].size());
+  }
+  if (total > capacity) return -1;
+  auto* dst = static_cast<DacRecord*>(records_out);
+  for (int t = 0; t < num_threads; ++t) {
+    memcpy(dst, parts[t].data(), parts[t].size() * sizeof(DacRecord));
+    dst += parts[t].size();
+  }
+  return total;
+}
+
+// Marshal a batch out of the record array: labels (B,) f32, dense (B,13)
+// f32, sparse (B,26) i32 with id_shift subtracted (1-based file -> 0-based).
+void dlrm_marshal_batch(const void* records, int64_t start, int64_t count,
+                        float* labels, float* dense, int32_t* sparse,
+                        int32_t id_shift) {
+  const auto* recs = static_cast<const DacRecord*>(records) + start;
+  for (int64_t i = 0; i < count; ++i) {
+    labels[i] = static_cast<float>(recs[i].label);
+    memcpy(dense + i * kDense, recs[i].dense, kDense * sizeof(float));
+    for (int j = 0; j < kSparse; ++j) {
+      sparse[i * kSparse + j] =
+          static_cast<int32_t>(recs[i].cat[j]) - id_shift;
+    }
+  }
+}
+
+}  // extern "C"

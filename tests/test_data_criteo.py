@@ -1,0 +1,140 @@
+"""Criteo pipeline tests, mirroring the reference's data-test strategy
+(test/data/criteo.jl: record round-trip, binarize, sharded ≡ monolithic
+vocabulary, in-place reindex vs line-by-line oracle) — on generated data."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from dlrm_tpu.data import criteo, native, synthetic
+
+
+@pytest.fixture(scope="module")
+def text_lines():
+    return synthetic.criteo_text_lines(250, seed=42)
+
+
+def test_record_roundtrip(tmp_path, text_lines):
+    data = criteo.parse_lines(text_lines)
+    assert data.dtype.itemsize == 160  # byte-compatible with the reference
+    path = str(tmp_path / "records.bin")
+    mm = np.memmap(path, dtype=criteo.DAC_DTYPE, mode="w+",
+                   shape=(len(data),))
+    mm[:] = data
+    mm.flush()
+    del mm
+    assert os.path.getsize(path) == 160 * len(data)
+    back = criteo.load(path)
+    np.testing.assert_array_equal(np.asarray(back), data)
+
+
+def test_parse_semantics():
+    # label, 13 dense (one missing, one negative), 26 hex (one missing)
+    dense_fields = ["3", "", "-7"] + ["1"] * 10
+    hex_fields = ["ff", ""] + ["a0"] * 24
+    line = "\t".join(["1"] + dense_fields + hex_fields) + "\n"
+    rec = criteo.parse_lines([line])[0]
+    assert rec["label"] == 1
+    np.testing.assert_allclose(rec["dense"][0], np.log1p(3.0))
+    assert rec["dense"][1] == 0.0           # missing -> 0 -> log1p(0)=0
+    assert rec["dense"][2] == 0.0           # negative clamped (criteo.jl:55)
+    assert rec["cat"][0] == 0xFF
+    assert rec["cat"][1] == 0               # missing hex -> 0
+
+
+def test_binarize_gzip_equals_plain(tmp_path, text_lines):
+    plain = tmp_path / "day.txt"
+    gz = tmp_path / "day.txt.gz"
+    plain.write_text("".join(text_lines))
+    with gzip.open(gz, "wt") as f:
+        f.write("".join(text_lines))
+    a = criteo.binarize(str(plain))
+    b = criteo.binarize(str(gz))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_vocab_equals_monolithic(text_lines):
+    """Sharded vocabulary building ≡ monolithic (test/data/criteo.jl:36-55)."""
+    data = criteo.parse_lines(text_lines)
+    mono = criteo.build_vocabulary([data])
+    shards = [data[:100], data[100:180], data[180:]]
+    sharded = criteo.build_vocabulary(shards)
+    for j in range(criteo.NUM_SPARSE):
+        np.testing.assert_array_equal(mono.sorted_values[j],
+                                      sharded.sorted_values[j])
+        np.testing.assert_array_equal(mono.ranks[j], sharded.ranks[j])
+
+
+def test_reindex_matches_oracle(text_lines):
+    data = criteo.parse_lines(text_lines)
+    original = data.copy()
+    vocab = criteo.build_vocabulary([data])
+    criteo.reindex(data, vocab)
+    # oracle: first-appearance order of each column's values, ids 1..N
+    for j in range(criteo.NUM_SPARSE):
+        seen = {}
+        for v in original["cat"][:, j]:
+            if v not in seen:
+                seen[v] = len(seen) + 1
+        expected = np.array([seen[v] for v in original["cat"][:, j]],
+                            dtype=np.uint32)
+        np.testing.assert_array_equal(data["cat"][:, j], expected)
+        assert data["cat"][:, j].max() == len(seen)
+    # dense/labels untouched
+    np.testing.assert_array_equal(data["dense"], original["dense"])
+    np.testing.assert_array_equal(data["label"], original["label"])
+
+
+def test_full_process_and_loader(tmp_path, text_lines):
+    src = tmp_path / "train.txt"
+    src.write_text("".join(text_lines))
+    binpath = str(tmp_path / "train.bin")
+    data = criteo.process(str(src), binpath=binpath,
+                          vocab_path=str(tmp_path / "vocab.npz"))
+    assert os.path.exists(binpath)
+    loader = criteo.DACLoader(data, batch_size=64)
+    batches = list(loader)
+    assert len(batches) == len(data) // 64
+    b = batches[0]
+    assert b["dense"].shape == (64, 13) and b["dense"].dtype == np.float32
+    assert b["sparse"].shape == (64, 26) and b["sparse"].dtype == np.int32
+    assert b["sparse"].min() >= 0  # loader shifts the 1-based file ids
+    assert set(np.unique(b["labels"])) <= {0.0, 1.0}
+    # vocab round-trip
+    vocab = criteo.Vocabulary.load(str(tmp_path / "vocab.npz"))
+    assert vocab.sizes == criteo.build_vocabulary(
+        [criteo.parse_lines(text_lines)]).sizes
+
+
+def test_native_parser_matches_python(text_lines):
+    if not native.available():
+        assert native.build(), "native library should compile in this image"
+    text = "".join(text_lines).encode()
+    got = native.parse_buffer(text, num_threads=4)
+    expected = criteo.parse_lines(text_lines)
+    assert len(got) == len(expected)
+    np.testing.assert_array_equal(got["label"], expected["label"])
+    np.testing.assert_allclose(got["dense"], expected["dense"], rtol=1e-6)
+    np.testing.assert_array_equal(got["cat"], expected["cat"])
+
+
+def test_native_marshal_matches_loader(text_lines):
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = criteo.parse_lines(text_lines)
+    vocab = criteo.build_vocabulary([data])
+    criteo.reindex(data, vocab)
+    loader = criteo.DACLoader(data, batch_size=50)
+    py_batch = next(iter(loader))
+    c_batch = native.marshal_batch(np.ascontiguousarray(data), 0, 50)
+    for k in ("labels", "dense", "sparse"):
+        np.testing.assert_array_equal(py_batch[k], c_batch[k])
+
+
+def test_native_parser_rejects_malformed():
+    if not native.available():
+        pytest.skip("native library unavailable")
+    with pytest.raises(ValueError):
+        native.parse_buffer(b"1\t2\t3\n")  # too few fields

@@ -1,0 +1,126 @@
+"""Sharded-vs-single-device parity for the hybrid embedding path.
+
+The reference has no distributed tests (single-node code, SURVEY.md §4);
+the TPU framework's key new invariant is: the shard_map all-to-all lookup
+and sparse update over an N-device mesh must be numerically identical to the
+single-device stacked-table path.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dlrm_tpu
+from dlrm_tpu.models import dlrm as model_lib
+from dlrm_tpu.ops import embedding as emb_ops
+from dlrm_tpu.parallel import embedding as pemb
+from dlrm_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings
+from dlrm_tpu.parallel.placement import plan_placement
+from dlrm_tpu.train.train import make_sharded_train_step, train_step
+
+
+def _random_batch(rng, config, b):
+    dense = rng.normal(size=(b, config.num_dense)).astype(np.float32)
+    if config.n_hot == 1:
+        sparse = np.stack(
+            [rng.integers(0, s, size=b) for s in config.table_sizes],
+            axis=1).astype(np.int32)
+    else:
+        sparse = np.stack(
+            [rng.integers(0, s, size=(b, config.n_hot))
+             for s in config.table_sizes], axis=1).astype(np.int32)
+    labels = (rng.random(b) > 0.5).astype(np.float32)
+    return dense, sparse, labels
+
+
+@pytest.mark.parametrize("num_tables,num_shards", [(7, 8), (26, 8), (5, 4)])
+def test_placement_covers_all_tables(num_tables, num_shards, rng):
+    sizes = [int(rng.integers(4, 1000)) for _ in range(num_tables)]
+    p = plan_placement(sizes, num_shards)
+    seen = set()
+    for d in range(num_shards):
+        for s in range(p.slots_per_shard):
+            if p.slot_valid[d, s]:
+                t = int(p.slot_tables[d, s])
+                assert t not in seen
+                seen.add(t)
+                assert p.table_shard[t] == d and p.table_slot[t] == s
+    assert seen == set(range(num_tables))
+    assert p.local_rows >= max(
+        sum(sizes[t] for t in range(num_tables) if p.table_shard[t] == d)
+        for d in range(num_shards)) + 1
+
+
+def test_shard_unshard_roundtrip(rng):
+    config = dlrm_tpu.tiny_config(num_tables=5, rows=16, feature_size=8)
+    stacked = rng.normal(size=(config.total_rows,
+                               config.feature_size)).astype(np.float32)
+    p = plan_placement(config.table_sizes, 4)
+    sharded = pemb.shard_tables(stacked, p, config)
+    back = pemb.unshard_tables(sharded, p, config)
+    np.testing.assert_array_equal(back, stacked)
+
+
+@pytest.mark.parametrize("n_hot,num_tables", [(1, 7), (1, 26), (3, 7), (1, 5)])
+def test_sharded_lookup_matches_single_device(n_hot, num_tables, rng):
+    config = dlrm_tpu.tiny_config(num_tables=num_tables, rows=64,
+                                  feature_size=8, n_hot=n_hot)
+    mesh = make_mesh(8)
+    p = plan_placement(config.table_sizes, 8)
+    stacked = rng.normal(size=(config.total_rows,
+                               config.feature_size)).astype(np.float32)
+    _, sparse, _ = _random_batch(rng, config, 32)
+
+    expected = emb_ops.lookup(jnp.asarray(stacked), jnp.asarray(sparse),
+                              config.table_offsets)
+
+    emb_sh = jax.device_put(pemb.shard_tables(stacked, p, config),
+                            jax.NamedSharding(mesh, jax.P("d")))
+    ids = jax.device_put(jnp.asarray(sparse), batch_sharding(mesh))
+    got = jax.jit(lambda e, i: pemb.sharded_lookup(
+        e, i, mesh=mesh, placement=p, axis="d"))(emb_sh, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("n_hot", [1, 3])
+def test_sharded_train_step_matches_single_device(n_hot, rng):
+    config = dlrm_tpu.tiny_config(num_tables=7, rows=50, feature_size=8,
+                                  n_hot=n_hot)
+    params = dlrm_tpu.init_params(jax.random.key(7), config)
+    dense, sparse, labels = _random_batch(rng, config, 32)
+    lr = 0.5
+
+    # single-device oracle
+    ref_params, ref_loss = jax.jit(
+        lambda p, d, s, l: train_step(p, d, s, l, config=config, lr=lr)
+    )(params, jnp.asarray(dense), jnp.asarray(sparse), jnp.asarray(labels))
+
+    # 8-way hybrid
+    mesh = make_mesh(8)
+    p = plan_placement(config.table_sizes, 8)
+    sh_params = {
+        "bottom": params["bottom"],
+        "emb": pemb.shard_tables(np.asarray(params["emb"]), p, config),
+        "top": params["top"],
+    }
+    sh_params = jax.device_put(sh_params, param_shardings(mesh, sh_params))
+    bs = batch_sharding(mesh)
+    step = make_sharded_train_step(config, lr, mesh, p)
+    new_params, loss = step(sh_params,
+                            jax.device_put(jnp.asarray(dense), bs),
+                            jax.device_put(jnp.asarray(sparse), bs),
+                            jax.device_put(jnp.asarray(labels), bs))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-6)
+    got_emb = pemb.unshard_tables(np.asarray(new_params["emb"]), p, config)
+    np.testing.assert_allclose(got_emb, np.asarray(ref_params["emb"]),
+                               atol=1e-5, rtol=1e-5)
+    for side in ("bottom", "top"):
+        for i, layer in enumerate(new_params[side]):
+            for k in ("w", "b"):
+                np.testing.assert_allclose(
+                    np.asarray(layer[k]),
+                    np.asarray(ref_params[side][i][k]),
+                    atol=1e-5, rtol=1e-5, err_msg=f"{side}[{i}].{k}")
