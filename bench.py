@@ -38,7 +38,9 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
 
-    config = dlrm_tpu.kaggle_config(feature_size=FEATURE_SIZE)
+    interaction = "pallas" if dev.platform == "tpu" else "gram"
+    config = dlrm_tpu.kaggle_config(feature_size=FEATURE_SIZE,
+                                    interaction_impl=interaction)
     log(f"model: kaggle fs={FEATURE_SIZE}, {config.total_rows:,} rows, "
         f"top_in={config.top_input}")
     params = dlrm_tpu.init_params(jax.random.key(0), config)

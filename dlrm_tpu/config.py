@@ -83,6 +83,11 @@ class DLRMConfig:
     embedding_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
     seed: int = 51234  # reference seeds its RNG with 51234 (model.jl:193)
+    # Interaction implementation: "gram" (batched-MXU einsum + static
+    # gather), "pairwise" (VPU elementwise pair dots), or "pallas" (fused
+    # VMEM-resident kernel, ops/interaction_pallas.py).  All three are
+    # oracle-tested against each other; pick per hardware/shape by benchmark.
+    interaction_impl: str = "gram"
 
     def __post_init__(self):
         object.__setattr__(self, "bottom_mlp_sizes", tuple(self.bottom_mlp_sizes))

@@ -43,17 +43,23 @@ def init_params(key: jax.Array, config: DLRMConfig,
     bottom = init_mlp(kb, config.bottom_mlp_sizes, config.weight_dtype)
     top = init_mlp(kt, config.full_top_mlp_sizes, config.weight_dtype)
     if emb_init == "scaled_uniform":
-        parts = []
-        for i, rows in enumerate(config.table_sizes):
-            ke, sub = jax.random.split(ke)
-            bound = 1.0 / jnp.sqrt(jnp.float32(rows))
-            parts.append(
-                jax.random.uniform(
-                    sub, (rows, config.feature_size), jnp.float32,
-                    minval=-bound, maxval=bound,
-                ).astype(config.embedding_dtype)
-            )
-        emb = jnp.concatenate(parts, axis=0)
+        # One fused device op for the whole stacked table: uniform(-1, 1)
+        # scaled per-row by 1/sqrt(table_rows).  Equivalent in distribution
+        # to per-table U(-1/sqrt(rows), 1/sqrt(rows)) but avoids 26 separate
+        # inits + a multi-GB concatenate.
+        import numpy as np
+        row_scale = np.repeat(
+            1.0 / np.sqrt(np.asarray(config.table_sizes, np.float32)),
+            config.table_sizes).astype(np.float32)
+
+        @jax.jit
+        def _init_emb(key, scale):
+            u = jax.random.uniform(
+                key, (config.total_rows, config.feature_size), jnp.float32,
+                minval=-1.0, maxval=1.0)
+            return (u * scale[:, None]).astype(config.embedding_dtype)
+
+        emb = _init_emb(ke, jnp.asarray(row_scale))
     elif emb_init == "zeros":
         emb = jnp.zeros((config.total_rows, config.feature_size),
                         config.embedding_dtype)
@@ -76,8 +82,17 @@ def forward_from_pooled(dense_params: dict, pooled: jax.Array,
         x = mlp_apply(dense_params["bottom"], dense, final="relu",
                       compute_dtype=cd)
     with jax.named_scope("interaction"):
-        z = dot_interaction(x, pooled.astype(x.dtype),
-                            pad_to=config.interaction_pad_to)
+        if config.interaction_impl == "pallas":
+            from dlrm_tpu.ops.interaction_pallas import fused_dot_interaction
+            z = fused_dot_interaction(x, pooled.astype(x.dtype),
+                                      pad_to=config.interaction_pad_to)
+        elif config.interaction_impl == "pairwise":
+            from dlrm_tpu.ops.interaction import dot_interaction_pairwise
+            z = dot_interaction_pairwise(x, pooled.astype(x.dtype),
+                                         pad_to=config.interaction_pad_to)
+        else:
+            z = dot_interaction(x, pooled.astype(x.dtype),
+                                pad_to=config.interaction_pad_to)
     with jax.named_scope("top_mlp"):
         out = mlp_apply(dense_params["top"], z, final="sigmoid",
                         compute_dtype=cd)

@@ -48,18 +48,42 @@ def stack_features(x: jax.Array, feats: jax.Array) -> jax.Array:
     return jnp.concatenate([x[:, None, :], emb], axis=1)
 
 
+def _pad_width(out: jax.Array, pad_to: int) -> jax.Array:
+    width = out.shape[1]
+    padded = pad_to * ((width + pad_to - 1) // pad_to)
+    if padded != width:
+        out = jnp.pad(out, ((0, 0), (0, padded - width)))
+    return out
+
+
 def dot_interaction(x: jax.Array, feats: jax.Array, pad_to: int = 1
                     ) -> jax.Array:
-    """Interaction output (B, bottom_out + F(F-1)/2 + padding)."""
+    """Interaction output (B, bottom_out + F(F-1)/2 + padding).
+
+    Gram-matrix formulation (batched MXU matmul + static triangular gather).
+    """
     t = stack_features(x, feats)
     b, f, _ = t.shape
     z = jnp.einsum(
         "bfd,bgd->bfg", t, t, preferred_element_type=jnp.float32
     ).astype(t.dtype)
     zflat = z.reshape(b, f * f)[:, tril_flat_indices(f)]
-    out = jnp.concatenate([x, zflat], axis=1)
-    width = out.shape[1]
-    padded = pad_to * ((width + pad_to - 1) // pad_to)
-    if padded != width:
-        out = jnp.pad(out, ((0, 0), (0, padded - width)))
-    return out
+    return _pad_width(jnp.concatenate([x, zflat], axis=1), pad_to)
+
+
+def dot_interaction_pairwise(x: jax.Array, feats: jax.Array, pad_to: int = 1
+                             ) -> jax.Array:
+    """VPU formulation: compute only the P needed pair dot products as
+    elementwise multiply + reduce over D (no F x F Gram matrix).
+
+    zflat[b, p] = sum_d T[b, i_p, d] * T[b, j_p, d].  Trades the Gram
+    batched matmul (tiny 27x27 MXU tiles at ~4% utilization) for VPU
+    work that XLA fuses; often wins for small feature counts.
+    """
+    t = stack_features(x, feats)
+    b, f, _ = t.shape
+    li, lj = np.tril_indices(f, k=-1)
+    prod = (t[:, li, :].astype(jnp.float32)
+            * t[:, lj, :].astype(jnp.float32))
+    zflat = jnp.sum(prod, axis=-1).astype(t.dtype)
+    return _pad_width(jnp.concatenate([x, zflat], axis=1), pad_to)

@@ -1,0 +1,135 @@
+"""Evaluation metrics: accuracy (the reference's ``test``,
+/root/reference/src/train/utils.jl:31-46), ROC AUC (the Criteo north-star
+metric the reference lacks), and the ``Every`` periodic-callback combinator
+(utils.jl:11-29)."""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def binary_accuracy(preds, labels) -> float:
+    """Fraction of round(pred) == label (reference test(), utils.jl:38-42)."""
+    preds = np.asarray(preds).ravel()
+    labels = np.asarray(labels).ravel()
+    return float(np.mean((preds >= 0.5) == (labels >= 0.5)))
+
+
+def auc_roc(preds, labels) -> float:
+    """Exact ROC AUC via the rank statistic (Mann-Whitney U), with average
+    ranks for ties.  Host-side numpy; for on-device streaming use
+    StreamingAUC."""
+    preds = np.asarray(preds, np.float64).ravel()
+    labels = np.asarray(labels).ravel() >= 0.5
+    pos = labels.sum()
+    neg = labels.size - pos
+    if pos == 0 or neg == 0:
+        return float("nan")
+    order = np.argsort(preds, kind="mergesort")
+    sorted_preds = preds[order]
+    ranks = np.empty(labels.size, np.float64)
+    # average ranks over tie groups
+    i = 0
+    while i < labels.size:
+        j = i
+        while j + 1 < labels.size and sorted_preds[j + 1] == sorted_preds[i]:
+            j += 1
+        ranks[order[i:j + 1]] = 0.5 * (i + j) + 1.0
+        i = j + 1
+    pos_rank_sum = ranks[labels].sum()
+    return float((pos_rank_sum - pos * (pos + 1) / 2) / (pos * neg))
+
+
+class StreamingAUC:
+    """Histogram-bucketed streaming AUC for large eval sets: O(buckets)
+    memory, device-side accumulation, one tiny transfer per batch.
+
+    Predictions are sigmoid outputs in [0, 1]; bucketed uniformly.  AUC is
+    computed from the per-bucket positive/negative counts with the
+    trapezoid (tie-averaged) correction — exact up to bucket resolution.
+    """
+
+    def __init__(self, num_buckets: int = 1 << 14):
+        self.num_buckets = num_buckets
+        self.pos = np.zeros(num_buckets, np.float64)
+        self.neg = np.zeros(num_buckets, np.float64)
+        self._update = jax.jit(self._device_update,
+                               static_argnames=("num_buckets",))
+
+    @staticmethod
+    def _device_update(preds, labels, num_buckets: int):
+        b = jnp.clip((preds * num_buckets).astype(jnp.int32), 0,
+                     num_buckets - 1)
+        labels = (labels >= 0.5).astype(jnp.float32)
+        pos = jnp.zeros(num_buckets, jnp.float32).at[b].add(labels)
+        neg = jnp.zeros(num_buckets, jnp.float32).at[b].add(1.0 - labels)
+        return pos, neg
+
+    def update(self, preds, labels) -> None:
+        pos, neg = self._update(preds, labels, num_buckets=self.num_buckets)
+        self.pos += np.asarray(pos, np.float64)
+        self.neg += np.asarray(neg, np.float64)
+
+    def compute(self) -> float:
+        pos, neg = self.pos, self.neg
+        p, n = pos.sum(), neg.sum()
+        if p == 0 or n == 0:
+            return float("nan")
+        # P(score_pos > score_neg) + 0.5 P(equal), bucket-resolution exact
+        neg_below = np.concatenate([[0.0], np.cumsum(neg)[:-1]])
+        u = (pos * (neg_below + 0.5 * neg)).sum()
+        return float(u / (p * n))
+
+    def reset(self) -> None:
+        self.pos[:] = 0
+        self.neg[:] = 0
+
+
+class Every:
+    """Run ``fn`` every ``n`` calls (reference Every, utils.jl:11-29)."""
+
+    def __init__(self, fn: Callable[[], None], n: int):
+        self.fn = fn
+        self.n = int(n)
+        self.count = 0
+
+    def __call__(self) -> None:
+        self.count += 1
+        if self.count % self.n == 0:
+            self.fn()
+
+
+def evaluate(params: dict, data: Iterable, config, *,
+             record: Optional[List[float]] = None,
+             auc_buckets: int = 1 << 14) -> Dict[str, float]:
+    """Full-dataset eval: accuracy + streaming AUC + mean loss.
+
+    The reference's test() computes accuracy only and appends to a record
+    vector (utils.jl:31-46); AUC is the Criteo benchmark target (BASELINE)."""
+    from dlrm_tpu.models.dlrm import forward
+    from dlrm_tpu.ops.loss import bce_loss
+
+    fwd = jax.jit(lambda p, d, s: forward(p, d, s, config))
+    auc = StreamingAUC(auc_buckets)
+    correct = 0
+    total = 0
+    loss_sum = 0.0
+    for batch in data:
+        preds = fwd(params, jnp.asarray(batch["dense"]),
+                    jnp.asarray(batch["sparse"]))
+        labels = jnp.asarray(batch["labels"])
+        auc.update(preds, labels)
+        loss_sum += float(bce_loss(preds, labels)) * labels.shape[0]
+        p = np.asarray(preds)
+        l = np.asarray(labels)
+        correct += int(((p >= 0.5) == (l >= 0.5)).sum())
+        total += l.shape[0]
+    acc = correct / max(total, 1)
+    if record is not None:
+        record.append(acc)  # reference: push!(record, accuracy)
+    return {"accuracy": acc, "auc": auc.compute(),
+            "loss": loss_sum / max(total, 1), "examples": total}
