@@ -88,6 +88,11 @@ class DLRMConfig:
     # VMEM-resident kernel, ops/interaction_pallas.py).  All three are
     # oracle-tested against each other; pick per hardware/shape by benchmark.
     interaction_impl: str = "gram"
+    # Tables with <= this many rows use the one-hot MXU lookup/update path
+    # instead of gather/scatter (ops/embedding.partition_tables); 0 disables.
+    # TPU v5e measured: scatter ~105 ns/row makes matmul cheaper below ~16k
+    # rows at B=32k.
+    small_table_threshold: int = 8192
 
     def __post_init__(self):
         object.__setattr__(self, "bottom_mlp_sizes", tuple(self.bottom_mlp_sizes))

@@ -107,7 +107,7 @@ def forward(params: dict, dense: jax.Array, sparse: jax.Array,
     (model.jl:152-166).
     """
     with jax.named_scope("lookup"):
-        pooled = emb_ops.lookup(params["emb"], sparse, config.table_offsets)
+        pooled = emb_ops.mixed_lookup(params["emb"], sparse, config)
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     return forward_from_pooled(dense_params, pooled, dense, config)
 

@@ -152,6 +152,76 @@ def dedup_sparse_grad(grad: SparseGrad, *, max_unique: int | None = None
     return SparseGrad(ids=uniq, rows=summed)
 
 
+def partition_tables(table_sizes, threshold: int):
+    """Split tables into (small, big) index lists by row count.
+
+    Strategy selection for the mixed embedding engine: on TPU v5e, XLA's
+    gather/scatter run at ~22/~105 ns *per row* (latency-bound, measured),
+    while a one-hot matmul lookup costs ~4*B*R bytes of HBM traffic — so for
+    tables below a few tens of thousands of rows the MXU path wins, sums
+    duplicate-id gradients exactly, and needs no scatter at all.  This is
+    the TPU analog of the reference's pluggable lookup strategies
+    (EmbeddingTables maplookup strategies, SURVEY.md §2.2).
+    """
+    small = [i for i, s in enumerate(table_sizes) if s <= threshold]
+    big = [i for i, s in enumerate(table_sizes) if s > threshold]
+    return tuple(small), tuple(big)
+
+
+def onehot_lookup(table: jax.Array, ids: jax.Array,
+                  compute_dtype=jnp.bfloat16) -> jax.Array:
+    """Lookup via one-hot matmul on the MXU: (B[,H], R) @ (R, D) -> (B, D).
+
+    Differentiable: the table cotangent is the transpose matmul
+    onehot^T @ d_pooled — a DENSE (R, D) gradient, which is fine (and
+    faster than scatter) precisely because R is small.  Multi-hot ids sum
+    via the matmul itself.
+    """
+    r = table.shape[0]
+    oh = jax.nn.one_hot(ids, r, dtype=compute_dtype)
+    if oh.ndim == 3:  # (B, H, R) multi-hot: pool by summing the count matrix
+        oh = jnp.sum(oh, axis=1)
+    return jnp.dot(oh, table.astype(compute_dtype),
+                   preferred_element_type=jnp.float32)
+
+
+def table_order_permutation(small, big) -> Tuple[int, ...]:
+    """Permutation restoring global table order from [big..., small...]
+    column blocks."""
+    order = list(big) + list(small)
+    inv = [0] * len(order)
+    for pos, t in enumerate(order):
+        inv[t] = pos
+    return tuple(inv)
+
+
+def mixed_lookup(emb: jax.Array, ids: jax.Array, config,
+                 onehot_dtype=None) -> jax.Array:
+    """Pooled lookup using the per-table strategy split: gather for big
+    tables (one fused take), one-hot MXU matmul for small ones.
+    Differentiable end-to-end (big-table grads densify under plain
+    jax.grad — training uses mixed_train machinery in train/train.py to
+    keep them compressed)."""
+    small, big = partition_tables(config.table_sizes,
+                                  config.small_table_threshold)
+    if not small:
+        return lookup(emb, ids, config.table_offsets)
+    if onehot_dtype is None:
+        onehot_dtype = config.compute_dtype
+    offsets = config.table_offsets
+    parts = []
+    if big:
+        ids_big = ids[:, big] if ids.ndim == 2 else ids[:, big, :]
+        off_big = tuple(offsets[t] for t in big)
+        parts.append(pool(gather_rows(emb, translate_ids(ids_big, off_big))))
+    for t in small:
+        tab = emb[offsets[t]:offsets[t] + config.table_sizes[t]]
+        idt = ids[:, t] if ids.ndim == 2 else ids[:, t, :]
+        parts.append(onehot_lookup(tab, idt, onehot_dtype)[:, None, :])
+    stacked = jnp.concatenate(parts, axis=1).astype(emb.dtype)
+    return stacked[:, table_order_permutation(small, big), :]
+
+
 def uncompress(grad: SparseGrad, total_rows: int, dim: int) -> jax.Array:
     """Densify a SparseGrad (test oracle; mirrors EmbeddingTables.uncompress
     used by reference test/train/backprop.jl:156)."""

@@ -49,19 +49,67 @@ def train_step(params: dict, dense: jax.Array, sparse: jax.Array,
                labels: jax.Array, *, config: DLRMConfig, lr: float):
     """One SGD step; returns (new_params, loss).
 
+    Mixed embedding strategy (ops/embedding.partition_tables): big tables go
+    through the gather-outside-grad split so their gradients stay compressed
+    (ids, rows) and apply as one scatter-add; small tables go through the
+    one-hot MXU matmul whose gradient is a small DENSE (R, D) slice applied
+    with a contiguous vectorized add — no scatter at all.  On TPU v5e this
+    removes the ~105 ns/row XLA scatter cost for every table below the
+    threshold (the majority of Criteo lookups).
+
     Jit with ``static_argnames=('config', 'lr')`` and donate ``params``.
     """
+    small, big = emb_ops.partition_tables(config.table_sizes,
+                                          config.small_table_threshold)
     dense_params, emb = model_lib.split_params(params)
-    grad_fn = emb_ops.sparse_value_and_grad(
-        functools.partial(_loss_from_pooled, dense=dense, labels=labels,
-                          config=config))
-    loss, (dgrads, sgrad) = grad_fn(dense_params, emb, sparse,
-                                    config.table_offsets)
+    offsets = config.table_offsets
+    onehot_dtype = config.compute_dtype
+
+    def table_ids(t):
+        return sparse[:, t] if sparse.ndim == 2 else sparse[:, t, :]
+
+    flat_big = None
+    if big:
+        ids_big = sparse[:, big] if sparse.ndim == 2 else sparse[:, big, :]
+        off_big = tuple(offsets[t] for t in big)
+        flat_big = emb_ops.translate_ids(ids_big, off_big)
+        with jax.named_scope("lookup_gather"):
+            rows_big = emb_ops.gather_rows(emb, flat_big)
+    else:
+        rows_big = jnp.zeros((dense.shape[0], 0, config.feature_size),
+                             emb.dtype)
+    small_tables = tuple(
+        emb[offsets[t]:offsets[t] + config.table_sizes[t]] for t in small)
+
+    def inner(dp, rows_big, small_tables):
+        parts = [emb_ops.pool(rows_big)]
+        with jax.named_scope("lookup_onehot"):
+            for k, t in enumerate(small):
+                parts.append(emb_ops.onehot_lookup(
+                    small_tables[k], table_ids(t), onehot_dtype)[:, None, :])
+        pooled = jnp.concatenate(parts, axis=1).astype(emb.dtype)
+        pooled = pooled[:, emb_ops.table_order_permutation(small, big), :]
+        return _loss_from_pooled(dp, pooled, dense, labels, config)
+
+    loss, (dgrads, d_rows_big, d_smalls) = jax.value_and_grad(
+        inner, argnums=(0, 1, 2))(dense_params, rows_big, small_tables)
+
     with jax.named_scope("dense_update"):
         new_dense = jax.tree.map(
             lambda p, g: (p - lr * g).astype(p.dtype), dense_params, dgrads)
-    with jax.named_scope("sparse_update"):
-        new_emb = emb_ops.apply_sparse_sgd(emb, sgrad, lr)
+    new_emb = emb
+    if big:
+        with jax.named_scope("sparse_update"):
+            sgrad = emb_ops.SparseGrad(
+                ids=flat_big.reshape(-1),
+                rows=d_rows_big.reshape(-1, d_rows_big.shape[-1]))
+            new_emb = emb_ops.apply_sparse_sgd(new_emb, sgrad, lr)
+    if small:
+        with jax.named_scope("small_table_update"):
+            for k, t in enumerate(small):
+                off = offsets[t]
+                new_emb = new_emb.at[off:off + config.table_sizes[t]].add(
+                    (-lr * d_smalls[k]).astype(new_emb.dtype))
     return model_lib.merge_params(new_dense, new_emb), loss
 
 

@@ -68,8 +68,9 @@ def test_packaged_forward_matches_stagewise(path):
                                  jnp.asarray(inputs["sparse"]), config)
     x = mlp_apply(params["bottom"], jnp.asarray(inputs["dense"]),
                   final="relu")
-    pooled = emb_ops.lookup(params["emb"], jnp.asarray(inputs["sparse"]),
-                            config.table_offsets)
+    # same lookup op as the packaged forward (mixed strategy engine)
+    pooled = emb_ops.mixed_lookup(params["emb"],
+                                  jnp.asarray(inputs["sparse"]), config)
     z = dot_interaction(x, pooled, pad_to=config.interaction_pad_to)
     manual = mlp_apply(params["top"], z, final="sigmoid")[:, 0]
     np.testing.assert_array_equal(np.asarray(packaged), np.asarray(manual))
