@@ -1,0 +1,385 @@
+"""Command-line driver: the reference's ``script.jl`` / ``@setup`` reborn.
+
+The reference configures experiments with Julia keyword args and an
+``@setup`` macro (/root/reference/src/DLRM.jl:44-110, script.jl); SURVEY.md
+§5 calls for a real config + CLI system in the TPU build.  Subcommands:
+
+  preprocess   Criteo text -> binarized + vocab-reindexed dataset
+  train        train a DLRM (synthetic or Criteo data), checkpoints + eval
+  eval         accuracy / ROC-AUC / loss over a dataset
+  validate     PyTorch-fixture parity harness (validation.py)
+  instrument   per-phase step-time breakdown (telemetry.InstrumentedTrainer)
+  bench        quick synthetic-throughput benchmark
+
+Run as ``python -m dlrm_tpu <subcommand> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+# -- config plumbing -----------------------------------------------------------
+
+def _build_config(args) -> "DLRMConfig":
+    from dlrm_tpu import config as cfg
+
+    presets = {
+        "kaggle": cfg.kaggle_config,
+        "terabyte": cfg.terabyte_config,
+        "fixture": cfg.fixture_config,
+        "tiny": cfg.tiny_config,
+    }
+    if args.config not in presets:
+        raise SystemExit(f"unknown --config {args.config!r}; "
+                         f"choose from {sorted(presets)}")
+    kw = {}
+    if args.config in ("kaggle", "terabyte"):
+        kw["feature_size"] = args.feature_size
+    c = presets[args.config](**kw)
+    over = {}
+    if args.interaction:
+        over["interaction_impl"] = args.interaction
+    if args.n_hot is not None:
+        over["n_hot"] = args.n_hot
+    if args.bf16:
+        import jax.numpy as jnp
+        over["compute_dtype"] = jnp.bfloat16
+    if args.pad_to is not None:
+        over["interaction_pad_to"] = args.pad_to
+    if args.table_sizes:
+        over["table_sizes"] = tuple(
+            int(s) for s in args.table_sizes.split(","))
+    return dataclasses.replace(c, **over) if over else c
+
+
+def _add_config_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", default="kaggle",
+                   help="preset: kaggle|terabyte|fixture|tiny")
+    p.add_argument("--feature-size", type=int, default=16,
+                   help="embedding dim (kaggle/terabyte presets)")
+    p.add_argument("--interaction", default=None,
+                   help="interaction impl: gram|pairwise|pallas")
+    p.add_argument("--n-hot", type=int, default=None,
+                   help="multi-hot lookups per table (default preset)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute dtype for MLPs/interaction")
+    p.add_argument("--pad-to", type=int, default=None,
+                   help="pad interaction output width to a multiple")
+    p.add_argument("--table-sizes", default=None,
+                   help="comma-separated table row counts (overrides preset)")
+
+
+def _data_iter(args, config, *, steps: Optional[int], seed: int = 0):
+    from dlrm_tpu.data import synthetic
+    from dlrm_tpu.data.criteo import DACLoader, load
+
+    if args.data:
+        loader = DACLoader(load(args.data), args.batch_size)
+        def gen():
+            count = 0
+            while steps is None or count < steps:
+                for batch in loader:
+                    yield batch
+                    count += 1
+                    if steps is not None and count >= steps:
+                        return
+                if steps is None:
+                    return  # one epoch when steps unspecified
+        return gen()
+    return synthetic.batch_stream(config, args.batch_size, steps, seed)
+
+
+# -- subcommands ---------------------------------------------------------------
+
+def cmd_preprocess(args) -> int:
+    from dlrm_tpu.data import criteo
+
+    t0 = time.time()
+    data = criteo.process(args.inputs, binpath=args.out,
+                          vocab_path=args.vocab)
+    vocab_sizes = None
+    if args.vocab:
+        vocab_sizes = criteo.Vocabulary.load(
+            args.vocab if args.vocab.endswith(".npz")
+            else args.vocab + ".npz").sizes
+    print(json.dumps({"records": int(len(data)), "out": args.out,
+                      "vocab_sizes": vocab_sizes,
+                      "seconds": round(time.time() - t0, 2)}))
+    return 0
+
+
+def cmd_train(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import dlrm_tpu
+    from dlrm_tpu.io.checkpoint import CheckpointManager
+    from dlrm_tpu.train.metrics import evaluate
+
+    config = _build_config(args)
+    if args.data is None and args.steps is None:
+        raise SystemExit("synthetic training needs --steps")
+    n_dev = len(jax.devices())
+    sharded = args.sharded if args.sharded is not None else (n_dev > 1)
+    print(f"devices: {n_dev} ({jax.devices()[0].platform}), "
+          f"sharded={sharded}", file=sys.stderr)
+    params = dlrm_tpu.init_params(jax.random.key(config.seed), config)
+
+    mgr = None
+    start_step = 0
+    if args.ckpt_dir:
+        mgr = CheckpointManager(args.ckpt_dir,
+                                save_interval=args.save_interval,
+                                max_to_keep=args.max_to_keep)
+
+    if sharded:
+        from dlrm_tpu.parallel import embedding as pemb
+        from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                            param_shardings)
+        from dlrm_tpu.parallel.placement import plan_placement
+        from dlrm_tpu.train.train import make_sharded_train_step
+
+        mesh = make_mesh(n_dev)
+        placement = plan_placement(config.table_sizes, n_dev)
+        sh_params = {
+            "bottom": params["bottom"],
+            "emb": pemb.shard_tables(np.asarray(params["emb"]), placement,
+                                     config),
+            "top": params["top"],
+        }
+        shardings = param_shardings(mesh, sh_params)
+        if mgr is not None:
+            restored = mgr.restore_latest(template=sh_params,
+                                          shardings=shardings)
+            if restored is not None:
+                sh_params, start_step = restored
+                print(f"resumed from step {start_step}", file=sys.stderr)
+        params = jax.device_put(sh_params, shardings)
+        step_fn = make_sharded_train_step(config, args.lr, mesh, placement)
+        bs = batch_sharding(mesh)
+
+        def put(batch):
+            return {k: jax.device_put(jnp.asarray(v), bs)
+                    for k, v in batch.items()}
+    else:
+        if mgr is not None:
+            restored = mgr.restore_latest(template=params)
+            if restored is not None:
+                params, start_step = restored
+                params = jax.tree.map(jnp.asarray, params)
+                print(f"resumed from step {start_step}", file=sys.stderr)
+        step_fn = dlrm_tpu.make_jit_train_step(config, args.lr)
+
+        def put(batch):
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    losses: List[float] = []
+    t_start = time.time()
+    step = start_step
+    remaining = None if args.steps is None else max(args.steps - start_step, 0)
+    for batch in _data_iter(args, config, steps=remaining, seed=args.seed):
+        b = put(batch)
+        params, loss = step_fn(params, b["dense"], b["sparse"], b["labels"])
+        step += 1
+        if step % args.log_every == 0:
+            loss = float(loss)
+            losses.append(loss)
+            dt = time.time() - t_start
+            eps = (step - start_step) * args.batch_size / max(dt, 1e-9)
+            print(f"step {step} loss {loss:.5f} "
+                  f"({eps:,.0f} examples/s)", file=sys.stderr)
+        if mgr is not None:
+            mgr.maybe_save(step, params)
+    if mgr is not None:
+        mgr.save(step, params, force=True)
+        mgr.wait_until_finished()
+        mgr.close()
+
+    result = {"steps": step - start_step,
+              "final_loss": losses[-1] if losses else None,
+              "seconds": round(time.time() - t_start, 2)}
+    if args.eval_data or (args.data and args.eval_after):
+        eval_iter = _data_iter(
+            argparse.Namespace(data=args.eval_data or args.data,
+                               batch_size=args.batch_size),
+            config, steps=args.eval_steps)
+        host = params if not sharded else None
+        if sharded:
+            from dlrm_tpu.parallel import embedding as pemb
+            host = {
+                "bottom": jax.tree.map(np.asarray, params["bottom"]),
+                "emb": pemb.unshard_tables(np.asarray(params["emb"]),
+                                           placement, config),
+                "top": jax.tree.map(np.asarray, params["top"]),
+            }
+            host = jax.tree.map(jnp.asarray, host)
+        result["eval"] = evaluate(host, eval_iter, config)
+    print(json.dumps(result))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import dlrm_tpu
+    from dlrm_tpu.io.checkpoint import restore_checkpoint
+    from dlrm_tpu.train.metrics import evaluate
+
+    config = _build_config(args)
+    if args.ckpt_dir:
+        template = dlrm_tpu.init_params(jax.random.key(0), config)
+        params, step = restore_checkpoint(args.ckpt_dir, template=template)
+        params = jax.tree.map(jnp.asarray, params)
+    elif args.hdf5:
+        from dlrm_tpu.io import hdf5 as h5io
+        params, config = h5io.load_params(args.hdf5)
+        params = jax.tree.map(jnp.asarray, params)
+    else:
+        raise SystemExit("eval needs --ckpt-dir or --hdf5")
+    data = _data_iter(args, config, steps=args.eval_steps)
+    print(json.dumps(evaluate(params, data, config)))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    from dlrm_tpu.validation import validate
+
+    ok = True
+    for path in args.fixtures:
+        try:
+            report = validate(path, learning_rate=args.lr)
+            worst = max(v["max_abs_err"] for v in report.values())
+            print(json.dumps({"fixture": path, "ok": True,
+                              "checks": len(report),
+                              "worst_abs_err": worst}))
+        except AssertionError as e:
+            ok = False
+            print(json.dumps({"fixture": path, "ok": False,
+                              "error": str(e)}))
+    return 0 if ok else 1
+
+
+def cmd_instrument(args) -> int:
+    from dlrm_tpu import init_params
+    from dlrm_tpu.data import synthetic
+    from dlrm_tpu.utils.telemetry import InstrumentedTrainer, Recorder
+    import jax
+
+    config = _build_config(args)
+    params = init_params(jax.random.key(config.seed), config)
+    trainer = InstrumentedTrainer(config, args.lr)
+    rec = Recorder()
+    rng = np.random.default_rng(args.seed)
+    for i in range(args.steps or 10):
+        batch = synthetic.random_batch(rng, config, args.batch_size)
+        params, loss = trainer.step(params, batch,
+                                    rec if i > 0 else (lambda s: None))
+    print(json.dumps({"phase_ms": rec.summary(), "loss": loss}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import dlrm_tpu
+    from dlrm_tpu.data import synthetic
+
+    config = _build_config(args)
+    params = dlrm_tpu.init_params(jax.random.key(config.seed), config)
+    rng = np.random.default_rng(0)
+    batch = synthetic.random_batch(rng, config, args.batch_size)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    step = dlrm_tpu.make_jit_train_step(config, args.lr)
+    for _ in range(5):
+        params, loss = step(params, batch["dense"], batch["sparse"],
+                            batch["labels"])
+    jax.block_until_ready(params)
+    iters = args.steps or 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, loss = step(params, batch["dense"], batch["sparse"],
+                            batch["labels"])
+    jax.block_until_ready(params)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({"step_ms": round(dt * 1e3, 3),
+                      "examples_per_s": round(args.batch_size / dt, 1)}))
+    return 0
+
+
+# -- argument parsing ----------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dlrm_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("preprocess", help="Criteo text -> binary + vocab")
+    pp.add_argument("inputs", nargs="+", help="text shards (.txt or .gz)")
+    pp.add_argument("--out", required=True, help="output binary path")
+    pp.add_argument("--vocab", default=None, help="output vocab .npz path")
+    pp.set_defaults(fn=cmd_preprocess)
+
+    tr = sub.add_parser("train", help="train a DLRM")
+    _add_config_flags(tr)
+    tr.add_argument("--data", default=None, help="binarized dataset "
+                    "(default: synthetic)")
+    tr.add_argument("--eval-data", default=None)
+    tr.add_argument("--eval-after", action="store_true")
+    tr.add_argument("--eval-steps", type=int, default=None)
+    tr.add_argument("--batch-size", type=int, default=2048)
+    tr.add_argument("--lr", type=float, default=0.1)
+    tr.add_argument("--steps", type=int, default=None)
+    tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--log-every", type=int, default=100)
+    tr.add_argument("--ckpt-dir", default=None)
+    tr.add_argument("--save-interval", type=int, default=1000)
+    tr.add_argument("--max-to-keep", type=int, default=3)
+    tr.add_argument("--sharded", type=lambda s: s.lower() == "true",
+                    default=None, help="force hybrid-parallel path "
+                    "(default: auto if >1 device)")
+    tr.set_defaults(fn=cmd_train)
+
+    ev = sub.add_parser("eval", help="accuracy / AUC / loss")
+    _add_config_flags(ev)
+    ev.add_argument("--data", default=None)
+    ev.add_argument("--ckpt-dir", default=None)
+    ev.add_argument("--hdf5", default=None)
+    ev.add_argument("--batch-size", type=int, default=16384)
+    ev.add_argument("--eval-steps", type=int, default=None)
+    ev.set_defaults(fn=cmd_eval)
+
+    va = sub.add_parser("validate", help="PyTorch-fixture parity")
+    va.add_argument("fixtures", nargs="+")
+    va.add_argument("--lr", type=float, default=10.0)
+    va.set_defaults(fn=cmd_validate)
+
+    ins = sub.add_parser("instrument", help="per-phase step breakdown")
+    _add_config_flags(ins)
+    ins.add_argument("--batch-size", type=int, default=2048)
+    ins.add_argument("--lr", type=float, default=0.1)
+    ins.add_argument("--steps", type=int, default=10)
+    ins.add_argument("--seed", type=int, default=0)
+    ins.set_defaults(fn=cmd_instrument)
+
+    be = sub.add_parser("bench", help="synthetic throughput")
+    _add_config_flags(be)
+    be.add_argument("--batch-size", type=int, default=32768)
+    be.add_argument("--lr", type=float, default=0.1)
+    be.add_argument("--steps", type=int, default=20)
+    be.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

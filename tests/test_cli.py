@@ -1,0 +1,120 @@
+"""CLI driver tests: each subcommand end-to-end on tiny data.
+
+The reference is driven from the Julia REPL via script.jl/@setup; the CLI is
+the new framework's equivalent driver layer, so every subcommand gets an
+end-to-end test (in-process, capturing stdout JSON).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import FIXTURE_SINGLE, requires_fixtures
+
+from dlrm_tpu import run as cli
+from dlrm_tpu.data import synthetic
+from dlrm_tpu.data.criteo import DACLoader, load
+
+
+def _run(capsys, argv):
+    rc = cli.main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    return rc, json.loads(out[-1])
+
+
+def _write_text_shards(tmp_path, n=120, shards=3):
+    lines = synthetic.criteo_text_lines(n, seed=7)
+    per = n // shards
+    paths = []
+    for i in range(shards):
+        p = tmp_path / f"day_{i}.txt"
+        p.write_text("".join(lines[i * per:(i + 1) * per]))
+        paths.append(str(p))
+    return paths
+
+
+def test_preprocess_cli(tmp_path, capsys):
+    paths = _write_text_shards(tmp_path)
+    out = str(tmp_path / "data.bin")
+    vocab = str(tmp_path / "vocab.npz")
+    rc, res = _run(capsys, ["preprocess", *paths, "--out", out,
+                            "--vocab", vocab])
+    assert rc == 0
+    assert res["records"] == 120
+    assert os.path.exists(out) and os.path.exists(vocab)
+    data = load(out)
+    assert len(data) == 120
+    # reindexed ids are dense 1..N
+    sizes = res["vocab_sizes"]
+    cat = np.asarray(data["cat"])
+    for j in range(26):
+        assert cat[:, j].min() >= 1
+        assert cat[:, j].max() == sizes[j]
+
+
+def test_train_eval_cli_on_real_pipeline(tmp_path, capsys):
+    """preprocess -> train (with checkpointing + resume) -> eval."""
+    paths = _write_text_shards(tmp_path)
+    out = str(tmp_path / "data.bin")
+    rc, res = _run(capsys, ["preprocess", *paths, "--out", out])
+    sizes = ",".join("1000" for _ in range(26))  # vocab fits in 1000
+
+    ckpt = str(tmp_path / "ckpt")
+    common = ["--config", "tiny", "--table-sizes", sizes,
+              "--batch-size", "16"]
+    train_common = [*common, "--sharded", "false"]
+    rc, res = _run(capsys, ["train", *train_common, "--data", out,
+                            "--lr", "0.05", "--log-every", "1",
+                            "--ckpt-dir", ckpt, "--save-interval", "2",
+                            "--eval-after"])
+    assert rc == 0
+    assert res["steps"] == 120 // 16
+    assert res["final_loss"] is not None and np.isfinite(res["final_loss"])
+    assert 0.0 <= res["eval"]["accuracy"] <= 1.0
+    assert res["eval"]["examples"] == 112
+
+    # resume: another epoch starting from the saved step
+    rc, res2 = _run(capsys, ["train", *train_common, "--data", out,
+                             "--ckpt-dir", ckpt, "--log-every", "1"])
+    assert rc == 0 and res2["steps"] == 7
+
+    rc, ev = _run(capsys, ["eval", *common, "--data", out,
+                           "--ckpt-dir", ckpt, "--eval-steps", "3"])
+    assert rc == 0
+    assert 0.0 <= ev["accuracy"] <= 1.0 and np.isfinite(ev["loss"])
+
+
+def test_train_cli_sharded_synthetic(capsys):
+    """Hybrid-parallel path over the 8-device CPU mesh via the CLI."""
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "3",
+        "--sharded", "true", "--log-every", "1"])
+    assert rc == 0
+    assert res["steps"] == 3 and np.isfinite(res["final_loss"])
+
+
+@requires_fixtures
+def test_validate_cli(capsys):
+    rc, res = _run(capsys, ["validate", FIXTURE_SINGLE])
+    assert rc == 0
+    assert res["ok"] and res["worst_abs_err"] < 1e-4
+
+
+def test_instrument_cli(capsys):
+    rc, res = _run(capsys, ["instrument", "--config", "tiny",
+                            "--batch-size", "32", "--steps", "3"])
+    assert rc == 0
+    phases = res["phase_ms"]
+    for sym in ("lookup", "bottom_mlp", "interaction", "top_mlp", "loss",
+                "loss_back", "weight_update_done",
+                "embedding_update_done"):
+        assert sym in phases, sorted(phases)
+
+
+def test_bench_cli(capsys):
+    rc, res = _run(capsys, ["bench", "--config", "tiny",
+                            "--batch-size", "64", "--steps", "2"])
+    assert rc == 0
+    assert res["examples_per_s"] > 0
