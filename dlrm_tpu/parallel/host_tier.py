@@ -1,0 +1,330 @@
+"""Two-tier embedding storage: HBM + host memory (the CachedArrays analog).
+
+The reference trains with embedding tables deliberately evicted to a slow
+memory tier (Optane PMM) managed by CachedArrays.jl — a local/remote heap
+with explicit migration and a read/write permission state machine
+(/root/reference/src/DLRM.jl:47-67, src/cachedarrays.jl; SURVEY.md §2.2).
+On TPU the same capability — "tables bigger than fast memory" — maps to
+**host-memory-resident table shards with on-demand row movement**:
+
+* The stacked embedding array is split into a **device tier** (HBM) and a
+  **host tier** (``pinned_host`` memory kind), chosen by ``plan_tiers`` to
+  fit an HBM budget (largest tables spill first, like the reference evicting
+  its big tables to the remote heap).
+* Inside the ONE jitted train step, host-tier lookups move the batch's ids
+  to host memory, run a raw ``lax.gather`` as sub-program scheduled on the
+  host (``compute_on("device_host")``), and stream only the gathered rows
+  (B·T_host·D, a few MB) over PCIe to HBM — never the tables.
+* The sparse SGD update runs ``lax.scatter_add`` host-side the same way, so
+  gradients also cross PCIe compressed.  XLA overlaps the host gather of
+  step N+1's spilled rows with device compute via its async host-offload
+  streams — the role of the reference's producer/consumer BatchUpdater
+  pipeline (src/model/embedding_update.jl, SURVEY §2.4 P4) without the
+  locked queue: the compiler owns the schedule.
+* The permission state machine (readable/writable/release) has no analog:
+  XLA owns buffer lifetime; donation replaces "release".
+
+Raw ``lax.gather``/``lax.scatter_add`` (PROMISE_IN_BOUNDS) are used instead
+of ``jnp.take``/``.at[]`` because the jnp wrappers materialize clamping
+constants in the default memory space, which poisons host-memory-space type
+checking.  Correctness relies on the data pipeline's reindex guaranteeing
+in-range ids (data/criteo.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import compute_on
+
+from dlrm_tpu.config import DLRMConfig
+
+
+def host_memory_supported(device=None) -> bool:
+    """True if the backend exposes a pinned_host memory space."""
+    device = device or jax.devices()[0]
+    try:
+        kinds = {m.kind for m in device.addressable_memories()}
+    except Exception:
+        return False
+    return "pinned_host" in kinds
+
+
+# -- tier planning --------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TierPlan:
+    """Static assignment of tables to the device or host tier.
+
+    ``device_tables``/``host_tables``: global table indices per tier, in
+    global order.  Each tier stacks its tables row-wise (like the global
+    stack in ops/embedding.py); ``*_offsets`` are row offsets inside the
+    tier stack.
+    """
+
+    table_sizes: Tuple[int, ...]
+    feature_size: int
+    device_tables: Tuple[int, ...]
+    host_tables: Tuple[int, ...]
+
+    @property
+    def device_offsets(self) -> Tuple[int, ...]:
+        return self._offsets(self.device_tables)
+
+    @property
+    def host_offsets(self) -> Tuple[int, ...]:
+        return self._offsets(self.host_tables)
+
+    def _offsets(self, tables) -> Tuple[int, ...]:
+        off, out = 0, []
+        for t in tables:
+            out.append(off)
+            off += self.table_sizes[t]
+        return tuple(out)
+
+    @property
+    def device_rows(self) -> int:
+        return sum(self.table_sizes[t] for t in self.device_tables)
+
+    @property
+    def host_rows(self) -> int:
+        return sum(self.table_sizes[t] for t in self.host_tables)
+
+
+def plan_tiers(config: DLRMConfig, hbm_budget_bytes: Optional[int],
+               bytes_per_elem: Optional[int] = None) -> TierPlan:
+    """Assign tables to tiers under an HBM byte budget.
+
+    Largest tables spill to host first (the reference evicts its big tables
+    to the remote heap, src/DLRM.jl:64-67).  ``hbm_budget_bytes=None`` keeps
+    everything on device (an all-device TierPlan).
+    """
+    if bytes_per_elem is None:
+        bytes_per_elem = jnp.dtype(config.embedding_dtype).itemsize
+    row_bytes = config.feature_size * bytes_per_elem
+    sizes = config.table_sizes
+    if hbm_budget_bytes is None:
+        return TierPlan(sizes, config.feature_size, tuple(range(len(sizes))),
+                        ())
+    order = sorted(range(len(sizes)), key=lambda t: sizes[t])  # small first
+    used = 0
+    device, host = [], []
+    for t in order:
+        b = sizes[t] * row_bytes
+        if used + b <= hbm_budget_bytes:
+            device.append(t)
+            used += b
+        else:
+            host.append(t)
+    return TierPlan(sizes, config.feature_size,
+                    tuple(sorted(device)), tuple(sorted(host)))
+
+
+def split_tiers(emb: np.ndarray, plan: TierPlan, config: DLRMConfig,
+                device=None):
+    """Split the global (R, D) stack into tier stacks and place them:
+    device tier in default memory, host tier in pinned_host."""
+    device = device or jax.devices()[0]
+    d = emb.shape[1]
+
+    def stack(tables):
+        if not tables:
+            return np.zeros((0, d), emb.dtype)
+        return np.concatenate(
+            [emb[config.table_offsets[t]:
+                 config.table_offsets[t] + config.table_sizes[t]]
+             for t in tables], axis=0)
+
+    emb_dev = jax.device_put(stack(plan.device_tables), device)
+    host_np = stack(plan.host_tables)
+    sh_host = jax.sharding.SingleDeviceSharding(device,
+                                                memory_kind="pinned_host")
+    emb_host = jax.device_put(host_np, sh_host)
+    return emb_dev, emb_host
+
+
+def merge_tiers(emb_dev, emb_host, plan: TierPlan, config: DLRMConfig
+                ) -> np.ndarray:
+    """Inverse of split_tiers: reassemble the global (R, D) stack on host."""
+    dev = np.asarray(emb_dev)
+    host = np.asarray(emb_host)
+    out = np.zeros((config.total_rows, config.feature_size), dev.dtype
+                   if dev.size else host.dtype)
+    for tables, stackarr, offs in (
+            (plan.device_tables, dev, plan.device_offsets),
+            (plan.host_tables, host, plan.host_offsets)):
+        for t, lo in zip(tables, offs):
+            go = config.table_offsets[t]
+            n = config.table_sizes[t]
+            out[go:go + n] = stackarr[lo:lo + n]
+    return out
+
+
+# -- raw gather / scatter (memory-space clean) ----------------------------------
+
+def _raw_gather(table, flat_ids):
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    return lax.gather(table, flat_ids[:, None], dnums,
+                      slice_sizes=(1, table.shape[1]),
+                      mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _raw_scatter_add(table, flat_ids, updates):
+    dnums = lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0,))
+    return lax.scatter_add(table, flat_ids[:, None], updates, dnums,
+                           mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _tier_ids(sparse, tables, offsets):
+    """(B, T[, H]) global sparse ids -> flat row ids into a tier stack."""
+    ids = sparse[:, tables] if sparse.ndim == 2 else sparse[:, tables, :]
+    offs = jnp.asarray(offsets, ids.dtype)
+    ids = ids + (offs if ids.ndim == 2 else offs[:, None])
+    return ids
+
+
+def host_tier_gather(emb_host, flat_ids):
+    """Gather rows from the host-resident stack; returns device-resident
+    rows.  flat_ids: any shape; result flat_ids.shape + (D,)."""
+    shape = flat_ids.shape
+    ids_h = jax.device_put(flat_ids.reshape(-1), jax.memory.Space.Host)
+    with compute_on.compute_on("device_host"):
+        rows = _raw_gather(emb_host, ids_h)
+    rows = jax.device_put(rows, jax.memory.Space.Device)
+    return rows.reshape(shape + (emb_host.shape[1],))
+
+
+def host_tier_scatter_add(emb_host, flat_ids, updates):
+    """Scatter-add updates into the host-resident stack (host compute);
+    updates stream host-ward compressed."""
+    ids_h = jax.device_put(flat_ids.reshape(-1), jax.memory.Space.Host)
+    upd_h = jax.device_put(
+        updates.reshape(-1, updates.shape[-1]).astype(emb_host.dtype),
+        jax.memory.Space.Host)
+    with compute_on.compute_on("device_host"):
+        new = _raw_scatter_add(emb_host, ids_h, upd_h)
+    return new
+
+
+# -- tiered lookup / train step --------------------------------------------------
+
+def tiered_lookup(emb_dev, emb_host, sparse, plan: TierPlan,
+                  config: DLRMConfig) -> jax.Array:
+    """Pooled (B, T, D) lookup across both tiers (inference path)."""
+    parts = []
+    order = []
+    if plan.device_tables:
+        ids = _tier_ids(sparse, list(plan.device_tables), plan.device_offsets)
+        rows = jnp.take(emb_dev, ids, axis=0)
+        parts.append(rows if rows.ndim == 3 else jnp.sum(rows, axis=2))
+        order += list(plan.device_tables)
+    if plan.host_tables:
+        ids = _tier_ids(sparse, list(plan.host_tables), plan.host_offsets)
+        rows = host_tier_gather(emb_host, ids)
+        parts.append(rows if rows.ndim == 3 else jnp.sum(rows, axis=2))
+        order += list(plan.host_tables)
+    stacked = jnp.concatenate(parts, axis=1)
+    inv = np.argsort(np.asarray(order))
+    return jnp.take(stacked, jnp.asarray(inv), axis=1)
+
+
+def tiered_train_step(params, dense, sparse, labels, *, config: DLRMConfig,
+                      lr: float, plan: TierPlan):
+    """One SGD step with two-tier tables; params = {bottom, top, emb_dev,
+    emb_host}.  Embedding grads stay compressed on both tiers."""
+    from dlrm_tpu.models import dlrm as model_lib
+    from dlrm_tpu.ops.loss import bce_loss
+
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    emb_dev, emb_host = params["emb_dev"], params["emb_host"]
+
+    gathered = []
+    order = []
+    ids_dev = ids_host = None
+    if plan.device_tables:
+        ids_dev = _tier_ids(sparse, list(plan.device_tables),
+                            plan.device_offsets)
+        with jax.named_scope("lookup_device_tier"):
+            rows_dev = jnp.take(emb_dev, ids_dev, axis=0)
+        gathered.append(rows_dev)
+        order += list(plan.device_tables)
+    if plan.host_tables:
+        ids_host = _tier_ids(sparse, list(plan.host_tables),
+                             plan.host_offsets)
+        with jax.named_scope("lookup_host_tier"):
+            rows_host = host_tier_gather(emb_host, ids_host)
+        gathered.append(rows_host)
+        order += list(plan.host_tables)
+    inv = jnp.asarray(np.argsort(np.asarray(order)))
+
+    def inner(dp, gathered):
+        pooled = jnp.concatenate(
+            [g if g.ndim == 3 else jnp.sum(g, axis=2) for g in gathered],
+            axis=1)
+        pooled = jnp.take(pooled, inv, axis=1)
+        out = model_lib.forward_from_pooled(dp, pooled, dense, config)
+        return bce_loss(out, labels)
+
+    loss, (dgrads, d_gathered) = jax.value_and_grad(
+        inner, argnums=(0, 1))(dense_params, gathered)
+
+    with jax.named_scope("dense_update"):
+        new_dense = jax.tree.map(
+            lambda p, g: (p - lr * g).astype(p.dtype), dense_params, dgrads)
+    new_dev, new_host = emb_dev, emb_host
+    i = 0
+    if plan.device_tables:
+        d_rows = d_gathered[i]; i += 1
+        with jax.named_scope("device_tier_update"):
+            new_dev = emb_dev.at[ids_dev.reshape(-1)].add(
+                (-lr * d_rows.reshape(-1, d_rows.shape[-1])
+                 ).astype(emb_dev.dtype), mode="promise_in_bounds")
+    if plan.host_tables:
+        d_rows = d_gathered[i]
+        with jax.named_scope("host_tier_update"):
+            new_host = host_tier_scatter_add(emb_host, ids_host,
+                                             -lr * d_rows)
+    return ({"bottom": new_dense["bottom"], "top": new_dense["top"],
+             "emb_dev": new_dev, "emb_host": new_host}, loss)
+
+
+def make_tiered_train_step(config: DLRMConfig, lr: float, plan: TierPlan,
+                           device=None, pin_host_output: Optional[bool] = None):
+    """Jitted two-tier step; on TPU the host-tier stack stays pinned in host
+    memory across steps (donated in, pinned out).  The CPU backend cannot
+    annotate output placement (no annotate_device_placement custom call), so
+    there the updated host stack round-trips through default memory — same
+    numerics, used only by tests."""
+    device = device or jax.devices()[0]
+    if pin_host_output is None:
+        pin_host_output = device.platform == "tpu"
+    step = functools.partial(tiered_train_step, config=config, lr=lr,
+                             plan=plan)
+    if not pin_host_output:
+        # Without output pinning, donation would try to reuse the pinned
+        # input buffer for a device-memory output (hard abort on CPU).
+        return jax.jit(step)
+    sh_host = jax.sharding.SingleDeviceSharding(device,
+                                                memory_kind="pinned_host")
+    out_shardings = ({"bottom": None, "top": None, "emb_dev": None,
+                      "emb_host": sh_host}, None)
+    return jax.jit(step, donate_argnums=(0,), out_shardings=out_shardings)
+
+
+def init_tiered_params(params: dict, plan: TierPlan, config: DLRMConfig,
+                       device=None) -> dict:
+    """{bottom, emb, top} -> {bottom, top, emb_dev, emb_host} placed."""
+    emb_dev, emb_host = split_tiers(np.asarray(params["emb"]), plan, config,
+                                    device)
+    return {"bottom": jax.device_put(params["bottom"], device),
+            "top": jax.device_put(params["top"], device),
+            "emb_dev": emb_dev, "emb_host": emb_host}

@@ -1,0 +1,127 @@
+"""Two-tier (HBM + host memory) embedding engine tests.
+
+Contract: a model whose big tables live in host memory computes the SAME
+forward, loss, and one-SGD-step result as the all-device model — tier
+placement is a pure performance decision, like the reference's CachedArrays
+local/remote heaps (SURVEY.md §2.2).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dlrm_tpu
+from dlrm_tpu.data import synthetic
+from dlrm_tpu.parallel import host_tier as ht
+
+
+pytestmark = pytest.mark.skipif(
+    not ht.host_memory_supported(),
+    reason="backend exposes no pinned_host memory space")
+
+
+def _setup(n_hot=1, seed=0):
+    config = dlrm_tpu.tiny_config(num_tables=6, rows=64, feature_size=8,
+                                  n_hot=n_hot)
+    # heterogeneous table sizes so the plan is nontrivial
+    import dataclasses
+    config = dataclasses.replace(
+        config, table_sizes=(64, 1000, 16, 2048, 128, 512))
+    params = dlrm_tpu.init_params(jax.random.key(seed), config)
+    rng = np.random.default_rng(seed)
+    batch = synthetic.random_batch(rng, config, 32)
+    return config, params, batch
+
+
+def test_plan_tiers_budget():
+    config, _, _ = _setup()
+    row_bytes = config.feature_size * 4
+    # budget for ~the three smallest tables (64+16+128 = 208 rows)
+    plan = ht.plan_tiers(config, 210 * row_bytes)
+    assert set(plan.device_tables) == {0, 2, 4}
+    assert set(plan.host_tables) == {1, 3, 5}
+    assert plan.device_rows == 208
+    assert plan.host_rows == 3560
+    # no budget limit -> everything on device
+    plan_all = ht.plan_tiers(config, None)
+    assert plan_all.host_tables == ()
+    # zero budget -> everything on host
+    plan_none = ht.plan_tiers(config, 0)
+    assert plan_none.device_tables == ()
+
+
+def test_split_merge_roundtrip():
+    config, params, _ = _setup()
+    plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
+    emb = np.asarray(params["emb"])
+    emb_dev, emb_host = ht.split_tiers(emb, plan, config)
+    assert emb_host.sharding.memory_kind == "pinned_host"
+    merged = ht.merge_tiers(emb_dev, emb_host, plan, config)
+    np.testing.assert_array_equal(merged, emb)
+
+
+@pytest.mark.parametrize("n_hot", [1, 3])
+def test_tiered_lookup_parity(n_hot):
+    config, params, batch = _setup(n_hot=n_hot)
+    plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
+    emb = np.asarray(params["emb"])
+    emb_dev, emb_host = ht.split_tiers(emb, plan, config)
+    sparse = jnp.asarray(batch["sparse"])
+
+    from dlrm_tpu.ops import embedding as emb_ops
+    want = emb_ops.lookup(jnp.asarray(emb), sparse, config.table_offsets)
+    got = jax.jit(lambda d, h, s: ht.tiered_lookup(d, h, s, plan, config)
+                  )(emb_dev, emb_host, sparse)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+@pytest.mark.parametrize("n_hot", [1, 2])
+def test_tiered_train_step_parity(n_hot):
+    """One tiered SGD step == one all-device step, including both tiers'
+    table updates (duplicate ids included)."""
+    config, params, batch = _setup(n_hot=n_hot)
+    # force duplicate ids within the batch for scatter-add semantics
+    sparse = np.asarray(batch["sparse"]).copy()
+    sparse[1] = sparse[0]
+    batch["sparse"] = sparse
+
+    plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
+    tiered = ht.init_tiered_params(jax.tree.map(np.asarray, params), plan,
+                                   config)
+
+    ref_step = dlrm_tpu.make_jit_train_step(config, lr=0.1)
+    ref_params, ref_loss = ref_step(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(batch["dense"]),
+        jnp.asarray(batch["sparse"]), jnp.asarray(batch["labels"]))
+    step = ht.make_tiered_train_step(config, 0.1, plan)
+    new_tiered, loss = step(tiered, jnp.asarray(batch["dense"]),
+                            jnp.asarray(batch["sparse"]),
+                            jnp.asarray(batch["labels"]))
+    if jax.devices()[0].platform == "tpu":
+        # output pinning is TPU-only (make_tiered_train_step docstring)
+        assert new_tiered["emb_host"].sharding.memory_kind == "pinned_host"
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-6)
+    merged = ht.merge_tiers(new_tiered["emb_dev"], new_tiered["emb_host"],
+                            plan, config)
+    np.testing.assert_allclose(merged, np.asarray(ref_params["emb"]),
+                               atol=1e-5)
+    for k in ("bottom", "top"):
+        for ours, want in zip(new_tiered[k], ref_params[k]):
+            np.testing.assert_allclose(np.asarray(ours["w"]),
+                                       np.asarray(want["w"]), atol=1e-5)
+
+
+def test_all_host_plan_trains():
+    """Extreme spill: every table on host; the step still runs and learns."""
+    config, params, batch = _setup()
+    plan = ht.plan_tiers(config, 0)
+    tiered = ht.init_tiered_params(params, plan, config)
+    step = ht.make_tiered_train_step(config, 0.1, plan)
+    losses = []
+    for i in range(3):
+        tiered, loss = step(tiered, jnp.asarray(batch["dense"]),
+                            jnp.asarray(batch["sparse"]),
+                            jnp.asarray(batch["labels"]))
+        losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
