@@ -58,16 +58,23 @@ def main():
     t0 = time.perf_counter()
     for _ in range(WARMUP):
         params, loss = step(params, dense, sparse, labels)
-    jax.block_until_ready(params)
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s, "
         f"loss={float(loss):.4f}")
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        params, loss = step(params, dense, sparse, labels)
-    jax.block_until_ready(params)
-    dt = time.perf_counter() - t0
-    step_time = dt / ITERS
+    # Two-point slope timing: each window is timed end-to-end with ONE
+    # device sync (float(loss) of the last chained step), and the per-step
+    # time is the marginal cost between the two window sizes.  This cancels
+    # both the sync round-trip and any fixed dispatch overhead — necessary
+    # under remote-tunnel setups where block_until_ready can return before
+    # execution finishes and a scalar fetch costs a full RTT.
+    totals = []
+    for iters in (ITERS // 4, ITERS):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, loss = step(params, dense, sparse, labels)
+        _ = float(loss)
+        totals.append(time.perf_counter() - t0)
+    step_time = (totals[1] - totals[0]) / (ITERS - ITERS // 4)
     throughput = BATCH / step_time
     log(f"step time: {step_time*1e3:.2f} ms -> {throughput:,.0f} examples/s")
 

@@ -93,6 +93,24 @@ class DLRMConfig:
     # TPU v5e measured: scatter ~105 ns/row makes matmul cheaper below ~16k
     # rows at B=32k.
     small_table_threshold: int = 8192
+    # Lane-packed, chunked table storage (the "engine" format):
+    # * PACK = 128 // feature_size logical rows per 128-lane physical row.
+    #   TPU tiled layouts pad the minor dimension to 128 lanes, so an (R, 16)
+    #   table either bloats 8x in memory or forces XLA's gather/scatter onto
+    #   a padded-row path (measured v5e, B=32k ids: scatter 111 -> 35 ns/row,
+    #   gather 32 -> 22 ns/row when packed).
+    # * The packed stack is split into chunks of <= chunk_budget_bytes
+    #   (whole tables, first-fit-decreasing): XLA's TPU scatter falls off a
+    #   rate cliff on operands over ~1 GiB (measured 22 -> 75 ns/row between
+    #   1.0 and 1.5 GiB), and independent per-chunk scatters also overlap.
+    # Lane packing auto-disables when feature_size doesn't divide 128.
+    # Budget swept on v5e (Kaggle fs=16, B=32k): 1 GiB -> 49.6 ms/step,
+    # 256 MB -> 33.7, 16 MB -> 31.0 (1.06M ex/s).  16 MB effectively gives
+    # every deep table its own chunk while bundling the rest; chunk count
+    # stays O(num_tables), never O(total_bytes / budget), because oversize
+    # tables are single chunks.
+    packed_tables: bool = True
+    chunk_budget_bytes: int = 16 << 20
 
     def __post_init__(self):
         object.__setattr__(self, "bottom_mlp_sizes", tuple(self.bottom_mlp_sizes))
@@ -156,6 +174,93 @@ class DLRMConfig:
     @property
     def total_rows(self) -> int:
         return sum(self.table_sizes)
+
+    # -- lane-packed, chunked storage geometry (see packed_tables) -----------
+    @property
+    def pack(self) -> int:
+        """Logical rows per physical storage row (1 = no lane packing)."""
+        if not self.packed_tables:
+            return 1
+        if self.feature_size > 128 or 128 % self.feature_size != 0:
+            return 1
+        return 128 // self.feature_size
+
+    @property
+    def is_packed(self) -> bool:
+        """True when the engine storage format (chunked, lane-packed) is in
+        use — i.e. params['emb'] is a tuple of chunk arrays."""
+        return self.packed_tables
+
+    @property
+    def row_width(self) -> int:
+        """Lane width of one physical storage row."""
+        return self.feature_size * self.pack
+
+    @property
+    def packed_table_rows(self) -> Tuple[int, ...]:
+        """Physical rows per table (each table padded to a whole number of
+        physical rows so tables never share one)."""
+        p = self.pack
+        return tuple((n + p - 1) // p for n in self.table_sizes)
+
+    @property
+    def packed_total_rows(self) -> int:
+        return sum(self.packed_table_rows)
+
+    @property
+    def table_chunk(self) -> Tuple[int, ...]:
+        """Chunk index of each table (first-fit-decreasing by packed bytes,
+        bins capped at chunk_budget_bytes; an oversize table gets its own
+        chunk)."""
+        row_bytes = self.row_width * jnp.dtype(self.embedding_dtype).itemsize
+        budget = max(int(self.chunk_budget_bytes), 1)
+        order = sorted(range(self.num_tables),
+                       key=lambda t: (-self.packed_table_rows[t], t))
+        bins: list = []  # [used_bytes]
+        assign = [0] * self.num_tables
+        for t in order:
+            b = self.packed_table_rows[t] * row_bytes
+            for c, used in enumerate(bins):
+                if used + b <= budget:
+                    bins[c] = used + b
+                    assign[t] = c
+                    break
+            else:
+                bins.append(b)
+                assign[t] = len(bins) - 1
+        return tuple(assign)
+
+    @property
+    def num_chunks(self) -> int:
+        return max(self.table_chunk) + 1
+
+    @property
+    def chunk_table_offsets(self) -> Tuple[int, ...]:
+        """Physical row offset of each table inside its chunk (tables laid
+        out within a chunk in ascending table order)."""
+        used = [0] * self.num_chunks
+        out = [0] * self.num_tables
+        for t in range(self.num_tables):
+            c = self.table_chunk[t]
+            out[t] = used[c]
+            used[c] += self.packed_table_rows[t]
+        return tuple(out)
+
+    @property
+    def chunk_rows(self) -> Tuple[int, ...]:
+        used = [0] * self.num_chunks
+        for t in range(self.num_tables):
+            used[self.table_chunk[t]] += self.packed_table_rows[t]
+        return tuple(used)
+
+    @property
+    def emb_shapes(self) -> Tuple[Tuple[int, int], ...]:
+        """Storage shapes of the embedding parameter: one (rows, width) per
+        chunk in engine format, or a single (total_rows, D) plain stack."""
+        if self.is_packed:
+            w = self.row_width
+            return tuple((r, w) for r in self.chunk_rows)
+        return ((self.total_rows, self.feature_size),)
 
 
 # -- presets -----------------------------------------------------------------

@@ -78,9 +78,11 @@ def load_params(path: str) -> Tuple[dict, DLRMConfig]:
         table_sizes=tuple(t.shape[0] for t in tables),
         n_hot=h,
     )
+    from dlrm_tpu.ops import embedding as emb_ops
+
     params = {
         "bottom": bottom,
-        "emb": np.concatenate(tables, axis=0),
+        "emb": emb_ops.pack_tables(np.concatenate(tables, axis=0), config),
         "top": top,
     }
     return params, config
@@ -129,12 +131,13 @@ def load_reference_outputs(path: str) -> Dict[str, np.ndarray]:
 def save_params(path: str, params: dict, config: DLRMConfig) -> None:
     """Write a model in the same PyTorch-style layout (round-trips with
     load_params; gives the framework an HDF5 export the reference lacks)."""
+    from dlrm_tpu.ops import embedding as emb_ops
+
     assert h5py is not None
     with h5py.File(path, "w") as f:
         for i in range(config.num_tables):
-            off = config.table_offsets[i]
             f[f"emb_{i}"] = np.asarray(
-                params["emb"][off:off + config.table_sizes[i]])
+                emb_ops.get_logical_table(params["emb"], config, i))
         for prefix, layers in (("bot_l", params["bottom"]),
                                ("top_l", params["top"])):
             for j, layer in enumerate(layers):

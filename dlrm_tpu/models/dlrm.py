@@ -46,23 +46,47 @@ def init_params(key: jax.Array, config: DLRMConfig,
         # One fused device op for the whole stacked table: uniform(-1, 1)
         # scaled per-row by 1/sqrt(table_rows).  Equivalent in distribution
         # to per-table U(-1/sqrt(rows), 1/sqrt(rows)) but avoids 26 separate
-        # inits + a multi-GB concatenate.
+        # inits + a multi-GB concatenate.  Initialized directly in storage
+        # layout (lane-packed when config.is_packed): tables own whole
+        # physical rows, so the per-row scale is constant per physical row.
         import numpy as np
-        row_scale = np.repeat(
-            1.0 / np.sqrt(np.asarray(config.table_sizes, np.float32)),
-            config.table_sizes).astype(np.float32)
+        inv_sqrt = 1.0 / np.sqrt(np.asarray(config.table_sizes, np.float32))
 
-        @jax.jit
-        def _init_emb(key, scale):
-            u = jax.random.uniform(
-                key, (config.total_rows, config.feature_size), jnp.float32,
-                minval=-1.0, maxval=1.0)
+        def _chunk_scale(c):
+            """Per-physical-row scale for chunk c (tables own whole rows)."""
+            reps, vals = [], []
+            for t in range(config.num_tables):
+                if config.table_chunk[t] == c:
+                    reps.append(config.packed_table_rows[t])
+                    vals.append(inv_sqrt[t])
+            return np.repeat(np.asarray(vals, np.float32), reps)
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("shape",))
+        def _init_one(key, scale, shape):
+            u = jax.random.uniform(key, shape, jnp.float32,
+                                   minval=-1.0, maxval=1.0)
             return (u * scale[:, None]).astype(config.embedding_dtype)
 
-        emb = _init_emb(ke, jnp.asarray(row_scale))
+        if config.is_packed:
+            keys = jax.random.split(ke, config.num_chunks)
+            emb = tuple(
+                _init_one(keys[c], jnp.asarray(_chunk_scale(c)),
+                          config.emb_shapes[c])
+                for c in range(config.num_chunks))
+        else:
+            row_scale = np.repeat(inv_sqrt,
+                                  config.table_sizes).astype(np.float32)
+            emb = _init_one(ke, jnp.asarray(row_scale),
+                            (config.total_rows, config.feature_size))
     elif emb_init == "zeros":
-        emb = jnp.zeros((config.total_rows, config.feature_size),
-                        config.embedding_dtype)
+        if config.is_packed:
+            emb = tuple(jnp.zeros(s, config.embedding_dtype)
+                        for s in config.emb_shapes)
+        else:
+            emb = jnp.zeros((config.total_rows, config.feature_size),
+                            config.embedding_dtype)
     else:
         raise ValueError(emb_init)
     return {"bottom": bottom, "emb": emb, "top": top}
@@ -123,8 +147,8 @@ def merge_params(dense_params: dict, emb: jax.Array) -> dict:
 
 
 def get_table(params_or_emb, config: DLRMConfig, i: int) -> jax.Array:
-    """Slice table ``i`` out of the stacked embedding array."""
+    """Table ``i`` as a logical (rows, D) array, from either storage layout
+    (plain stacked or lane-packed)."""
     emb = params_or_emb["emb"] if isinstance(params_or_emb, dict) \
         else params_or_emb
-    off = config.table_offsets[i]
-    return emb[off:off + config.table_sizes[i]]
+    return emb_ops.get_logical_table(emb, config, i)

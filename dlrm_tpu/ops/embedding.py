@@ -29,6 +29,7 @@ from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class SparseGrad(NamedTuple):
@@ -152,6 +153,165 @@ def dedup_sparse_grad(grad: SparseGrad, *, max_unique: int | None = None
     return SparseGrad(ids=uniq, rows=summed)
 
 
+# -- lane-packed, chunked storage (the engine format) ------------------------
+#
+# Two measured TPU facts shape the storage layout (v5e, B=32k ids):
+#
+# 1. TPU tiled layouts pad an array's minor dimension to 128 lanes, so an
+#    (R, 16) f32 table either occupies 8x its logical bytes (T(8,128)
+#    layout) or forces XLA's gather/scatter onto a slow narrow-row path.
+#    Packing PACK = 128 // D logical rows into each 128-lane physical row
+#    fixes both (scatter 111 -> 35 ns/row, gather 32 -> 22 ns/row).
+# 2. XLA's TPU scatter rate falls off a cliff when the updated operand
+#    exceeds ~1 GiB (22 -> 75 ns/row between 1.0 and 1.5 GiB), so the stack
+#    is split into chunks of <= config.chunk_budget_bytes (whole tables,
+#    first-fit-decreasing); per-chunk scatters are independent ops XLA can
+#    also overlap.
+#
+# Engine format: ``emb`` is a TUPLE of per-chunk (rows, row_width) arrays.
+# Tables are padded to whole physical rows (tables never share one); slot
+# extraction/expansion are tiny one-hot einsums that ride the MXU.  This
+# replaces the reference's SIMD-width-aware row layout concerns
+# (EmbeddingTables.jl SIMD kernels) with the TPU lane/HBM equivalent.
+
+def pack_tables(emb, config):
+    """(total_rows, D) logical stack -> tuple of per-chunk packed arrays."""
+    if not config.is_packed:
+        return emb
+    xp = jnp if isinstance(emb, jax.Array) else np
+    d = config.feature_size
+    p = config.pack
+    w = config.row_width
+    chunks = [[] for _ in range(config.num_chunks)]
+    for t in range(config.num_tables):
+        off, n = config.table_offsets[t], config.table_sizes[t]
+        tab = emb[off:off + n]
+        pad = config.packed_table_rows[t] * p - n
+        if pad:
+            tab = xp.concatenate(
+                [tab, xp.zeros((pad, d), tab.dtype)], axis=0)
+        chunks[config.table_chunk[t]].append(tab.reshape(-1, w))
+    return tuple(xp.concatenate(c, axis=0) for c in chunks)
+
+
+def unpack_tables(emb, config):
+    """Inverse of :func:`pack_tables` (accepts plain storage unchanged)."""
+    if not isinstance(emb, (tuple, list)):
+        return emb
+    xp = jnp if isinstance(emb[0], jax.Array) else np
+    return xp.concatenate(
+        [get_logical_table(emb, config, t)
+         for t in range(config.num_tables)], axis=0)
+
+
+def get_logical_table(emb, config, t: int) -> jax.Array:
+    """Table ``t`` as a logical (rows, D) array from either storage."""
+    if isinstance(emb, (tuple, list)):
+        c = config.table_chunk[t]
+        po = config.chunk_table_offsets[t]
+        pn = config.packed_table_rows[t]
+        return emb[c][po:po + pn].reshape(-1, config.feature_size)[
+            :config.table_sizes[t]]
+    off = config.table_offsets[t]
+    return emb[off:off + config.table_sizes[t]]
+
+
+def chunk_groups(config, tables):
+    """Group a table-index list by storage chunk.
+
+    Returns [(chunk_index, positions, table_indices)] where ``positions``
+    index into the ``tables`` axis of an ids/grads array.
+    """
+    groups = {}
+    for pos, t in enumerate(tables):
+        groups.setdefault(config.table_chunk[t], ([], []))
+        groups[config.table_chunk[t]][0].append(pos)
+        groups[config.table_chunk[t]][1].append(t)
+    return [(c, tuple(pos), tuple(ts))
+            for c, (pos, ts) in sorted(groups.items())]
+
+
+def chunk_translate(ids: jax.Array, config, tables):
+    """Per-table ids (for ``tables``, all in ONE chunk) -> (chunk-local
+    physical row, slot)."""
+    p = config.pack
+    po = jnp.asarray([config.chunk_table_offsets[t] for t in tables],
+                     ids.dtype)
+    if ids.ndim == 3:  # (B, T, H): broadcast offsets over the hot dim
+        po = po[:, None]
+    if p == 1:
+        return po + ids, jnp.zeros_like(ids)
+    return po + ids // p, ids % p
+
+
+def extract_slots(g128: jax.Array, slot: jax.Array, config,
+                  compute_dtype=jnp.float32) -> jax.Array:
+    """(..., 128) gathered physical rows + slot -> (..., D) logical rows.
+
+    One-hot einsum so the extraction runs on the MXU; exact (one-hot of
+    int in [0, PACK), values 0/1)."""
+    p, d = config.pack, config.feature_size
+    g = g128.reshape(g128.shape[:-1] + (p, d))
+    oh = jax.nn.one_hot(slot, p, dtype=compute_dtype)
+    return jnp.einsum("...p,...pd->...d", oh,
+                      g.astype(compute_dtype)).astype(g128.dtype)
+
+
+def expand_slots(rows: jax.Array, slot: jax.Array, config,
+                 compute_dtype=jnp.float32) -> jax.Array:
+    """(..., D) update rows + slot -> (..., 128) physical-row updates with
+    zeros in the other slots (transpose of :func:`extract_slots`)."""
+    p = config.pack
+    oh = jax.nn.one_hot(slot, p, dtype=compute_dtype)
+    out = jnp.einsum("...p,...d->...pd", oh, rows.astype(compute_dtype))
+    return out.reshape(rows.shape[:-1] + (p * rows.shape[-1],)
+                       ).astype(rows.dtype)
+
+
+def chunk_gather(chunk: jax.Array, phys: jax.Array, slot: jax.Array,
+                 config) -> jax.Array:
+    """Gather logical rows from one chunk: phys/slot of any shape
+    -> shape + (D,)."""
+    g = jnp.take(chunk, phys, axis=0)
+    if config.pack == 1:
+        return g
+    return extract_slots(g, slot, config)
+
+
+def chunk_apply_sgd(chunk: jax.Array, phys: jax.Array, slot: jax.Array,
+                    d_rows: jax.Array, lr, config) -> jax.Array:
+    """SGD scatter-add on one chunk: chunk[phys, slot] -= lr*d_rows.
+
+    Collisions — same physical row hit from different slots, or duplicate
+    logical rows — sum correctly because the expanded row_width updates are
+    zero outside their slot and scatter-add accumulates."""
+    upd = (-lr * d_rows).astype(chunk.dtype)
+    if config.pack > 1:
+        upd = expand_slots(upd, slot, config)
+    w = chunk.shape[1]
+    return chunk.at[phys.reshape(-1)].add(
+        upd.reshape(-1, w).astype(chunk.dtype), mode="drop")
+
+
+def apply_sgd_chunked(emb, ids: jax.Array, d_rows: jax.Array, lr, config,
+                      tables=None):
+    """SGD scatter-add of per-table gradient rows into the chunked stack.
+
+    ``ids``: (B, T[, H]) for ``tables`` (default all); ``d_rows`` the
+    matching (B, T[, H], D) gradient rows.  Returns the new chunk tuple —
+    one independent scatter per chunk (they overlap on device).
+    """
+    if tables is None:
+        tables = tuple(range(config.num_tables))
+    new = list(emb)
+    for c, pos, ts in chunk_groups(config, tuple(tables)):
+        ids_g = ids[:, pos] if ids.ndim == 2 else ids[:, pos, :]
+        d_g = d_rows[:, pos] if d_rows.ndim == 3 else d_rows[:, pos, :, :]
+        phys, slot = chunk_translate(ids_g, config, ts)
+        new[c] = chunk_apply_sgd(new[c], phys, slot, d_g, lr, config)
+    return tuple(new)
+
+
 def partition_tables(table_sizes, threshold: int):
     """Split tables into (small, big) index lists by row count.
 
@@ -195,30 +355,57 @@ def table_order_permutation(small, big) -> Tuple[int, ...]:
     return tuple(inv)
 
 
+def gather_tables(emb, ids: jax.Array, config, tables=None) -> jax.Array:
+    """Un-pooled gather of per-table ids from either storage layout.
+
+    ``ids``: (B, T[, H]) for the table subset ``tables`` (default all);
+    returns ids.shape + (D,).  Engine storage: one fused take per chunk,
+    results re-assembled into ``tables`` order.
+    """
+    if tables is None:
+        tables = tuple(range(config.num_tables))
+    tables = tuple(tables)
+    if not isinstance(emb, (tuple, list)):
+        offs = tuple(config.table_offsets[t] for t in tables)
+        return gather_rows(emb, translate_ids(ids, offs))
+    groups = chunk_groups(config, tables)
+    parts = []
+    order = []
+    for c, pos, ts in groups:
+        ids_g = ids[:, pos] if ids.ndim == 2 else ids[:, pos, :]
+        phys, slot = chunk_translate(ids_g, config, ts)
+        parts.append(chunk_gather(emb[c], phys, slot, config))
+        order.extend(pos)
+    if len(parts) == 1 and order == list(range(len(tables))):
+        return parts[0]
+    stacked = jnp.concatenate(parts, axis=1)
+    inv = np.argsort(np.asarray(order))
+    return jnp.take(stacked, jnp.asarray(inv), axis=1)
+
+
 def mixed_lookup(emb: jax.Array, ids: jax.Array, config,
                  onehot_dtype=None) -> jax.Array:
     """Pooled lookup using the per-table strategy split: gather for big
-    tables (one fused take), one-hot MXU matmul for small ones.
-    Differentiable end-to-end (big-table grads densify under plain
-    jax.grad — training uses mixed_train machinery in train/train.py to
-    keep them compressed)."""
+    tables (one fused take, lane-packed when config.is_packed), one-hot MXU
+    matmul for small ones.  Differentiable end-to-end (big-table grads
+    densify under plain jax.grad — training uses the machinery in
+    train/train.py to keep them compressed)."""
     small, big = partition_tables(config.table_sizes,
                                   config.small_table_threshold)
     if not small:
-        return lookup(emb, ids, config.table_offsets)
+        return pool(gather_tables(emb, ids, config))
     if onehot_dtype is None:
         onehot_dtype = config.compute_dtype
-    offsets = config.table_offsets
     parts = []
     if big:
         ids_big = ids[:, big] if ids.ndim == 2 else ids[:, big, :]
-        off_big = tuple(offsets[t] for t in big)
-        parts.append(pool(gather_rows(emb, translate_ids(ids_big, off_big))))
+        parts.append(pool(gather_tables(emb, ids_big, config, big)))
     for t in small:
-        tab = emb[offsets[t]:offsets[t] + config.table_sizes[t]]
+        tab = get_logical_table(emb, config, t)
         idt = ids[:, t] if ids.ndim == 2 else ids[:, t, :]
         parts.append(onehot_lookup(tab, idt, onehot_dtype)[:, None, :])
-    stacked = jnp.concatenate(parts, axis=1).astype(emb.dtype)
+    emb_dtype = emb[0].dtype if isinstance(emb, (tuple, list)) else emb.dtype
+    stacked = jnp.concatenate(parts, axis=1).astype(emb_dtype)
     return stacked[:, table_order_permutation(small, big), :]
 
 

@@ -42,8 +42,16 @@ from dlrm_tpu.parallel.placement import TablePlacement
 
 def shard_tables(stacked: np.ndarray, placement: TablePlacement,
                  config: DLRMConfig) -> np.ndarray:
-    """Re-layout the (R_total, D) stacked table into (N, local_rows, D)
-    per-shard stacks (trash row zeroed)."""
+    """Re-layout the stacked table into (N, local_rows, D) per-shard stacks
+    (trash row zeroed).  Accepts either storage layout — a lane-packed
+    (packed_total_rows, 128) stack is unpacked first (the sharded engine
+    currently uses the logical layout internally)."""
+    from dlrm_tpu.ops import embedding as emb_ops
+
+    if isinstance(stacked, (tuple, list)):
+        stacked = emb_ops.unpack_tables(
+            tuple(np.asarray(c) for c in stacked), config)
+    stacked = np.asarray(stacked)
     n, r = placement.num_shards, placement.local_rows
     d = stacked.shape[1]
     out = np.zeros((n, r, d), dtype=stacked.dtype)

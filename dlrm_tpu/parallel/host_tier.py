@@ -130,7 +130,13 @@ def split_tiers(emb: np.ndarray, plan: TierPlan, config: DLRMConfig,
                 device=None):
     """Split the global (R, D) stack into tier stacks and place them:
     device tier in default memory, host tier in pinned_host."""
+    from dlrm_tpu.ops import embedding as emb_ops
+
     device = device or jax.devices()[0]
+    if isinstance(emb, (tuple, list)):
+        emb = emb_ops.unpack_tables(tuple(np.asarray(c) for c in emb),
+                                    config)
+    emb = np.asarray(emb)
     d = emb.shape[1]
 
     def stack(tables):
@@ -323,7 +329,7 @@ def make_tiered_train_step(config: DLRMConfig, lr: float, plan: TierPlan,
 def init_tiered_params(params: dict, plan: TierPlan, config: DLRMConfig,
                        device=None) -> dict:
     """{bottom, emb, top} -> {bottom, top, emb_dev, emb_host} placed."""
-    emb_dev, emb_host = split_tiers(np.asarray(params["emb"]), plan, config,
+    emb_dev, emb_host = split_tiers(params["emb"], plan, config,
                                     device)
     return {"bottom": jax.device_put(params["bottom"], device),
             "top": jax.device_put(params["top"], device),

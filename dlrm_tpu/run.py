@@ -150,7 +150,7 @@ def cmd_train(args) -> int:
         placement = plan_placement(config.table_sizes, n_dev)
         sh_params = {
             "bottom": params["bottom"],
-            "emb": pemb.shard_tables(np.asarray(params["emb"]), placement,
+            "emb": pemb.shard_tables(params["emb"], placement,
                                      config),
             "top": params["top"],
         }
@@ -212,11 +212,13 @@ def cmd_train(args) -> int:
             config, steps=args.eval_steps)
         host = params if not sharded else None
         if sharded:
+            from dlrm_tpu.ops import embedding as emb_ops
             from dlrm_tpu.parallel import embedding as pemb
             host = {
                 "bottom": jax.tree.map(np.asarray, params["bottom"]),
-                "emb": pemb.unshard_tables(np.asarray(params["emb"]),
-                                           placement, config),
+                "emb": emb_ops.pack_tables(
+                    pemb.unshard_tables(np.asarray(params["emb"]),
+                                        placement, config), config),
                 "top": jax.tree.map(np.asarray, params["top"]),
             }
             host = jax.tree.map(jnp.asarray, host)

@@ -62,24 +62,27 @@ def train_step(params: dict, dense: jax.Array, sparse: jax.Array,
     small, big = emb_ops.partition_tables(config.table_sizes,
                                           config.small_table_threshold)
     dense_params, emb = model_lib.split_params(params)
-    offsets = config.table_offsets
     onehot_dtype = config.compute_dtype
 
     def table_ids(t):
         return sparse[:, t] if sparse.ndim == 2 else sparse[:, t, :]
 
-    flat_big = None
+    emb_dtype = emb[0].dtype if isinstance(emb, (tuple, list)) else emb.dtype
+    flat_big = ids_big = None
     if big:
         ids_big = sparse[:, big] if sparse.ndim == 2 else sparse[:, big, :]
-        off_big = tuple(offsets[t] for t in big)
-        flat_big = emb_ops.translate_ids(ids_big, off_big)
         with jax.named_scope("lookup_gather"):
-            rows_big = emb_ops.gather_rows(emb, flat_big)
+            if config.is_packed:
+                rows_big = emb_ops.gather_tables(emb, ids_big, config, big)
+            else:
+                off_big = tuple(config.table_offsets[t] for t in big)
+                flat_big = emb_ops.translate_ids(ids_big, off_big)
+                rows_big = emb_ops.gather_rows(emb, flat_big)
     else:
         rows_big = jnp.zeros((dense.shape[0], 0, config.feature_size),
-                             emb.dtype)
+                             emb_dtype)
     small_tables = tuple(
-        emb[offsets[t]:offsets[t] + config.table_sizes[t]] for t in small)
+        emb_ops.get_logical_table(emb, config, t) for t in small)
 
     def inner(dp, rows_big, small_tables):
         parts = [emb_ops.pool(rows_big)]
@@ -87,7 +90,7 @@ def train_step(params: dict, dense: jax.Array, sparse: jax.Array,
             for k, t in enumerate(small):
                 parts.append(emb_ops.onehot_lookup(
                     small_tables[k], table_ids(t), onehot_dtype)[:, None, :])
-        pooled = jnp.concatenate(parts, axis=1).astype(emb.dtype)
+        pooled = jnp.concatenate(parts, axis=1).astype(emb_dtype)
         pooled = pooled[:, emb_ops.table_order_permutation(small, big), :]
         return _loss_from_pooled(dp, pooled, dense, labels, config)
 
@@ -97,19 +100,38 @@ def train_step(params: dict, dense: jax.Array, sparse: jax.Array,
     with jax.named_scope("dense_update"):
         new_dense = jax.tree.map(
             lambda p, g: (p - lr * g).astype(p.dtype), dense_params, dgrads)
-    new_emb = emb
+    new_emb = list(emb) if isinstance(emb, (tuple, list)) else emb
     if big:
         with jax.named_scope("sparse_update"):
-            sgrad = emb_ops.SparseGrad(
-                ids=flat_big.reshape(-1),
-                rows=d_rows_big.reshape(-1, d_rows_big.shape[-1]))
-            new_emb = emb_ops.apply_sparse_sgd(new_emb, sgrad, lr)
+            if config.is_packed:
+                new_emb = list(emb_ops.apply_sgd_chunked(
+                    new_emb, ids_big, d_rows_big, lr, config, big))
+            else:
+                sgrad = emb_ops.SparseGrad(
+                    ids=flat_big.reshape(-1),
+                    rows=d_rows_big.reshape(-1, d_rows_big.shape[-1]))
+                new_emb = emb_ops.apply_sparse_sgd(new_emb, sgrad, lr)
     if small:
         with jax.named_scope("small_table_update"):
             for k, t in enumerate(small):
-                off = offsets[t]
-                new_emb = new_emb.at[off:off + config.table_sizes[t]].add(
-                    (-lr * d_smalls[k]).astype(new_emb.dtype))
+                upd = (-lr * d_smalls[k]).astype(emb_dtype)
+                if config.is_packed:
+                    # contiguous add onto the table's packed rows
+                    c = config.table_chunk[t]
+                    po = config.chunk_table_offsets[t]
+                    pn = config.packed_table_rows[t]
+                    pad = pn * config.pack - config.table_sizes[t]
+                    if pad:
+                        upd = jnp.concatenate(
+                            [upd, jnp.zeros((pad, upd.shape[1]), upd.dtype)])
+                    new_emb[c] = new_emb[c].at[po:po + pn].add(
+                        upd.reshape(pn, config.row_width))
+                else:
+                    off = config.table_offsets[t]
+                    new_emb = new_emb.at[
+                        off:off + config.table_sizes[t]].add(upd)
+    if isinstance(new_emb, list):
+        new_emb = tuple(new_emb)
     return model_lib.merge_params(new_dense, new_emb), loss
 
 

@@ -102,7 +102,8 @@ class InstrumentedTrainer:
             return mlp_apply(tp, z, final="sigmoid")[:, 0]
 
         self._lookup = jax.jit(
-            lambda emb, ids: emb_ops.lookup(emb, ids, off))
+            lambda emb, ids: emb_ops.pool(
+                emb_ops.gather_tables(emb, ids, config)))
         self._bottom = jax.jit(bottom_f)
         self._bottom_bwd = jax.jit(
             lambda bp, dense, ct: jax.vjp(
@@ -125,12 +126,15 @@ class InstrumentedTrainer:
 
     def _apply_emb(self, emb, ids, d_pooled, lr):
         from dlrm_tpu.ops import embedding as emb_ops
-        flat = emb_ops.translate_ids(ids, self.config.table_offsets)
-        if flat.ndim == 3:  # multi-hot: pooled grad broadcasts to each hit
+        config = self.config
+        if ids.ndim == 3:  # multi-hot: pooled grad broadcasts to each hit
             d_rows = jnp.broadcast_to(
-                d_pooled[:, :, None, :], flat.shape + (d_pooled.shape[-1],))
+                d_pooled[:, :, None, :], ids.shape + (d_pooled.shape[-1],))
         else:
             d_rows = d_pooled
+        if config.is_packed:
+            return emb_ops.apply_sgd_chunked(emb, ids, d_rows, lr, config)
+        flat = emb_ops.translate_ids(ids, config.table_offsets)
         grad = emb_ops.SparseGrad(
             ids=flat.reshape(-1),
             rows=d_rows.reshape(-1, d_rows.shape[-1]))

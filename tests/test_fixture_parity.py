@@ -36,8 +36,8 @@ def test_stagewise_inference_parity(path):
     np.testing.assert_allclose(np.asarray(x), ref["mlp_bottom"],
                                atol=1e-5, rtol=1e-5)
 
-    pooled = emb_ops.lookup(params["emb"], jnp.asarray(inputs["sparse"]),
-                            config.table_offsets)
+    pooled = emb_ops.pool(emb_ops.gather_tables(
+        params["emb"], jnp.asarray(inputs["sparse"]), config))
     # concatenated_result is (B, 1+T, D) with slot 0 = bottom MLP output.
     np.testing.assert_allclose(np.asarray(pooled),
                                ref["concatenated_result"][:, 1:, :],

@@ -52,25 +52,28 @@ def test_plan_tiers_budget():
 
 
 def test_split_merge_roundtrip():
+    from dlrm_tpu.ops import embedding as emb_ops
     config, params, _ = _setup()
     plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
-    emb = np.asarray(params["emb"])
+    emb = jax.tree.map(np.asarray, params["emb"])  # storage layout (chunked)
+    logical = emb_ops.unpack_tables(emb, config)
     emb_dev, emb_host = ht.split_tiers(emb, plan, config)
     assert emb_host.sharding.memory_kind == "pinned_host"
     merged = ht.merge_tiers(emb_dev, emb_host, plan, config)
-    np.testing.assert_array_equal(merged, emb)
+    np.testing.assert_array_equal(merged, logical)
 
 
 @pytest.mark.parametrize("n_hot", [1, 3])
 def test_tiered_lookup_parity(n_hot):
     config, params, batch = _setup(n_hot=n_hot)
     plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
-    emb = np.asarray(params["emb"])
+    emb = jax.tree.map(np.asarray, params["emb"])
     emb_dev, emb_host = ht.split_tiers(emb, plan, config)
     sparse = jnp.asarray(batch["sparse"])
 
     from dlrm_tpu.ops import embedding as emb_ops
-    want = emb_ops.lookup(jnp.asarray(emb), sparse, config.table_offsets)
+    want = emb_ops.pool(emb_ops.gather_tables(
+        jax.tree.map(jnp.asarray, emb), sparse, config))
     got = jax.jit(lambda d, h, s: ht.tiered_lookup(d, h, s, plan, config)
                   )(emb_dev, emb_host, sparse)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
@@ -102,10 +105,14 @@ def test_tiered_train_step_parity(n_hot):
         # output pinning is TPU-only (make_tiered_train_step docstring)
         assert new_tiered["emb_host"].sharding.memory_kind == "pinned_host"
     np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-6)
+    from dlrm_tpu.ops import embedding as emb_ops
     merged = ht.merge_tiers(new_tiered["emb_dev"], new_tiered["emb_host"],
                             plan, config)
-    np.testing.assert_allclose(merged, np.asarray(ref_params["emb"]),
-                               atol=1e-5)
+    np.testing.assert_allclose(
+        merged,
+        emb_ops.unpack_tables(
+            jax.tree.map(np.asarray, ref_params["emb"]), config),
+        atol=1e-5)
     for k in ("bottom", "top"):
         for ours, want in zip(new_tiered[k], ref_params[k]):
             np.testing.assert_allclose(np.asarray(ours["w"]),

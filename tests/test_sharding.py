@@ -102,7 +102,7 @@ def test_sharded_train_step_matches_single_device(n_hot, rng):
     p = plan_placement(config.table_sizes, 8)
     sh_params = {
         "bottom": params["bottom"],
-        "emb": pemb.shard_tables(np.asarray(params["emb"]), p, config),
+        "emb": pemb.shard_tables(params["emb"], p, config),
         "top": params["top"],
     }
     sh_params = jax.device_put(sh_params, param_shardings(mesh, sh_params))
@@ -115,8 +115,11 @@ def test_sharded_train_step_matches_single_device(n_hot, rng):
 
     np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-6)
     got_emb = pemb.unshard_tables(np.asarray(new_params["emb"]), p, config)
-    np.testing.assert_allclose(got_emb, np.asarray(ref_params["emb"]),
-                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(
+        got_emb,
+        emb_ops.unpack_tables(
+            jax.tree.map(np.asarray, ref_params["emb"]), config),
+        atol=1e-5, rtol=1e-5)
     for side in ("bottom", "top"):
         for i, layer in enumerate(new_params[side]):
             for k in ("w", "b"):
