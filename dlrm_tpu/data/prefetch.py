@@ -1,0 +1,71 @@
+"""Async device-prefetching input pipeline.
+
+The reference hides data-marshaling latency with Polyester threads inside
+``DACLoader.load!`` (/root/reference/src/data/criteo.jl:284-344) and hides
+slow-tier writes with the BatchUpdater producer/consumer pipeline
+(src/model/embedding_update.jl, SURVEY §2.4 P4).  On TPU the equivalent is
+keeping the host→HBM transfer of batch N+1..N+k in flight while the device
+runs step N:
+
+* a background thread pulls host batches from the source iterator and
+  ``jax.device_put``s them (device transfers are async in JAX — the put
+  returns immediately and the copy overlaps device compute);
+* a bounded queue (``size`` batches) provides backpressure so at most
+  ``size`` batches of HBM are pinned by the pipeline;
+* iteration order and contents are exactly the source's (pure plumbing).
+
+Works with any iterator of pytrees (numpy or jax arrays) — DACLoader,
+synthetic.batch_stream, etc.  Pass a ``jax.sharding.Sharding`` to place
+batches for the multi-chip path (batch-sharded over the mesh).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterable, Iterator, Optional
+
+import jax
+
+
+def device_prefetch(source: Iterable, *, size: int = 2,
+                    sharding: Optional[Any] = None) -> Iterator:
+    """Yield batches from ``source``, transferred to device ``size`` ahead.
+
+    Exceptions in the source propagate to the consumer at the point of
+    iteration.  The background thread is a daemon: abandoning the iterator
+    mid-stream leaks at most ``size`` queued batches, no join required.
+    """
+    if size < 1:
+        raise ValueError(f"prefetch size must be >= 1, got {size}")
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+
+    class _End:  # sentinel (carries the producer's exception, if any)
+        def __init__(self, exc):
+            self.exc = exc
+
+    def put(batch):
+        if sharding is not None:
+            return jax.device_put(batch, sharding)
+        return jax.device_put(batch)
+
+    def producer():
+        try:
+            for batch in source:
+                q.put(put(batch))
+        except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
+            q.put(_End(e))
+            return
+        q.put(_End(None))
+
+    thread = threading.Thread(target=producer, daemon=True,
+                              name="dlrm-prefetch")
+    thread.start()
+
+    while True:
+        item = q.get()
+        if isinstance(item, _End):
+            if item.exc is not None:
+                raise item.exc
+            return
+        yield item

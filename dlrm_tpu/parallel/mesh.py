@@ -35,6 +35,52 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "d") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Initialize multi-host JAX (DCN) — call once per process before any
+    device use.  No-ops when already initialized or single-process.
+
+    With TPU pod slices and no explicit arguments, JAX auto-discovers the
+    topology from the TPU environment; the explicit arguments cover GPU-like
+    or manual bring-up.  After this, ``jax.devices()`` spans every host and
+    :func:`make_mesh` / :func:`make_hybrid_mesh` build global meshes.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except RuntimeError as e:  # already initialized
+        if "already initialized" not in str(e).lower():
+            raise
+
+
+def make_hybrid_mesh(ici_axis: str = "d", dcn_axis: str = "h") -> Mesh:
+    """2-D mesh for multi-slice/multi-host: the fast ICI dimension inside a
+    slice x the DCN dimension across slices/hosts.
+
+    Built with ``mesh_utils.create_hybrid_device_mesh`` so device order puts
+    ICI neighbors adjacent — collectives along ``ici_axis`` ride ICI, and
+    only the (rare) cross-slice traffic touches DCN.  The DLRM hybrid maps
+    batch data-parallelism over BOTH axes and table-model-parallelism over
+    ``ici_axis`` only (the all-to-all embedding exchange must stay on ICI,
+    SURVEY.md §2.4 mapping).
+    """
+    from jax.experimental import mesh_utils
+
+    n_total = len(jax.devices())
+    n_local = jax.local_device_count()
+    n_hosts = max(n_total // max(n_local, 1), 1)
+    devices = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=(n_local,), dcn_mesh_shape=(n_hosts,),
+        devices=jax.devices(),
+        # group by process when devices don't expose slice_index (CPU mesh
+        # in tests, single-slice GPU); TPU pods expose it and group by slice
+        process_is_granule=not hasattr(jax.devices()[0], "slice_index"))
+    return Mesh(devices.reshape(n_hosts, n_local), (dcn_axis, ici_axis))
+
+
 def batch_sharding(mesh: Mesh, axis: str = "d") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 

@@ -163,11 +163,7 @@ def cmd_train(args) -> int:
                 print(f"resumed from step {start_step}", file=sys.stderr)
         params = jax.device_put(sh_params, shardings)
         step_fn = make_sharded_train_step(config, args.lr, mesh, placement)
-        bs = batch_sharding(mesh)
-
-        def put(batch):
-            return {k: jax.device_put(jnp.asarray(v), bs)
-                    for k, v in batch.items()}
+        batch_place = batch_sharding(mesh)
     else:
         if mgr is not None:
             restored = mgr.restore_latest(template=params)
@@ -176,16 +172,17 @@ def cmd_train(args) -> int:
                 params = jax.tree.map(jnp.asarray, params)
                 print(f"resumed from step {start_step}", file=sys.stderr)
         step_fn = dlrm_tpu.make_jit_train_step(config, args.lr)
+        batch_place = None
 
-        def put(batch):
-            return {k: jnp.asarray(v) for k, v in batch.items()}
+    from dlrm_tpu.data.prefetch import device_prefetch
 
     losses: List[float] = []
     t_start = time.time()
     step = start_step
     remaining = None if args.steps is None else max(args.steps - start_step, 0)
-    for batch in _data_iter(args, config, steps=remaining, seed=args.seed):
-        b = put(batch)
+    source = _data_iter(args, config, steps=remaining, seed=args.seed)
+    for b in device_prefetch(source, size=args.prefetch,
+                             sharding=batch_place):
         params, loss = step_fn(params, b["dense"], b["sparse"], b["labels"])
         step += 1
         if step % args.log_every == 0:
@@ -339,6 +336,8 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--steps", type=int, default=None)
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--log-every", type=int, default=100)
+    tr.add_argument("--prefetch", type=int, default=2,
+                    help="batches transferred to device ahead of compute")
     tr.add_argument("--ckpt-dir", default=None)
     tr.add_argument("--save-interval", type=int, default=1000)
     tr.add_argument("--max-to-keep", type=int, default=3)
