@@ -19,13 +19,15 @@ from dlrm_tpu.config import (
 )
 from dlrm_tpu.models.dlrm import forward, init_params
 from dlrm_tpu.ops.loss import bce_loss
-from dlrm_tpu.train.train import train, train_step, make_jit_train_step
+from dlrm_tpu.train.train import (train, train_step, make_jit_train_step,
+                                  init_opt_state, make_jit_train_step_opt)
 
 __all__ = [
     "DLRMConfig", "KAGGLE_TABLE_SIZES", "TERABYTE_TABLE_SIZES",
     "fixture_config", "kaggle_config", "multi_fixture_config",
     "terabyte_config", "tiny_config", "forward", "init_params", "bce_loss",
     "train", "train_step", "make_jit_train_step",
+    "init_opt_state", "make_jit_train_step_opt",
 ]
 
 __version__ = "0.1.0"

@@ -128,6 +128,9 @@ def cmd_train(args) -> int:
         raise SystemExit("synthetic training needs --steps")
     n_dev = len(jax.devices())
     sharded = args.sharded if args.sharded is not None else (n_dev > 1)
+    if sharded and getattr(args, "optimizer", "sgd") != "sgd":
+        raise SystemExit("--optimizer adagrad is single-chip only for now; "
+                         "pass --sharded false")
     print(f"devices: {n_dev} ({jax.devices()[0].platform}), "
           f"sharded={sharded}", file=sys.stderr)
     params = dlrm_tpu.init_params(jax.random.key(config.seed), config)
@@ -171,7 +174,21 @@ def cmd_train(args) -> int:
                 params, start_step = restored
                 params = jax.tree.map(jnp.asarray, params)
                 print(f"resumed from step {start_step}", file=sys.stderr)
-        step_fn = dlrm_tpu.make_jit_train_step(config, args.lr)
+        if args.optimizer == "sgd":
+            step_fn = dlrm_tpu.make_jit_train_step(config, args.lr)
+        else:
+            from dlrm_tpu.train.train import (init_opt_state,
+                                              make_jit_train_step_opt)
+            opt_step = make_jit_train_step_opt(
+                config, optimizer=args.optimizer, lr=args.lr)
+            opt_state = init_opt_state(params, config=config,
+                                       optimizer=args.optimizer, lr=args.lr)
+            state_box = {"opt": opt_state}
+
+            def step_fn(p, d, s, l):
+                (p2, state_box["opt"]), loss = opt_step(
+                    p, state_box["opt"], d, s, l)
+                return p2, loss
         batch_place = None
 
     from dlrm_tpu.data.prefetch import device_prefetch
@@ -333,6 +350,8 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--eval-steps", type=int, default=None)
     tr.add_argument("--batch-size", type=int, default=2048)
     tr.add_argument("--lr", type=float, default=0.1)
+    tr.add_argument("--optimizer", default="sgd",
+                    help="sgd | adagrad (single-chip path)")
     tr.add_argument("--steps", type=int, default=None)
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--log-every", type=int, default=100)

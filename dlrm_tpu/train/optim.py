@@ -1,0 +1,133 @@
+"""Optimizers: plain SGD (the reference's only optimizer, Flux.Descent)
+plus sparse-aware Adagrad — the standard DLRM optimizer the reference
+lacks.
+
+Dense parameters (MLP weights/biases) go through optax.  Embedding tables
+need special treatment: their gradients exist only as compressed
+``d(loss)/d(gathered rows)`` and the optimizer state (Adagrad accumulator)
+lives in the same chunked lane-packed storage as the tables, so a step
+touches only the hit rows.
+
+Duplicate-id semantics (a row hit k times in one batch) follow the
+reference's dedup-then-apply contract (SparseIndexer + apply!, reference
+train/train.jl:276-290): the k gradient contributions are SUMMED and the
+optimizer update is applied ONCE with the summed gradient.  For SGD
+scatter-add gives that for free; for Adagrad the accumulator update
+depends nonlinearly on the summed gradient, so duplicates are explicitly
+combined first (sort + segment-sum per chunk, static shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+try:
+    import optax
+except ImportError:  # pragma: no cover
+    optax = None
+
+from dlrm_tpu.config import DLRMConfig
+from dlrm_tpu.ops import embedding as emb_ops
+
+
+class EmbAdagradState(NamedTuple):
+    """Per-chunk Adagrad accumulators, same storage layout as the tables."""
+
+    acc: Tuple[jax.Array, ...]
+
+
+def init_emb_state(config: DLRMConfig, optimizer: str, emb,
+                   init_acc: float = 0.0):
+    if optimizer == "sgd":
+        return ()
+    if optimizer == "adagrad":
+        if isinstance(emb, (tuple, list)):
+            return EmbAdagradState(acc=tuple(
+                jnp.full(c.shape, init_acc, jnp.float32) for c in emb))
+        return EmbAdagradState(
+            acc=(jnp.full(emb.shape, init_acc, jnp.float32),))
+    raise ValueError(f"unknown optimizer {optimizer!r}")
+
+
+def dense_optimizer(optimizer: str, lr: float):
+    """optax transform for the dense (MLP) parameters."""
+    assert optax is not None, "optax required"
+    if optimizer == "sgd":
+        return optax.sgd(lr)
+    if optimizer == "adagrad":
+        return optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+    raise ValueError(f"unknown optimizer {optimizer!r}")
+
+
+def _dedup_rows(ids: jax.Array, rows: jax.Array):
+    """Sum rows of duplicate ids; returns (ids', rows') of the same static
+    shape where duplicates beyond the first occurrence carry id -1 (dropped
+    by scatter mode='drop') and zero rows."""
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    sids = ids[order]
+    srows = rows[order]
+    heads = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                             sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(heads.astype(jnp.int32)) - 1
+    summed = jax.ops.segment_sum(srows, seg, num_segments=n)
+    uniq = jax.ops.segment_max(jnp.where(heads, sids, -1), seg,
+                               num_segments=n)
+    n_uniq = seg[-1] + 1
+    valid = jnp.arange(n) < n_uniq
+    return jnp.where(valid, uniq, -1), summed
+
+
+def apply_adagrad_chunked(emb, state: EmbAdagradState, ids: jax.Array,
+                          d_rows: jax.Array, lr, config: DLRMConfig,
+                          tables=None, eps: float = 1e-10):
+    """Exact sparse Adagrad on the chunked stack.
+
+    Per unique hit row r (duplicates pre-summed): ``acc[r] += g^2`` then
+    ``w[r] -= lr * g / (sqrt(acc[r]) + eps)`` — elementwise, matching
+    optax.adagrad on a dense gradient restricted to hit rows.
+    """
+    if tables is None:
+        tables = tuple(range(config.num_tables))
+    new_emb = list(emb)
+    new_acc = list(state.acc)
+    d = config.feature_size
+    for c, pos, ts in emb_ops.chunk_groups(config, tuple(tables)):
+        ids_g = ids[:, pos] if ids.ndim == 2 else ids[:, pos, :]
+        d_g = d_rows[:, pos] if d_rows.ndim == 3 else d_rows[:, pos, :, :]
+        phys, slot = emb_ops.chunk_translate(ids_g, config, ts)
+        # flatten to logical row granularity: key = phys * pack + slot
+        pack = config.pack
+        key = (phys * pack + slot).reshape(-1)
+        g = d_g.reshape(-1, d).astype(jnp.float32)
+        key_u, g_u = _dedup_rows(key, g)
+        phys_u = jnp.where(key_u >= 0, key_u // pack, -1)
+        slot_u = jnp.where(key_u >= 0, key_u % pack, 0)
+        # gather current accumulator rows, fold in g^2
+        acc_rows = emb_ops.chunk_gather(new_acc[c], phys_u, slot_u, config)
+        acc_new = acc_rows + g_u * g_u
+        delta_acc = g_u * g_u
+        with jax.named_scope("adagrad_acc_update"):
+            new_acc[c] = emb_ops.chunk_apply_sgd(
+                new_acc[c], phys_u, slot_u, delta_acc, -1.0, config)
+        # matches optax.scale_by_rss: g * rsqrt(acc + eps), 0 where acc == 0
+        step_rows = g_u * jnp.where(acc_new > 0,
+                                    jax.lax.rsqrt(acc_new + eps), 0.0)
+        with jax.named_scope("adagrad_row_update"):
+            new_emb[c] = emb_ops.chunk_apply_sgd(
+                new_emb[c], phys_u, slot_u, step_rows, lr, config)
+    return tuple(new_emb), EmbAdagradState(acc=tuple(new_acc))
+
+
+def apply_adagrad_dense_table(table: jax.Array, acc: jax.Array,
+                              grad: jax.Array, lr, eps: float = 1e-10):
+    """Adagrad on a whole (small) table with a dense gradient (same
+    formula as optax.scale_by_rss)."""
+    acc_new = acc + grad.astype(jnp.float32) ** 2
+    step = grad * jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+    return (table - lr * step.astype(table.dtype)).astype(table.dtype), \
+        acc_new

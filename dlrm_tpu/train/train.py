@@ -140,6 +140,140 @@ def make_jit_train_step(config: DLRMConfig, lr: float) -> Callable:
     return jax.jit(step, donate_argnums=(0,))
 
 
+# -- pluggable-optimizer step (SGD / sparse Adagrad) -------------------------
+
+def init_opt_state(params: dict, *, config: DLRMConfig, optimizer: str,
+                   lr: float) -> dict:
+    """Optimizer state pytree: optax state for the dense params, chunked
+    accumulators (same storage layout as the tables) for the embeddings."""
+    from dlrm_tpu.train import optim
+
+    dense_params, emb = model_lib.split_params(params)
+    tx = optim.dense_optimizer(optimizer, lr)
+    return {
+        "dense": tx.init(dense_params),
+        "emb": optim.init_emb_state(config, optimizer, emb),
+    }
+
+
+def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
+                   config: DLRMConfig, optimizer: str, lr: float):
+    """One step with a pluggable optimizer; returns ((params, opt_state),
+    loss).
+
+    ``optimizer='sgd'`` reproduces :func:`train_step` exactly.  For
+    ``'adagrad'`` the embedding update follows the reference's
+    dedup-then-apply contract with exact Adagrad semantics on unique rows
+    (train/optim.py), and the accumulator lives in chunked storage so only
+    hit rows are touched.
+    """
+    from dlrm_tpu.train import optim
+
+    small, big = emb_ops.partition_tables(config.table_sizes,
+                                          config.small_table_threshold)
+    dense_params, emb = model_lib.split_params(params)
+    emb_dtype = emb[0].dtype if isinstance(emb, (tuple, list)) else emb.dtype
+    assert config.is_packed, "train_step_opt requires engine storage"
+
+    ids_big = None
+    if big:
+        ids_big = sparse[:, big] if sparse.ndim == 2 else sparse[:, big, :]
+        with jax.named_scope("lookup_gather"):
+            rows_big = emb_ops.gather_tables(emb, ids_big, config, big)
+    else:
+        rows_big = jnp.zeros((dense.shape[0], 0, config.feature_size),
+                             emb_dtype)
+    small_tables = tuple(
+        emb_ops.get_logical_table(emb, config, t) for t in small)
+
+    def table_ids(t):
+        return sparse[:, t] if sparse.ndim == 2 else sparse[:, t, :]
+
+    def inner(dp, rows_big, small_tables):
+        parts = [emb_ops.pool(rows_big)]
+        with jax.named_scope("lookup_onehot"):
+            for k, t in enumerate(small):
+                parts.append(emb_ops.onehot_lookup(
+                    small_tables[k], table_ids(t),
+                    config.compute_dtype)[:, None, :])
+        pooled = jnp.concatenate(parts, axis=1).astype(emb_dtype)
+        pooled = pooled[:, emb_ops.table_order_permutation(small, big), :]
+        return _loss_from_pooled(dp, pooled, dense, labels, config)
+
+    loss, (dgrads, d_rows_big, d_smalls) = jax.value_and_grad(
+        inner, argnums=(0, 1, 2))(dense_params, rows_big, small_tables)
+
+    tx = optim.dense_optimizer(optimizer, lr)
+    with jax.named_scope("dense_update"):
+        updates, new_dense_state = tx.update(dgrads, opt_state["dense"],
+                                             dense_params)
+        import optax
+        new_dense = optax.apply_updates(dense_params, updates)
+        new_dense = jax.tree.map(
+            lambda p, q: q.astype(p.dtype), dense_params, new_dense)
+
+    new_emb = list(emb)
+    emb_state = opt_state["emb"]
+    if big:
+        with jax.named_scope("sparse_update"):
+            if optimizer == "sgd":
+                new_emb = list(emb_ops.apply_sgd_chunked(
+                    new_emb, ids_big, d_rows_big, lr, config, big))
+            else:
+                new_emb, emb_state = optim.apply_adagrad_chunked(
+                    new_emb, emb_state, ids_big, d_rows_big, lr, config,
+                    big)
+                new_emb = list(new_emb)
+    if small:
+        with jax.named_scope("small_table_update"):
+            new_acc = list(emb_state.acc) if optimizer == "adagrad" else None
+            for k, t in enumerate(small):
+                c = config.table_chunk[t]
+                po = config.chunk_table_offsets[t]
+                pn = config.packed_table_rows[t]
+                pad = pn * config.pack - config.table_sizes[t]
+                grad = d_smalls[k]
+                if optimizer == "sgd":
+                    upd = (-lr * grad).astype(emb_dtype)
+                    if pad:
+                        upd = jnp.concatenate(
+                            [upd, jnp.zeros((pad, upd.shape[1]), upd.dtype)])
+                    new_emb[c] = new_emb[c].at[po:po + pn].add(
+                        upd.reshape(pn, config.row_width))
+                else:
+                    tab = emb_ops.get_logical_table(tuple(new_emb), config, t)
+                    acc_view = new_acc[c][po:po + pn].reshape(
+                        -1, config.feature_size)[:config.table_sizes[t]]
+                    new_tab, new_acc_tab = optim.apply_adagrad_dense_table(
+                        tab, acc_view, grad, lr)
+                    if pad:
+                        new_tab = jnp.concatenate(
+                            [new_tab, jnp.zeros((pad, new_tab.shape[1]),
+                                                new_tab.dtype)])
+                        new_acc_tab = jnp.concatenate(
+                            [new_acc_tab,
+                             jnp.zeros((pad, new_acc_tab.shape[1]),
+                                       new_acc_tab.dtype)])
+                    new_emb[c] = new_emb[c].at[po:po + pn].set(
+                        new_tab.reshape(pn, config.row_width))
+                    new_acc[c] = new_acc[c].at[po:po + pn].set(
+                        new_acc_tab.reshape(pn, config.row_width))
+            if optimizer == "adagrad":
+                from dlrm_tpu.train.optim import EmbAdagradState
+                emb_state = EmbAdagradState(acc=tuple(new_acc))
+
+    new_params = model_lib.merge_params(new_dense, tuple(new_emb))
+    new_opt = {"dense": new_dense_state, "emb": emb_state}
+    return (new_params, new_opt), loss
+
+
+def make_jit_train_step_opt(config: DLRMConfig, *, optimizer: str = "sgd",
+                            lr: float = 0.1) -> Callable:
+    step = functools.partial(train_step_opt, config=config,
+                             optimizer=optimizer, lr=lr)
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
 def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
                        labels: jax.Array, *, config: DLRMConfig, lr: float,
                        mesh, placement, axis: str = "d"):

@@ -86,6 +86,14 @@ def test_train_eval_cli_on_real_pipeline(tmp_path, capsys):
     assert 0.0 <= ev["accuracy"] <= 1.0 and np.isfinite(ev["loss"])
 
 
+def test_train_cli_adagrad(capsys):
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "3",
+        "--sharded", "false", "--optimizer", "adagrad", "--log-every", "1"])
+    assert rc == 0
+    assert res["steps"] == 3 and np.isfinite(res["final_loss"])
+
+
 def test_train_cli_sharded_synthetic(capsys):
     """Hybrid-parallel path over the 8-device CPU mesh via the CLI."""
     rc, res = _run(capsys, [

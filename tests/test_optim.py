@@ -1,0 +1,131 @@
+"""Optimizer tests: the pluggable-optimizer step vs oracles.
+
+- sgd: train_step_opt must equal the fast SGD step bit-for-bit.
+- adagrad: the sparse chunked Adagrad (dedup + accumulator in table
+  storage) must match optax.adagrad applied to a DENSE table gradient —
+  including duplicate ids, whose contributions must be summed before the
+  nonlinear accumulator update (the reference's dedup-then-apply contract).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+import dlrm_tpu
+from dlrm_tpu.data import synthetic
+from dlrm_tpu.models import dlrm as model_lib
+from dlrm_tpu.ops import embedding as emb_ops
+from dlrm_tpu.ops.loss import bce_loss
+from dlrm_tpu.train.train import (init_opt_state, make_jit_train_step,
+                                  make_jit_train_step_opt)
+
+
+def _setup(n_hot=1, seed=0):
+    c = dlrm_tpu.tiny_config(num_tables=5, rows=32, feature_size=8,
+                             n_hot=n_hot)
+    c = dataclasses.replace(c, table_sizes=(33, 7, 64, 129, 40),
+                            chunk_budget_bytes=4096,
+                            small_table_threshold=16)
+    params = dlrm_tpu.init_params(jax.random.key(seed), c)
+    rng = np.random.default_rng(seed)
+    batch = synthetic.random_batch(rng, c, 64)
+    # force duplicate ids (same row twice) — the adagrad-critical case
+    sparse = np.asarray(batch["sparse"]).copy()
+    sparse[1] = sparse[0]
+    sparse[2] = sparse[0]
+    batch["sparse"] = sparse
+    args = (jnp.asarray(batch["dense"]), jnp.asarray(batch["sparse"]),
+            jnp.asarray(batch["labels"]))
+    return c, params, args
+
+
+def _logical(emb, c):
+    return emb_ops.unpack_tables(jax.tree.map(np.asarray, emb), c)
+
+
+def test_sgd_opt_step_matches_fast_path():
+    c, params, args = _setup()
+    p2 = jax.tree.map(jnp.copy, params)
+    fast = make_jit_train_step(c, 0.1)
+    want_params, want_loss = fast(params, *args)
+
+    step = make_jit_train_step_opt(c, optimizer="sgd", lr=0.1)
+    opt_state = init_opt_state(p2, config=c, optimizer="sgd", lr=0.1)
+    (got_params, _), got_loss = step(p2, opt_state, *args)
+    np.testing.assert_allclose(float(got_loss), float(want_loss), atol=1e-7)
+    np.testing.assert_allclose(_logical(got_params["emb"], c),
+                               _logical(want_params["emb"], c), atol=1e-6)
+    for side in ("bottom", "top"):
+        for a, b in zip(got_params[side], want_params[side]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]), atol=1e-6)
+
+
+@pytest.mark.parametrize("n_hot", [1, 2])
+def test_adagrad_matches_dense_oracle(n_hot):
+    c, params, args = _setup(n_hot=n_hot)
+    dense, sparse, labels = args
+    lr = 0.3
+
+    # --- oracle: optax.adagrad on (dense params + dense logical table) ---
+    logical0 = jnp.asarray(_logical(params["emb"], c))
+    cp = dataclasses.replace(c, packed_tables=False)
+    oracle_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": logical0,
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+
+    def loss_fn(p):
+        out = model_lib.forward(p, dense, sparse, cp)
+        return bce_loss(out, labels)
+
+    tx = optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+    opt = tx.init(oracle_params)
+    for _ in range(3):  # several steps: accumulator state must persist
+        grads = jax.grad(loss_fn)(oracle_params)
+        updates, opt = tx.update(grads, opt, oracle_params)
+        oracle_params = optax.apply_updates(oracle_params, updates)
+
+    # --- ours: chunked sparse adagrad ---
+    step = make_jit_train_step_opt(c, optimizer="adagrad", lr=lr)
+    opt_state = init_opt_state(params, config=c, optimizer="adagrad", lr=lr)
+    state = (jax.tree.map(jnp.copy, params), opt_state)
+    for _ in range(3):
+        state, loss = step(state[0], state[1], *args)
+
+    got_params = state[0]
+    np.testing.assert_allclose(_logical(got_params["emb"], c),
+                               np.asarray(oracle_params["emb"]),
+                               atol=5e-5, rtol=5e-5)
+    for side in ("bottom", "top"):
+        for a, b in zip(got_params[side], oracle_params[side]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]),
+                                       atol=5e-5, rtol=5e-5)
+
+
+def test_adagrad_trains():
+    """Loss decreases on learnable synthetic data under adagrad."""
+    c = dlrm_tpu.tiny_config(num_tables=4, rows=64, feature_size=8)
+    params = dlrm_tpu.init_params(jax.random.key(0), c)
+    step = make_jit_train_step_opt(c, optimizer="adagrad", lr=0.05)
+    opt_state = init_opt_state(params, config=c, optimizer="adagrad",
+                               lr=0.05)
+    rng = np.random.default_rng(0)
+    losses = []
+    for _ in range(60):
+        b = 256
+        dns = rng.normal(size=(b, 13)).astype(np.float32)
+        sp = rng.integers(0, 64, size=(b, 4)).astype(np.int32)
+        lbl = ((sp[:, 0] % 2) * 2.0 - 1.0 + dns[:, 0]
+               + rng.normal(size=b) > 0).astype(np.float32)
+        (params, opt_state), loss = step(
+            params, opt_state, jnp.asarray(dns), jnp.asarray(sp),
+            jnp.asarray(lbl))
+        losses.append(float(loss))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 0.03
