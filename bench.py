@@ -38,9 +38,10 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
 
-    interaction = "pallas" if dev.platform == "tpu" else "gram"
+    # "gram" (batched MXU einsum + static gather) measures fastest on v5e
+    # for fs=16 (3.5 ms fwd+bwd vs 7 ms for the fused pallas kernel).
     config = dlrm_tpu.kaggle_config(feature_size=FEATURE_SIZE,
-                                    interaction_impl=interaction)
+                                    interaction_impl="gram")
     log(f"model: kaggle fs={FEATURE_SIZE}, {config.total_rows:,} rows, "
         f"top_in={config.top_input}")
     params = dlrm_tpu.init_params(jax.random.key(0), config)

@@ -245,10 +245,14 @@ class DACLoader:
     """
 
     def __init__(self, dataset: np.ndarray, batch_size: int, *,
-                 drop_remainder: bool = True, zero_based_file: bool = False):
+                 drop_remainder: bool = True, zero_based_file: bool = False,
+                 shuffle: bool = False, seed: int = 0):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.drop_remainder = drop_remainder
+        self.shuffle = shuffle
+        self.seed = seed
+        self._epoch = 0
         self._shift = 0 if zero_based_file else 1
 
     def __len__(self) -> int:
@@ -259,8 +263,17 @@ class DACLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         b = self.batch_size
+        order = None
+        if self.shuffle:
+            # shuffle BATCH WINDOWS, not rows: keeps the mmap reads
+            # sequential within a batch (the loader's locality win,
+            # criteo.jl:324) while decorrelating batch order across epochs
+            rng = np.random.default_rng((self.seed, self._epoch))
+            order = rng.permutation(len(self))
+            self._epoch += 1
         for i in range(len(self)):
-            window = self.dataset[i * b:(i + 1) * b]
+            j = int(order[i]) if order is not None else i
+            window = self.dataset[j * b:(j + 1) * b]
             yield {
                 "labels": window["label"].astype(np.float32),
                 "dense": np.ascontiguousarray(window["dense"]),

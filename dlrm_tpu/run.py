@@ -82,7 +82,9 @@ def _data_iter(args, config, *, steps: Optional[int], seed: int = 0):
     from dlrm_tpu.data.criteo import DACLoader, load
 
     if args.data:
-        loader = DACLoader(load(args.data), args.batch_size)
+        loader = DACLoader(load(args.data), args.batch_size,
+                           shuffle=getattr(args, "shuffle", False),
+                           seed=getattr(args, "seed", 0))
         def gen():
             count = 0
             while steps is None or count < steps:
@@ -193,6 +195,28 @@ def cmd_train(args) -> int:
 
     from dlrm_tpu.data.prefetch import device_prefetch
 
+    eval_record: List[dict] = []
+
+    def periodic_eval():
+        # the reference's Every(test, n) combinator (train/utils.jl:11-46)
+        if sharded:
+            print("eval-every: skipped (sharded path; use --eval-after)",
+                  file=sys.stderr)
+            return
+        eval_data = args.eval_data or args.data
+        eval_steps = args.eval_steps
+        if eval_data is None and eval_steps is None:
+            eval_steps = 10  # synthetic eval needs a bound
+        eval_iter = _data_iter(
+            argparse.Namespace(data=eval_data,
+                               batch_size=args.batch_size),
+            config, steps=eval_steps)
+        m = evaluate(params, eval_iter, config)
+        m["step"] = step
+        eval_record.append(m)
+        print(f"eval @ step {step}: acc={m['accuracy']:.4f} "
+              f"auc={m['auc']:.4f} loss={m['loss']:.5f}", file=sys.stderr)
+
     losses: List[float] = []
     t_start = time.time()
     step = start_step
@@ -209,6 +233,8 @@ def cmd_train(args) -> int:
             eps = (step - start_step) * args.batch_size / max(dt, 1e-9)
             print(f"step {step} loss {loss:.5f} "
                   f"({eps:,.0f} examples/s)", file=sys.stderr)
+        if args.eval_every and step % args.eval_every == 0:
+            periodic_eval()
         if mgr is not None:
             mgr.maybe_save(step, params)
     if mgr is not None:
@@ -219,6 +245,8 @@ def cmd_train(args) -> int:
     result = {"steps": step - start_step,
               "final_loss": losses[-1] if losses else None,
               "seconds": round(time.time() - t_start, 2)}
+    if eval_record:
+        result["eval_record"] = eval_record
     if args.eval_data or (args.data and args.eval_after):
         eval_iter = _data_iter(
             argparse.Namespace(data=args.eval_data or args.data,
@@ -347,7 +375,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "(default: synthetic)")
     tr.add_argument("--eval-data", default=None)
     tr.add_argument("--eval-after", action="store_true")
+    tr.add_argument("--eval-every", type=int, default=None,
+                    help="evaluate every N steps (single-chip path)")
     tr.add_argument("--eval-steps", type=int, default=None)
+    tr.add_argument("--shuffle", action="store_true",
+                    help="shuffle batch windows each epoch")
     tr.add_argument("--batch-size", type=int, default=2048)
     tr.add_argument("--lr", type=float, default=0.1)
     tr.add_argument("--optimizer", default="sgd",

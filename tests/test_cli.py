@@ -126,3 +126,14 @@ def test_bench_cli(capsys):
                             "--batch-size", "64", "--steps", "2"])
     assert rc == 0
     assert res["examples_per_s"] > 0
+
+
+def test_train_cli_eval_every(capsys):
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "4",
+        "--sharded", "false", "--eval-every", "2", "--eval-steps", "2",
+        "--log-every", "1"])
+    assert rc == 0
+    assert len(res["eval_record"]) == 2
+    assert res["eval_record"][0]["step"] == 2
+    assert 0.0 <= res["eval_record"][-1]["accuracy"] <= 1.0

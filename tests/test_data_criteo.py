@@ -138,3 +138,30 @@ def test_native_parser_rejects_malformed():
         pytest.skip("native library unavailable")
     with pytest.raises(ValueError):
         native.parse_buffer(b"1\t2\t3\n")  # too few fields
+
+
+def test_loader_shuffle_covers_all_batches():
+    """Shuffled loader yields every batch window exactly once per epoch, in
+    a different (seeded, deterministic) order each epoch."""
+    import numpy as np
+    from dlrm_tpu.data import synthetic
+    from dlrm_tpu.data.criteo import DACLoader, parse_lines
+
+    data = parse_lines(synthetic.criteo_text_lines(96, seed=3))
+    plain = [b["labels"] for b in DACLoader(data, 16)]
+    loader = DACLoader(data, 16, shuffle=True, seed=7)
+    epoch1 = [b["labels"] for b in loader]
+    epoch2 = [b["labels"] for b in loader]
+
+    def keyset(batches):
+        return sorted(tuple(b.tolist()) for b in batches)
+
+    assert keyset(epoch1) == keyset(plain)
+    assert keyset(epoch2) == keyset(plain)
+    assert [tuple(b.tolist()) for b in epoch1] != \
+        [tuple(b.tolist()) for b in epoch2]
+    # deterministic given seed
+    loader2 = DACLoader(data, 16, shuffle=True, seed=7)
+    again = [b["labels"] for b in loader2]
+    assert [tuple(b.tolist()) for b in again] == \
+        [tuple(b.tolist()) for b in epoch1]
