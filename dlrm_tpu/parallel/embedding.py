@@ -53,27 +53,37 @@ def shard_tables(stacked: np.ndarray, placement: TablePlacement,
             tuple(np.asarray(c) for c in stacked), config)
     stacked = np.asarray(stacked)
     n, r = placement.num_shards, placement.local_rows
+    p = placement.pack
     d = stacked.shape[1]
-    out = np.zeros((n, r, d), dtype=stacked.dtype)
+    out = np.zeros((n, r, d * p), dtype=stacked.dtype)
     for t, rows in enumerate(placement.table_sizes):
         shard = placement.table_shard[t]
         lo = placement.table_local_offsets[t]
         go = config.table_offsets[t]
-        out[shard, lo:lo + rows] = stacked[go:go + rows]
+        tab = stacked[go:go + rows]
+        prows = -(-rows // p)
+        pad = prows * p - rows
+        if pad:
+            tab = np.concatenate([tab, np.zeros((pad, d), tab.dtype)])
+        out[shard, lo:lo + prows] = tab.reshape(prows, d * p)
     return out
 
 
 def unshard_tables(sharded: np.ndarray, placement: TablePlacement,
                    config: DLRMConfig) -> np.ndarray:
-    """Inverse of :func:`shard_tables`."""
+    """Inverse of :func:`shard_tables` (returns the logical (R, D) stack)."""
     sharded = np.asarray(sharded)
     total = sum(placement.table_sizes)
-    out = np.zeros((total, sharded.shape[-1]), dtype=sharded.dtype)
+    p = placement.pack
+    d = sharded.shape[-1] // p
+    out = np.zeros((total, d), dtype=sharded.dtype)
     for t, rows in enumerate(placement.table_sizes):
         shard = placement.table_shard[t]
         lo = placement.table_local_offsets[t]
         go = config.table_offsets[t]
-        out[go:go + rows] = sharded[shard, lo:lo + rows]
+        prows = -(-rows // p)
+        out[go:go + rows] = sharded[shard, lo:lo + prows].reshape(
+            prows * p, d)[:rows]
     return out
 
 
@@ -88,12 +98,12 @@ def placement_arrays(placement: TablePlacement):
 
 # -- shard_map bodies ----------------------------------------------------------
 
-def _local_rows_for_slots(ids_all, meta):
-    """Per-device local row indices for the slots this shard owns.
+def _local_rows_for_slots(ids_all, meta, pack: int):
+    """Per-device local (physical row, lane slot) for this shard's slots.
 
     ids_all: (B, T[, H]) global ids, identical on every device.
-    Returns (B, K[, H]) local row indices into this shard's stack; padding
-    slots resolve to the trash row.
+    Returns (phys, slot), each (B, K[, H]); padding slots resolve to the
+    trash physical row.
     """
     tbl = meta["slot_tables"][0]      # (K,)
     valid = meta["slot_valid"][0]     # (K,)
@@ -101,18 +111,43 @@ def _local_rows_for_slots(ids_all, meta):
     own = jnp.take(ids_all, tbl, axis=1)  # (B, K[, H])
     if own.ndim == 3:
         own = own * valid[None, :, None]
-        local = own + offs[None, :, None]
+        offs = offs[None, :, None]
     else:
         own = own * valid[None, :]
-        local = own + offs[None, :]
-    return local
+        offs = offs[None, :]
+    if pack == 1:
+        return own + offs, jnp.zeros_like(own)
+    return offs + own // pack, own % pack
 
 
-def _lookup_body(emb, ids, meta, *, axis: str, out_column: np.ndarray):
-    """SPMD body: emb (1, R, D), ids (B/N, T[,H]) -> pooled (B/N, T, D)."""
+def _extract(g, slot, pack: int, d: int):
+    """(..., D*pack) physical rows + lane slot -> (..., D) logical rows."""
+    if pack == 1:
+        return g
+    gs = g.reshape(g.shape[:-1] + (pack, d))
+    oh = jax.nn.one_hot(slot, pack, dtype=jnp.float32)
+    return jnp.einsum("...p,...pd->...d", oh,
+                      gs.astype(jnp.float32)).astype(g.dtype)
+
+
+def _expand(rows, slot, pack: int):
+    """(..., D) + lane slot -> (..., D*pack) zero outside the slot."""
+    if pack == 1:
+        return rows
+    oh = jax.nn.one_hot(slot, pack, dtype=jnp.float32)
+    out = jnp.einsum("...p,...d->...pd", oh, rows.astype(jnp.float32))
+    return out.reshape(rows.shape[:-1] + (pack * rows.shape[-1],)
+                       ).astype(rows.dtype)
+
+
+def _lookup_body(emb, ids, meta, *, axis: str, out_column: np.ndarray,
+                 pack: int, dim: int):
+    """SPMD body: emb (1, R, D*pack), ids (B/N, T[,H]) -> pooled
+    (B/N, T, D)."""
     ids_all = jax.lax.all_gather(ids, axis, axis=0, tiled=True)
-    local = _local_rows_for_slots(ids_all, meta)
-    rows = jnp.take(emb[0], local, axis=0)   # (B, K[, H], D)
+    phys, slot = _local_rows_for_slots(ids_all, meta, pack)
+    g = jnp.take(emb[0], phys, axis=0)       # (B, K[, H], D*pack)
+    rows = _extract(g, slot, pack, dim)      # (B, K[, H], D)
     if rows.ndim == 4:
         with jax.named_scope("pool"):
             rows = jnp.sum(rows, axis=2)     # pool before the exchange
@@ -123,10 +158,10 @@ def _lookup_body(emb, ids, meta, *, axis: str, out_column: np.ndarray):
 
 
 def _update_body(emb, ids, d_pooled, lr, meta, *, axis: str,
-                 out_column: np.ndarray, num_slots: int):
+                 out_column: np.ndarray, num_slots: int, pack: int):
     """SPMD body of the sparse SGD update.
 
-    emb (1, R, D), ids (B/N, T[,H]), d_pooled (B/N, T, D) -> new emb.
+    emb (1, R, D*pack), ids (B/N, T[,H]), d_pooled (B/N, T, D) -> new emb.
     """
     b_local = d_pooled.shape[0]
     dim = d_pooled.shape[-1]
@@ -136,14 +171,14 @@ def _update_body(emb, ids, d_pooled, lr, meta, *, axis: str,
         back = jax.lax.all_to_all(scat, axis, split_axis=1, concat_axis=0,
                                   tiled=True)  # (B, K, D)
     ids_all = jax.lax.all_gather(ids, axis, axis=0, tiled=True)
-    local = _local_rows_for_slots(ids_all, meta)  # (B, K[, H])
-    if local.ndim == 3:
+    phys, slot = _local_rows_for_slots(ids_all, meta, pack)  # (B, K[, H])
+    if phys.ndim == 3:
         # sum-pooled multi-hot: every hot row receives the pooled gradient
         back = jnp.broadcast_to(back[:, :, None, :],
-                                local.shape + (dim,))
-    upd = (-lr * back).astype(emb.dtype)
-    new = emb[0].at[local.reshape(-1)].add(
-        upd.reshape(-1, dim), mode="drop")
+                                phys.shape + (dim,))
+    upd = _expand((-lr * back).astype(emb.dtype), slot, pack)
+    new = emb[0].at[phys.reshape(-1)].add(
+        upd.reshape(-1, dim * pack), mode="drop")
     return new[None]
 
 
@@ -155,7 +190,9 @@ def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
     batch-sharded on ``axis``.  Returns (B, T, D) batch-sharded."""
     meta = placement_arrays(placement)
     body = functools.partial(_lookup_body, axis=axis,
-                             out_column=placement.out_column())
+                             out_column=placement.out_column(),
+                             pack=placement.pack,
+                             dim=emb.shape[-1] // placement.pack)
     id_spec = P(axis) if ids.ndim >= 2 else P(axis)
     return jax.shard_map(
         body, mesh=mesh,
@@ -172,7 +209,8 @@ def sharded_update_sgd(emb: jax.Array, ids: jax.Array, d_pooled: jax.Array,
     meta = placement_arrays(placement)
     body = functools.partial(
         _update_body, axis=axis, out_column=placement.out_column(),
-        num_slots=placement.num_shards * placement.slots_per_shard)
+        num_slots=placement.num_shards * placement.slots_per_shard,
+        pack=placement.pack)
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(),

@@ -54,6 +54,10 @@ class TablePlacement:
     table_shard: np.ndarray
     table_slot: np.ndarray
     table_local_offsets: np.ndarray
+    # lane packing (ops/embedding.py rationale): PACK logical rows per
+    # physical storage row; local stacks are (local_rows, D*pack) with
+    # offsets above measured in PHYSICAL rows when pack > 1.
+    pack: int = 1
 
     @property
     def num_tables(self) -> int:
@@ -70,10 +74,16 @@ class TablePlacement:
                 + self.table_slot).astype(np.int32)
 
 
-def plan_placement(table_sizes: Sequence[int], num_shards: int
-                   ) -> TablePlacement:
-    """Greedy balanced assignment: biggest table to the lightest shard."""
+def plan_placement(table_sizes: Sequence[int], num_shards: int,
+                   pack: int = 1) -> TablePlacement:
+    """Greedy balanced assignment: biggest table to the lightest shard.
+
+    ``pack``: logical rows per physical storage row (config.pack); local
+    offsets/row counts are then in physical rows and each table is padded
+    to a whole number of physical rows.
+    """
     table_sizes = tuple(int(s) for s in table_sizes)
+    phys_sizes = tuple(-(-s // pack) for s in table_sizes)
     t = len(table_sizes)
     order = np.argsort(-np.asarray(table_sizes), kind="stable")
     loads = np.zeros(num_shards, dtype=np.int64)
@@ -104,7 +114,7 @@ def plan_placement(table_sizes: Sequence[int], num_shards: int
             slot_local_offsets[d, s] = off
             table_slot[ti] = s
             table_local_offsets[ti] = off
-            off += table_sizes[ti]
+            off += phys_sizes[ti]
         max_rows = max(max_rows, off)
     local_rows = max_rows + 1  # + trash row for padding slots
     # padding slots all target the trash row; any id lands inside the stack
@@ -125,4 +135,5 @@ def plan_placement(table_sizes: Sequence[int], num_shards: int
         table_shard=table_shard,
         table_slot=table_slot,
         table_local_offsets=table_local_offsets,
+        pack=pack,
     )

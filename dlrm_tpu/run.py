@@ -152,7 +152,8 @@ def cmd_train(args) -> int:
         from dlrm_tpu.train.train import make_sharded_train_step
 
         mesh = make_mesh(n_dev)
-        placement = plan_placement(config.table_sizes, n_dev)
+        placement = plan_placement(config.table_sizes, n_dev,
+                                   pack=config.pack)
         sh_params = {
             "bottom": params["bottom"],
             "emb": pemb.shard_tables(params["emb"], placement,

@@ -52,22 +52,28 @@ def test_placement_covers_all_tables(num_tables, num_shards, rng):
         for d in range(num_shards)) + 1
 
 
-def test_shard_unshard_roundtrip(rng):
+@pytest.mark.parametrize("pack", [1, 16])
+def test_shard_unshard_roundtrip(pack, rng):
     config = dlrm_tpu.tiny_config(num_tables=5, rows=16, feature_size=8)
     stacked = rng.normal(size=(config.total_rows,
                                config.feature_size)).astype(np.float32)
-    p = plan_placement(config.table_sizes, 4)
+    p = plan_placement(config.table_sizes, 4, pack=pack)
     sharded = pemb.shard_tables(stacked, p, config)
+    assert sharded.shape[-1] == config.feature_size * pack
     back = pemb.unshard_tables(sharded, p, config)
     np.testing.assert_array_equal(back, stacked)
 
 
-@pytest.mark.parametrize("n_hot,num_tables", [(1, 7), (1, 26), (3, 7), (1, 5)])
-def test_sharded_lookup_matches_single_device(n_hot, num_tables, rng):
+@pytest.mark.parametrize("n_hot,num_tables,packed",
+                         [(1, 7, False), (1, 26, False), (3, 7, False),
+                          (1, 5, False), (1, 26, True), (3, 7, True)])
+def test_sharded_lookup_matches_single_device(n_hot, num_tables, packed,
+                                              rng):
     config = dlrm_tpu.tiny_config(num_tables=num_tables, rows=64,
                                   feature_size=8, n_hot=n_hot)
     mesh = make_mesh(8)
-    p = plan_placement(config.table_sizes, 8)
+    p = plan_placement(config.table_sizes, 8,
+                       pack=config.pack if packed else 1)
     stacked = rng.normal(size=(config.total_rows,
                                config.feature_size)).astype(np.float32)
     _, sparse, _ = _random_batch(rng, config, 32)
@@ -84,8 +90,9 @@ def test_sharded_lookup_matches_single_device(n_hot, num_tables, rng):
                                atol=1e-6, rtol=1e-6)
 
 
-@pytest.mark.parametrize("n_hot", [1, 3])
-def test_sharded_train_step_matches_single_device(n_hot, rng):
+@pytest.mark.parametrize("n_hot,packed",
+                         [(1, False), (3, False), (1, True), (3, True)])
+def test_sharded_train_step_matches_single_device(n_hot, packed, rng):
     config = dlrm_tpu.tiny_config(num_tables=7, rows=50, feature_size=8,
                                   n_hot=n_hot)
     params = dlrm_tpu.init_params(jax.random.key(7), config)
@@ -99,7 +106,8 @@ def test_sharded_train_step_matches_single_device(n_hot, rng):
 
     # 8-way hybrid
     mesh = make_mesh(8)
-    p = plan_placement(config.table_sizes, 8)
+    p = plan_placement(config.table_sizes, 8,
+                       pack=config.pack if packed else 1)
     sh_params = {
         "bottom": params["bottom"],
         "emb": pemb.shard_tables(params["emb"], p, config),
