@@ -130,6 +130,7 @@ def forward(params: dict, dense: jax.Array, sparse: jax.Array,
     Equivalent to the reference's ``(D::DLRMModel)(dense, sparse)``
     (model.jl:152-166).
     """
+    emb_ops.check_storage(params["emb"], config)
     with jax.named_scope("lookup"):
         pooled = emb_ops.mixed_lookup(params["emb"], sparse, config)
     dense_params = {"bottom": params["bottom"], "top": params["top"]}

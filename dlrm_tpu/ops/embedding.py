@@ -216,6 +216,27 @@ def get_logical_table(emb, config, t: int) -> jax.Array:
     return emb[off:off + config.table_sizes[t]]
 
 
+def check_storage(emb, config) -> None:
+    """Trace-time guard: chunk shapes must match the config's geometry.
+
+    Chunk assignment depends on table sizes AND the storage dtype's bytes
+    (chunk_budget_bytes), so arrays packed under one config are silently
+    wrong under another — convert via unpack -> cast -> pack_tables.
+    """
+    if not isinstance(emb, (tuple, list)):
+        if config.is_packed:
+            raise ValueError(
+                "config.is_packed but params['emb'] is a single array; "
+                "build params with init_params or pack_tables")
+        return
+    shapes = tuple(tuple(c.shape) for c in emb)
+    if shapes != config.emb_shapes:
+        raise ValueError(
+            f"embedding chunk shapes {shapes} do not match the config's "
+            f"{config.emb_shapes}; if you changed table sizes, dtype, or "
+            "chunk_budget_bytes, repack via unpack_tables -> pack_tables")
+
+
 def chunk_groups(config, tables):
     """Group a table-index list by storage chunk.
 

@@ -62,6 +62,7 @@ def train_step(params: dict, dense: jax.Array, sparse: jax.Array,
     small, big = emb_ops.partition_tables(config.table_sizes,
                                           config.small_table_threshold)
     dense_params, emb = model_lib.split_params(params)
+    emb_ops.check_storage(emb, config)
     onehot_dtype = config.compute_dtype
 
     def table_ids(t):
