@@ -128,8 +128,17 @@ def cmd_train(args) -> int:
     config = _build_config(args)
     if args.data is None and args.steps is None:
         raise SystemExit("synthetic training needs --steps")
+    lr = args.lr
+    if getattr(args, "lr_schedule", "constant") != "constant":
+        from dlrm_tpu.train.optim import make_schedule
+        lr = make_schedule(args.lr, schedule=args.lr_schedule,
+                           warmup_steps=args.warmup_steps,
+                           decay_start=args.decay_start,
+                           decay_steps=args.decay_steps)
     n_dev = len(jax.devices())
     sharded = args.sharded if args.sharded is not None else (n_dev > 1)
+    if sharded and getattr(args, "lr_schedule", "constant") != "constant":
+        raise SystemExit("--lr-schedule is single-chip only for now")
     if sharded and getattr(args, "optimizer", "sgd") != "sgd":
         raise SystemExit("--optimizer adagrad is single-chip only for now; "
                          "pass --sharded false")
@@ -178,14 +187,16 @@ def cmd_train(args) -> int:
                 params = jax.tree.map(jnp.asarray, params)
                 print(f"resumed from step {start_step}", file=sys.stderr)
         if args.optimizer == "sgd":
-            step_fn = dlrm_tpu.make_jit_train_step(config, args.lr)
+            step_fn = dlrm_tpu.make_jit_train_step(config, lr)
+            if callable(lr):
+                step_fn.step = start_step
         else:
             from dlrm_tpu.train.train import (init_opt_state,
                                               make_jit_train_step_opt)
             opt_step = make_jit_train_step_opt(
-                config, optimizer=args.optimizer, lr=args.lr)
+                config, optimizer=args.optimizer, lr=lr)
             opt_state = init_opt_state(params, config=config,
-                                       optimizer=args.optimizer, lr=args.lr)
+                                       optimizer=args.optimizer, lr=lr)
             state_box = {"opt": opt_state}
 
             def step_fn(p, d, s, l):
@@ -225,6 +236,16 @@ def cmd_train(args) -> int:
     source = _data_iter(args, config, steps=remaining, seed=args.seed)
     for b in device_prefetch(source, size=args.prefetch,
                              sharding=batch_place):
+        if args.profile_dir is not None:
+            # capture a jax.profiler trace of steps 3..6 after warmup; the
+            # named_scope phases (lookup/interaction/...) appear in the trace
+            if step == start_step + 3:
+                jax.profiler.start_trace(args.profile_dir)
+            elif step == start_step + 6:
+                jax.block_until_ready(params)
+                jax.profiler.stop_trace()
+                print(f"profile written to {args.profile_dir}",
+                      file=sys.stderr)
         params, loss = step_fn(params, b["dense"], b["sparse"], b["labels"])
         step += 1
         if step % args.log_every == 0:
@@ -385,11 +406,18 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--lr", type=float, default=0.1)
     tr.add_argument("--optimizer", default="sgd",
                     help="sgd | adagrad (single-chip path)")
+    tr.add_argument("--lr-schedule", default="constant",
+                    help="constant | warmup_poly_decay (MLPerf-style)")
+    tr.add_argument("--warmup-steps", type=int, default=0)
+    tr.add_argument("--decay-start", type=int, default=0)
+    tr.add_argument("--decay-steps", type=int, default=0)
     tr.add_argument("--steps", type=int, default=None)
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--log-every", type=int, default=100)
     tr.add_argument("--prefetch", type=int, default=2,
                     help="batches transferred to device ahead of compute")
+    tr.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of a few steps")
     tr.add_argument("--ckpt-dir", default=None)
     tr.add_argument("--save-interval", type=int, default=1000)
     tr.add_argument("--max-to-keep", type=int, default=3)

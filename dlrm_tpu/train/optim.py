@@ -53,14 +53,46 @@ def init_emb_state(config: DLRMConfig, optimizer: str, emb,
     raise ValueError(f"unknown optimizer {optimizer!r}")
 
 
-def dense_optimizer(optimizer: str, lr: float):
-    """optax transform for the dense (MLP) parameters."""
+def dense_optimizer(optimizer: str, lr):
+    """optax transform for the dense (MLP) parameters.  ``lr`` may be a
+    float or an optax schedule."""
     assert optax is not None, "optax required"
     if optimizer == "sgd":
         return optax.sgd(lr)
     if optimizer == "adagrad":
         return optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
     raise ValueError(f"unknown optimizer {optimizer!r}")
+
+
+def make_schedule(base_lr: float, *, schedule: str = "constant",
+                  warmup_steps: int = 0, decay_start: int = 0,
+                  decay_steps: int = 0, end_lr_scale: float = 0.0):
+    """Learning-rate schedule factory (MLPerf DLRM uses linear warmup +
+    polynomial decay; the reference uses a constant lr).
+
+    Returns a callable step -> lr usable by optax and by the sparse update
+    (evaluate it on the step counter and pass the scalar as ``lr``).
+    """
+    assert optax is not None, "optax required"
+    if schedule == "constant":
+        return optax.constant_schedule(base_lr)
+    if schedule == "warmup_poly_decay":
+        fns = []
+        bounds = []
+        if warmup_steps > 0:
+            fns.append(optax.linear_schedule(0.0, base_lr, warmup_steps))
+            bounds.append(warmup_steps)
+        hold = max(decay_start - warmup_steps, 0)
+        if hold:
+            fns.append(optax.constant_schedule(base_lr))
+            bounds.append(decay_start)
+        fns.append(optax.polynomial_schedule(
+            base_lr, base_lr * end_lr_scale, power=2,
+            transition_steps=max(decay_steps, 1)))
+        if len(fns) == 1:
+            return fns[0]
+        return optax.join_schedules(fns, bounds)
+    raise ValueError(f"unknown schedule {schedule!r}")
 
 
 def _dedup_rows(ids: jax.Array, rows: jax.Array):

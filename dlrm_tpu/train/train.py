@@ -136,9 +136,25 @@ def train_step(params: dict, dense: jax.Array, sparse: jax.Array,
     return model_lib.merge_params(new_dense, new_emb), loss
 
 
-def make_jit_train_step(config: DLRMConfig, lr: float) -> Callable:
-    step = functools.partial(train_step, config=config, lr=lr)
-    return jax.jit(step, donate_argnums=(0,))
+def make_jit_train_step(config: DLRMConfig, lr) -> Callable:
+    """Jitted SGD step.  ``lr`` may be a float (constant) or a schedule
+    (callable step -> lr, e.g. train.optim.make_schedule): the learning
+    rate enters the compiled program as a runtime scalar, so one program
+    serves every step."""
+    jitted = jax.jit(
+        lambda p, d, s, l, lr_val: train_step(p, d, s, l, config=config,
+                                              lr=lr_val),
+        donate_argnums=(0,))
+    if not callable(lr):
+        return lambda p, d, s, l: jitted(p, d, s, l, jnp.float32(lr))
+
+    def run(p, d, s, l):
+        lr_val = jnp.float32(lr(run.step))
+        run.step += 1
+        return jitted(p, d, s, l, lr_val)
+
+    run.step = 0  # set before resuming from a checkpoint
+    return run
 
 
 # -- pluggable-optimizer step (SGD / sparse Adagrad) -------------------------
@@ -154,6 +170,7 @@ def init_opt_state(params: dict, *, config: DLRMConfig, optimizer: str,
     return {
         "dense": tx.init(dense_params),
         "emb": optim.init_emb_state(config, optimizer, emb),
+        "count": jnp.zeros((), jnp.int32),
     }
 
 
@@ -204,6 +221,8 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
     loss, (dgrads, d_rows_big, d_smalls) = jax.value_and_grad(
         inner, argnums=(0, 1, 2))(dense_params, rows_big, small_tables)
 
+    count = opt_state.get("count", jnp.zeros((), jnp.int32))
+    lr_t = lr(count) if callable(lr) else lr  # schedule support
     tx = optim.dense_optimizer(optimizer, lr)
     with jax.named_scope("dense_update"):
         updates, new_dense_state = tx.update(dgrads, opt_state["dense"],
@@ -219,10 +238,10 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
         with jax.named_scope("sparse_update"):
             if optimizer == "sgd":
                 new_emb = list(emb_ops.apply_sgd_chunked(
-                    new_emb, ids_big, d_rows_big, lr, config, big))
+                    new_emb, ids_big, d_rows_big, lr_t, config, big))
             else:
                 new_emb, emb_state = optim.apply_adagrad_chunked(
-                    new_emb, emb_state, ids_big, d_rows_big, lr, config,
+                    new_emb, emb_state, ids_big, d_rows_big, lr_t, config,
                     big)
                 new_emb = list(new_emb)
     if small:
@@ -235,7 +254,7 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
                 pad = pn * config.pack - config.table_sizes[t]
                 grad = d_smalls[k]
                 if optimizer == "sgd":
-                    upd = (-lr * grad).astype(emb_dtype)
+                    upd = (-lr_t * grad).astype(emb_dtype)
                     if pad:
                         upd = jnp.concatenate(
                             [upd, jnp.zeros((pad, upd.shape[1]), upd.dtype)])
@@ -246,7 +265,7 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
                     acc_view = new_acc[c][po:po + pn].reshape(
                         -1, config.feature_size)[:config.table_sizes[t]]
                     new_tab, new_acc_tab = optim.apply_adagrad_dense_table(
-                        tab, acc_view, grad, lr)
+                        tab, acc_view, grad, lr_t)
                     if pad:
                         new_tab = jnp.concatenate(
                             [new_tab, jnp.zeros((pad, new_tab.shape[1]),
@@ -264,7 +283,8 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
                 emb_state = EmbAdagradState(acc=tuple(new_acc))
 
     new_params = model_lib.merge_params(new_dense, tuple(new_emb))
-    new_opt = {"dense": new_dense_state, "emb": emb_state}
+    new_opt = {"dense": new_dense_state, "emb": emb_state,
+               "count": count + 1}
     return (new_params, new_opt), loss
 
 

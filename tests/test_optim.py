@@ -129,3 +129,43 @@ def test_adagrad_trains():
             jnp.asarray(lbl))
         losses.append(float(loss))
     assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 0.03
+
+
+def test_lr_schedule_warmup_decay():
+    from dlrm_tpu.train.optim import make_schedule
+
+    sched = make_schedule(1.0, schedule="warmup_poly_decay",
+                          warmup_steps=10, decay_start=20, decay_steps=10,
+                          end_lr_scale=0.0)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(5)), 0.5, atol=1e-6)
+    np.testing.assert_allclose(float(sched(10)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(sched(15)), 1.0, atol=1e-6)
+    assert float(sched(25)) < 1.0
+    np.testing.assert_allclose(float(sched(30)), 0.0, atol=1e-6)
+
+
+def test_scheduled_sgd_step_matches_manual():
+    """make_jit_train_step with a schedule applies schedule(step) each call."""
+    from dlrm_tpu.train.optim import make_schedule
+
+    c = dlrm_tpu.tiny_config()
+    params = dlrm_tpu.init_params(jax.random.key(0), c)
+    rng = np.random.default_rng(0)
+    batch = synthetic.random_batch(rng, c, 16)
+    args = (jnp.asarray(batch["dense"]), jnp.asarray(batch["sparse"]),
+            jnp.asarray(batch["labels"]))
+
+    sched = make_schedule(0.5, schedule="warmup_poly_decay",
+                          warmup_steps=2, decay_start=2, decay_steps=10)
+    step_s = dlrm_tpu.make_jit_train_step(c, sched)
+    p1 = jax.tree.map(jnp.copy, params)
+    for _ in range(3):
+        p1, _ = step_s(p1, *args)
+
+    p2 = jax.tree.map(jnp.copy, params)
+    for i in range(3):
+        fixed = dlrm_tpu.make_jit_train_step(c, float(sched(i)))
+        p2, _ = fixed(p2, *args)
+    np.testing.assert_allclose(
+        _logical(p1["emb"], c), _logical(p2["emb"], c), atol=1e-6)
