@@ -96,6 +96,9 @@ def _data_iter(args, config, *, steps: Optional[int], seed: int = 0):
                 if steps is None:
                     return  # one epoch when steps unspecified
         return gen()
+    if getattr(args, "synthetic", "uniform") == "skewed":
+        truth = synthetic.ClickthroughModel(config, seed=12345)
+        return truth.stream(args.batch_size, steps, seed + 1)
     return synthetic.batch_stream(config, args.batch_size, steps, seed)
 
 
@@ -221,8 +224,10 @@ def cmd_train(args) -> int:
             eval_steps = 10  # synthetic eval needs a bound
         eval_iter = _data_iter(
             argparse.Namespace(data=eval_data,
-                               batch_size=args.batch_size),
-            config, steps=eval_steps)
+                               batch_size=args.batch_size,
+                               synthetic=getattr(args, "synthetic",
+                                                 "uniform")),
+            config, steps=eval_steps, seed=10_000)
         m = evaluate(params, eval_iter, config)
         m["step"] = step
         eval_record.append(m)
@@ -272,8 +277,11 @@ def cmd_train(args) -> int:
     if args.eval_data or (args.data and args.eval_after):
         eval_iter = _data_iter(
             argparse.Namespace(data=args.eval_data or args.data,
-                               batch_size=args.batch_size),
-            config, steps=args.eval_steps)
+                               batch_size=args.batch_size,
+                               synthetic=getattr(args, "synthetic",
+                                                 "uniform")),
+            config, steps=args.eval_steps or (None if args.data else 10),
+            seed=10_000)
         host = params if not sharded else None
         if sharded:
             from dlrm_tpu.ops import embedding as emb_ops
@@ -395,6 +403,9 @@ def build_parser() -> argparse.ArgumentParser:
     _add_config_flags(tr)
     tr.add_argument("--data", default=None, help="binarized dataset "
                     "(default: synthetic)")
+    tr.add_argument("--synthetic", default="uniform",
+                    help="uniform | skewed (learnable Zipf-id CTR with a "
+                    "planted ground truth)")
     tr.add_argument("--eval-data", default=None)
     tr.add_argument("--eval-after", action="store_true")
     tr.add_argument("--eval-every", type=int, default=None,
