@@ -182,6 +182,30 @@ def cmd_train(args) -> int:
         params = jax.device_put(sh_params, shardings)
         step_fn = make_sharded_train_step(config, args.lr, mesh, placement)
         batch_place = batch_sharding(mesh)
+    elif args.hbm_budget_gb is not None:
+        # two-tier tables (the reference's CacheManager localsize knob,
+        # src/DLRM.jl:47-53): spill the biggest tables to host memory
+        from dlrm_tpu.parallel import host_tier as ht
+
+        if args.optimizer != "sgd" or callable(lr):
+            raise SystemExit("--hbm-budget-gb supports plain SGD for now")
+        if mgr is not None:
+            raise SystemExit("--hbm-budget-gb with --ckpt-dir not wired yet")
+        plan = ht.plan_tiers(config,
+                             int(args.hbm_budget_gb * (1 << 30)))
+        print(f"host-tier tables: {list(plan.host_tables)} "
+              f"({plan.host_rows:,} rows)", file=sys.stderr)
+        tiered = ht.init_tiered_params(params, plan, config)
+        tiered_step = ht.make_tiered_train_step(config, args.lr, plan)
+        state_box = {"tiered": tiered}
+
+        def step_fn(p, d, s, l):
+            del p
+            state_box["tiered"], loss = tiered_step(state_box["tiered"],
+                                                    d, s, l)
+            return state_box["tiered"], loss
+        params = tiered
+        batch_place = None
     else:
         if mgr is not None:
             restored = mgr.restore_latest(template=params)
@@ -212,6 +236,20 @@ def cmd_train(args) -> int:
 
     eval_record: List[dict] = []
 
+    def eval_view():
+        """params in the standard storage layout for metrics.evaluate."""
+        if args.hbm_budget_gb is not None and not sharded:
+            from dlrm_tpu.ops import embedding as emb_ops
+            from dlrm_tpu.parallel import host_tier as ht
+            t = state_box["tiered"]
+            logical = ht.merge_tiers(t["emb_dev"], t["emb_host"], plan,
+                                     config)
+            return {"bottom": t["bottom"],
+                    "emb": jax.tree.map(
+                        jnp.asarray, emb_ops.pack_tables(logical, config)),
+                    "top": t["top"]}
+        return params
+
     def periodic_eval():
         # the reference's Every(test, n) combinator (train/utils.jl:11-46)
         if sharded:
@@ -228,7 +266,7 @@ def cmd_train(args) -> int:
                                synthetic=getattr(args, "synthetic",
                                                  "uniform")),
             config, steps=eval_steps, seed=10_000)
-        m = evaluate(params, eval_iter, config)
+        m = evaluate(eval_view(), eval_iter, config)
         m["step"] = step
         eval_record.append(m)
         print(f"eval @ step {step}: acc={m['accuracy']:.4f} "
@@ -274,7 +312,7 @@ def cmd_train(args) -> int:
               "seconds": round(time.time() - t_start, 2)}
     if eval_record:
         result["eval_record"] = eval_record
-    if args.eval_data or (args.data and args.eval_after):
+    if args.eval_data or args.eval_after:
         eval_iter = _data_iter(
             argparse.Namespace(data=args.eval_data or args.data,
                                batch_size=args.batch_size,
@@ -282,7 +320,7 @@ def cmd_train(args) -> int:
                                                  "uniform")),
             config, steps=args.eval_steps or (None if args.data else 10),
             seed=10_000)
-        host = params if not sharded else None
+        host = eval_view() if not sharded else None
         if sharded:
             from dlrm_tpu.ops import embedding as emb_ops
             from dlrm_tpu.parallel import embedding as pemb
@@ -429,6 +467,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="batches transferred to device ahead of compute")
     tr.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of a few steps")
+    tr.add_argument("--hbm-budget-gb", type=float, default=None,
+                    help="two-tier tables: spill biggest tables to host "
+                    "memory until the device tier fits this many GiB "
+                    "(the reference's CacheManager localsize)")
     tr.add_argument("--ckpt-dir", default=None)
     tr.add_argument("--save-interval", type=int, default=1000)
     tr.add_argument("--max-to-keep", type=int, default=3)

@@ -137,3 +137,20 @@ def test_train_cli_eval_every(capsys):
     assert len(res["eval_record"]) == 2
     assert res["eval_record"][0]["step"] == 2
     assert 0.0 <= res["eval_record"][-1]["accuracy"] <= 1.0
+
+
+def test_train_cli_host_tier(capsys):
+    """Two-tier path from the CLI: a tiny hbm budget spills tables to host
+    memory; training runs and eval-after works on the merged view."""
+    import jax
+    from dlrm_tpu.parallel import host_tier as ht
+
+    if not ht.host_memory_supported():
+        pytest.skip("no pinned_host memory space")
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "3",
+        "--sharded", "false", "--hbm-budget-gb", "0.000004",
+        "--eval-after", "--eval-steps", "2", "--log-every", "1"])
+    assert rc == 0
+    assert res["steps"] == 3 and np.isfinite(res["final_loss"])
+    assert 0.0 <= res["eval"]["accuracy"] <= 1.0
