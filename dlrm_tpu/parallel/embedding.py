@@ -56,16 +56,27 @@ def shard_tables(stacked: np.ndarray, placement: TablePlacement,
     p = placement.pack
     d = stacked.shape[1]
     out = np.zeros((n, r, d * p), dtype=stacked.dtype)
-    for t, rows in enumerate(placement.table_sizes):
-        shard = placement.table_shard[t]
-        lo = placement.table_local_offsets[t]
-        go = config.table_offsets[t]
-        tab = stacked[go:go + rows]
-        prows = -(-rows // p)
-        pad = prows * p - rows
+
+    def fill(shard, lo, tab, prows):
+        pad = prows * p - len(tab)
         if pad:
             tab = np.concatenate([tab, np.zeros((pad, d), tab.dtype)])
         out[shard, lo:lo + prows] = tab.reshape(prows, d * p)
+
+    for t in placement.slot_table_list:
+        rows = placement.table_sizes[t]
+        fill(placement.table_shard[t], placement.table_local_offsets[t],
+             stacked[config.table_offsets[t]:
+                     config.table_offsets[t] + rows], -(-rows // p))
+    for k, t in enumerate(placement.row_sharded):
+        rows = placement.table_sizes[t]
+        chunk = placement.rs_rows_per_shard[k]
+        go = config.table_offsets[t]
+        for shard in range(n):
+            blk = stacked[go + shard * chunk:
+                          go + min((shard + 1) * chunk, rows)]
+            if len(blk):
+                fill(shard, placement.rs_local_offsets[k], blk, chunk // p)
     return out
 
 
@@ -77,13 +88,26 @@ def unshard_tables(sharded: np.ndarray, placement: TablePlacement,
     p = placement.pack
     d = sharded.shape[-1] // p
     out = np.zeros((total, d), dtype=sharded.dtype)
-    for t, rows in enumerate(placement.table_sizes):
+    for t in placement.slot_table_list:
+        rows = placement.table_sizes[t]
         shard = placement.table_shard[t]
         lo = placement.table_local_offsets[t]
         go = config.table_offsets[t]
         prows = -(-rows // p)
         out[go:go + rows] = sharded[shard, lo:lo + prows].reshape(
             prows * p, d)[:rows]
+    for k, t in enumerate(placement.row_sharded):
+        rows = placement.table_sizes[t]
+        chunk = placement.rs_rows_per_shard[k]
+        lo = placement.rs_local_offsets[k]
+        go = config.table_offsets[t]
+        for shard in range(placement.num_shards):
+            start = shard * chunk
+            n_rows = min(chunk, rows - start)
+            if n_rows <= 0:
+                break
+            out[go + start:go + start + n_rows] = sharded[
+                shard, lo:lo + chunk // p].reshape(chunk, d)[:n_rows]
     return out
 
 
@@ -140,45 +164,117 @@ def _expand(rows, slot, pack: int):
                        ).astype(rows.dtype)
 
 
+def _rs_translate(ids_t, k, placement, my_idx):
+    """Row-sharded table k: global ids (B[,H]) -> (phys, slot, owned mask)
+    for THIS shard's contiguous block (non-owned ids -> trash row)."""
+    pack = placement.pack
+    chunk = placement.rs_rows_per_shard[k]
+    lo = placement.rs_local_offsets[k]
+    owner = ids_t // chunk
+    owned = owner == my_idx
+    local = jnp.where(owned, ids_t - my_idx * chunk, 0)
+    phys = jnp.where(owned, lo + local // pack, placement.local_rows - 1)
+    slot = local % pack if pack > 1 else jnp.zeros_like(local)
+    return phys, slot, owned
+
+
 def _lookup_body(emb, ids, meta, *, axis: str, out_column: np.ndarray,
-                 pack: int, dim: int):
+                 pack: int, dim: int, placement: "TablePlacement"):
     """SPMD body: emb (1, R, D*pack), ids (B/N, T[,H]) -> pooled
-    (B/N, T, D)."""
+    (B/N, T, D) in GLOBAL table order.
+
+    Slot-placed tables: local gather + all-to-all slot exchange.
+    Row-sharded tables: each id's row lives on exactly ONE shard, so the
+    masked local partials sum to the full lookup — psum_scatter both sums
+    over shards and splits the batch in one collective (comm volume B*D
+    per table, same order as the slot all-to-all).
+    """
     ids_all = jax.lax.all_gather(ids, axis, axis=0, tiled=True)
-    phys, slot = _local_rows_for_slots(ids_all, meta, pack)
-    g = jnp.take(emb[0], phys, axis=0)       # (B, K[, H], D*pack)
-    rows = _extract(g, slot, pack, dim)      # (B, K[, H], D)
-    if rows.ndim == 4:
-        with jax.named_scope("pool"):
-            rows = jnp.sum(rows, axis=2)     # pool before the exchange
-    with jax.named_scope("a2a_fwd"):
-        ex = jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=1,
-                                tiled=True)  # (B/N, N*K, D)
-    return jnp.take(ex, jnp.asarray(out_column), axis=1)  # (B/N, T, D)
+    parts = []
+    if placement.slot_table_list:
+        # meta's slot_tables carry global table indices, so the slot path
+        # picks its columns straight from the full ids_all
+        phys, slot = _local_rows_for_slots(ids_all, meta, pack)
+        g = jnp.take(emb[0], phys, axis=0)       # (B, K[, H], D*pack)
+        rows = _extract(g, slot, pack, dim)      # (B, K[, H], D)
+        if rows.ndim == 4:
+            with jax.named_scope("pool"):
+                rows = jnp.sum(rows, axis=2)     # pool before the exchange
+        with jax.named_scope("a2a_fwd"):
+            ex = jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=1,
+                                    tiled=True)  # (B/N, N*K, D)
+        parts.append(jnp.take(ex, jnp.asarray(out_column), axis=1))
+    if placement.row_sharded:
+        my_idx = jax.lax.axis_index(axis)
+        rs_parts = []
+        for k, t in enumerate(placement.row_sharded):
+            ids_t = (ids_all[:, t] if ids_all.ndim == 2
+                     else ids_all[:, t, :])      # (B[, H])
+            phys, slot, owned = _rs_translate(ids_t, k, placement, my_idx)
+            g = jnp.take(emb[0], phys, axis=0)   # (B[, H], D*pack)
+            rows = _extract(g, slot, pack, dim)  # (B[, H], D)
+            rows = rows * owned[..., None].astype(rows.dtype)
+            if rows.ndim == 3:
+                rows = jnp.sum(rows, axis=1)     # pool multi-hot partials
+            rs_parts.append(rows)                # (B, D)
+        stacked = jnp.stack(rs_parts, axis=1)    # (B, n_rs, D)
+        with jax.named_scope("rs_reduce_scatter"):
+            # sum partials over shards AND split the batch in one collective
+            part = jax.lax.psum_scatter(stacked, axis, scatter_dimension=0,
+                                        tiled=True)  # (B/N, n_rs, D)
+        parts.append(part)
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    return jnp.take(out, jnp.asarray(placement.output_order()), axis=1)
 
 
 def _update_body(emb, ids, d_pooled, lr, meta, *, axis: str,
-                 out_column: np.ndarray, num_slots: int, pack: int):
+                 out_column: np.ndarray, num_slots: int, pack: int,
+                 placement: "TablePlacement"):
     """SPMD body of the sparse SGD update.
 
     emb (1, R, D*pack), ids (B/N, T[,H]), d_pooled (B/N, T, D) -> new emb.
+    Slot tables route gradients back through the inverse all-to-all;
+    row-sharded tables all-gather their (B, D) gradient columns and each
+    shard scatter-adds only the rows it owns.
     """
-    b_local = d_pooled.shape[0]
     dim = d_pooled.shape[-1]
-    scat = jnp.zeros((b_local, num_slots, dim), d_pooled.dtype)
-    scat = scat.at[:, jnp.asarray(out_column), :].set(d_pooled)
-    with jax.named_scope("a2a_bwd"):
-        back = jax.lax.all_to_all(scat, axis, split_axis=1, concat_axis=0,
-                                  tiled=True)  # (B, K, D)
+    b_local = d_pooled.shape[0]
     ids_all = jax.lax.all_gather(ids, axis, axis=0, tiled=True)
-    phys, slot = _local_rows_for_slots(ids_all, meta, pack)  # (B, K[, H])
-    if phys.ndim == 3:
-        # sum-pooled multi-hot: every hot row receives the pooled gradient
-        back = jnp.broadcast_to(back[:, :, None, :],
-                                phys.shape + (dim,))
-    upd = _expand((-lr * back).astype(emb.dtype), slot, pack)
-    new = emb[0].at[phys.reshape(-1)].add(
-        upd.reshape(-1, dim * pack), mode="drop")
+    new = emb[0]
+    if placement.slot_table_list:
+        d_slots = jnp.take(
+            d_pooled, jnp.asarray(placement.slot_table_list), axis=1)
+        scat = jnp.zeros((b_local, num_slots, dim), d_pooled.dtype)
+        scat = scat.at[:, jnp.asarray(out_column), :].set(d_slots)
+        with jax.named_scope("a2a_bwd"):
+            back = jax.lax.all_to_all(scat, axis, split_axis=1,
+                                      concat_axis=0, tiled=True)  # (B,K,D)
+        phys, slot = _local_rows_for_slots(ids_all, meta, pack)
+        if phys.ndim == 3:
+            # sum-pooled multi-hot: every hot row gets the pooled gradient
+            back = jnp.broadcast_to(back[:, :, None, :],
+                                    phys.shape + (dim,))
+        upd = _expand((-lr * back).astype(new.dtype), slot, pack)
+        new = new.at[phys.reshape(-1)].add(
+            upd.reshape(-1, dim * pack), mode="drop")
+    if placement.row_sharded:
+        my_idx = jax.lax.axis_index(axis)
+        d_rs = jnp.take(d_pooled, jnp.asarray(placement.row_sharded,
+                                              jnp.int32), axis=1)
+        with jax.named_scope("rs_allgather_bwd"):
+            d_rs_all = jax.lax.all_gather(d_rs, axis, axis=0,
+                                          tiled=True)  # (B, n_rs, D)
+        for k, t in enumerate(placement.row_sharded):
+            ids_t = (ids_all[:, t] if ids_all.ndim == 2
+                     else ids_all[:, t, :])
+            phys, slot, owned = _rs_translate(ids_t, k, placement, my_idx)
+            g = d_rs_all[:, k, :]                       # (B, D)
+            if ids_t.ndim == 2:  # multi-hot: broadcast pooled grad to hits
+                g = jnp.broadcast_to(g[:, None, :], ids_t.shape + (dim,))
+            g = g * owned[..., None].astype(g.dtype)
+            upd = _expand((-lr * g).astype(new.dtype), slot, pack)
+            new = new.at[phys.reshape(-1)].add(
+                upd.reshape(-1, dim * pack), mode="drop")
     return new[None]
 
 
@@ -192,7 +288,8 @@ def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
     body = functools.partial(_lookup_body, axis=axis,
                              out_column=placement.out_column(),
                              pack=placement.pack,
-                             dim=emb.shape[-1] // placement.pack)
+                             dim=emb.shape[-1] // placement.pack,
+                             placement=placement)
     id_spec = P(axis) if ids.ndim >= 2 else P(axis)
     return jax.shard_map(
         body, mesh=mesh,
@@ -210,7 +307,7 @@ def sharded_update_sgd(emb: jax.Array, ids: jax.Array, d_pooled: jax.Array,
     body = functools.partial(
         _update_body, axis=axis, out_column=placement.out_column(),
         num_slots=placement.num_shards * placement.slots_per_shard,
-        pack=placement.pack)
+        pack=placement.pack, placement=placement)
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(),

@@ -58,6 +58,15 @@ class TablePlacement:
     # physical storage row; local stacks are (local_rows, D*pack) with
     # offsets above measured in PHYSICAL rows when pack > 1.
     pack: int = 1
+    # Row-sharded tables (rows > max_rows_per_shard): every shard owns a
+    # CONTIGUOUS block of ceil(rows/N) logical rows of each such table,
+    # stored at the same local physical offset on every shard (the chunks
+    # sit at the top of each local stack, before the slot tables).  These
+    # tables are looked up with a masked local gather + reduce-scatter
+    # instead of the slot all-to-all (parallel/embedding.py).
+    row_sharded: Tuple[int, ...] = ()
+    rs_rows_per_shard: Tuple[int, ...] = ()   # logical rows per shard block
+    rs_local_offsets: Tuple[int, ...] = ()    # physical offset per rs table
 
     @property
     def num_tables(self) -> int:
@@ -67,29 +76,74 @@ class TablePlacement:
     def trash_row(self) -> int:
         return self.local_rows - 1
 
+    @property
+    def slot_table_list(self) -> Tuple[int, ...]:
+        """Slot-placed (whole-table) tables, ascending global order."""
+        return tuple(t for t in range(self.num_tables)
+                     if t not in self.row_sharded)
+
     def out_column(self) -> np.ndarray:
-        """(T,) column of table t in the (N*K)-wide exchanged layout
-        (columns ordered shard-major, slot-minor)."""
-        return (self.table_shard * self.slots_per_shard
-                + self.table_slot).astype(np.int32)
+        """(T_slot,) column of each slot table (in slot_table_list order)
+        inside the (N*K)-wide exchanged layout (shard-major, slot-minor)."""
+        return np.asarray(
+            [self.table_shard[t] * self.slots_per_shard + self.table_slot[t]
+             for t in self.slot_table_list], dtype=np.int32)
+
+    def output_order(self) -> np.ndarray:
+        """(T,) permutation restoring global table order from the
+        [slot_table_list..., row_sharded...] assembly order."""
+        order = list(self.slot_table_list) + list(self.row_sharded)
+        inv = np.zeros(self.num_tables, dtype=np.int32)
+        for pos, t in enumerate(order):
+            inv[t] = pos
+        return inv
 
 
 def plan_placement(table_sizes: Sequence[int], num_shards: int,
-                   pack: int = 1) -> TablePlacement:
+                   pack: int = 1,
+                   max_rows_per_shard: int = None) -> TablePlacement:
     """Greedy balanced assignment: biggest table to the lightest shard.
 
     ``pack``: logical rows per physical storage row (config.pack); local
     offsets/row counts are then in physical rows and each table is padded
     to a whole number of physical rows.
+
+    ``max_rows_per_shard``: tables with more rows are ROW-SHARDED — their
+    rows split contiguously across all shards — instead of placed whole
+    (required when one table exceeds a device's HBM, e.g. Criteo
+    Terabyte's 292.8M-row table).  Default: no row sharding.
     """
     table_sizes = tuple(int(s) for s in table_sizes)
     phys_sizes = tuple(-(-s // pack) for s in table_sizes)
     t = len(table_sizes)
-    order = np.argsort(-np.asarray(table_sizes), kind="stable")
+
+    row_sharded = tuple(
+        ti for ti in range(t)
+        if max_rows_per_shard is not None
+        and table_sizes[ti] > max_rows_per_shard)
+    slot_set = [ti for ti in range(t) if ti not in row_sharded]
+    # row-sharded blocks: whole physical rows per shard, fixed local offsets
+    def _rs_rows(rows: int) -> int:
+        chunk = -(-rows // num_shards)       # ceil rows / shards
+        return pack * (-(-chunk // pack))    # round up to whole phys rows
+
+    rs_rows_per_shard = tuple(_rs_rows(table_sizes[ti])
+                              for ti in row_sharded)
+    rs_phys_per_shard = tuple(r // pack for r in rs_rows_per_shard)
+    rs_local_offsets = []
+    off = 0
+    for p in rs_phys_per_shard:
+        rs_local_offsets.append(off)
+        off += p
+    rs_total_phys = off
+
+    order = [ti for ti in np.argsort(-np.asarray(table_sizes),
+                                     kind="stable") if ti in slot_set]
     loads = np.zeros(num_shards, dtype=np.int64)
     counts = np.zeros(num_shards, dtype=np.int64)
     table_shard = np.zeros(t, dtype=np.int32)
-    k = -(-t // num_shards) if t else 1  # ceil; >=1 so shapes stay non-empty
+    n_slot = len(slot_set)
+    k = -(-n_slot // num_shards) if n_slot else 1  # ceil; >=1 non-empty
     for ti in order:
         # lightest shard with a free slot
         candidates = np.flatnonzero(counts < k)
@@ -105,9 +159,9 @@ def plan_placement(table_sizes: Sequence[int], num_shards: int,
     table_local_offsets = np.zeros(t, dtype=np.int32)
     max_rows = 0
     for d in range(num_shards):
-        tables = [ti for ti in range(t) if table_shard[ti] == d]
-        # preserve global table order within a shard for readability
-        off = 0
+        tables = [ti for ti in slot_set if table_shard[ti] == d]
+        # slot tables live ABOVE the row-sharded blocks (fixed offsets)
+        off = rs_total_phys
         for s, ti in enumerate(tables):
             slot_tables[d, s] = ti
             slot_valid[d, s] = 1
@@ -116,6 +170,10 @@ def plan_placement(table_sizes: Sequence[int], num_shards: int,
             table_local_offsets[ti] = off
             off += phys_sizes[ti]
         max_rows = max(max_rows, off)
+    for ti in row_sharded:  # sentinels; resolved via rs_* fields instead
+        table_shard[ti] = -1
+        table_slot[ti] = -1
+        table_local_offsets[ti] = -1
     local_rows = max_rows + 1  # + trash row for padding slots
     # padding slots all target the trash row; any id lands inside the stack
     # only if the id is 0 (ids for padding slots are zeroed in the kernel).
@@ -136,4 +194,7 @@ def plan_placement(table_sizes: Sequence[int], num_shards: int,
         table_slot=table_slot,
         table_local_offsets=table_local_offsets,
         pack=pack,
+        row_sharded=row_sharded,
+        rs_rows_per_shard=rs_rows_per_shard,
+        rs_local_offsets=tuple(rs_local_offsets),
     )

@@ -165,7 +165,11 @@ def cmd_train(args) -> int:
 
         mesh = make_mesh(n_dev)
         placement = plan_placement(config.table_sizes, n_dev,
-                                   pack=config.pack)
+                                   pack=config.pack,
+                                   max_rows_per_shard=args.max_rows_per_shard)
+        if placement.row_sharded:
+            print(f"row-sharded tables: {list(placement.row_sharded)}",
+                  file=sys.stderr)
         sh_params = {
             "bottom": params["bottom"],
             "emb": pemb.shard_tables(params["emb"], placement,
@@ -477,6 +481,9 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--sharded", type=lambda s: s.lower() == "true",
                     default=None, help="force hybrid-parallel path "
                     "(default: auto if >1 device)")
+    tr.add_argument("--max-rows-per-shard", type=int, default=None,
+                    help="row-shard tables bigger than this across the "
+                    "mesh (for tables larger than one device's HBM)")
     tr.set_defaults(fn=cmd_train)
 
     ev = sub.add_parser("eval", help="accuracy / AUC / loss")

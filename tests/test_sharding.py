@@ -135,3 +135,90 @@ def test_sharded_train_step_matches_single_device(n_hot, packed, rng):
                     np.asarray(layer[k]),
                     np.asarray(ref_params[side][i][k]),
                     atol=1e-5, rtol=1e-5, err_msg=f"{side}[{i}].{k}")
+
+
+@pytest.mark.parametrize("pack", [1, 16])
+def test_shard_unshard_roundtrip_row_sharded(pack, rng):
+    config = dlrm_tpu.tiny_config(num_tables=5, rows=16, feature_size=8)
+    import dataclasses
+    config = dataclasses.replace(config, table_sizes=(16, 100, 7, 64, 33))
+    stacked = rng.normal(size=(config.total_rows,
+                               config.feature_size)).astype(np.float32)
+    p = plan_placement(config.table_sizes, 4, pack=pack,
+                       max_rows_per_shard=40)
+    assert set(p.row_sharded) == {1, 3}
+    sharded = pemb.shard_tables(stacked, p, config)
+    back = pemb.unshard_tables(sharded, p, config)
+    np.testing.assert_array_equal(back, stacked)
+
+
+@pytest.mark.parametrize("n_hot,packed", [(1, False), (3, False),
+                                          (1, True), (3, True)])
+def test_row_sharded_lookup_matches_single_device(n_hot, packed, rng):
+    """Tables too big for one shard: masked gather + psum_scatter path."""
+    import dataclasses
+    config = dlrm_tpu.tiny_config(num_tables=6, rows=64, feature_size=8,
+                                  n_hot=n_hot)
+    config = dataclasses.replace(
+        config, table_sizes=(64, 400, 12, 300, 64, 50))
+    mesh = make_mesh(8)
+    p = plan_placement(config.table_sizes, 8,
+                       pack=config.pack if packed else 1,
+                       max_rows_per_shard=100)
+    assert set(p.row_sharded) == {1, 3}
+    stacked = rng.normal(size=(config.total_rows,
+                               config.feature_size)).astype(np.float32)
+    _, sparse, _ = _random_batch(rng, config, 32)
+
+    expected = emb_ops.lookup(jnp.asarray(stacked), jnp.asarray(sparse),
+                              config.table_offsets)
+    emb_sh = jax.device_put(pemb.shard_tables(stacked, p, config),
+                            jax.NamedSharding(mesh, jax.P("d")))
+    ids = jax.device_put(jnp.asarray(sparse), batch_sharding(mesh))
+    got = jax.jit(lambda e, i: pemb.sharded_lookup(
+        e, i, mesh=mesh, placement=p, axis="d"))(emb_sh, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("n_hot,packed", [(1, False), (2, True)])
+def test_row_sharded_train_step_matches_single_device(n_hot, packed, rng):
+    import dataclasses
+    config = dlrm_tpu.tiny_config(num_tables=6, rows=64, feature_size=8,
+                                  n_hot=n_hot)
+    config = dataclasses.replace(
+        config, table_sizes=(64, 400, 12, 300, 64, 50))
+    params = dlrm_tpu.init_params(jax.random.key(7), config)
+    dense, sparse, labels = _random_batch(rng, config, 32)
+    # duplicate ids stress the masked scatter path
+    sparse[1] = sparse[0]
+    lr = 0.5
+
+    ref_params, ref_loss = jax.jit(
+        lambda p, d, s, l: train_step(p, d, s, l, config=config, lr=lr)
+    )(params, jnp.asarray(dense), jnp.asarray(sparse), jnp.asarray(labels))
+
+    mesh = make_mesh(8)
+    p = plan_placement(config.table_sizes, 8,
+                       pack=config.pack if packed else 1,
+                       max_rows_per_shard=100)
+    assert p.row_sharded
+    sh_params = {
+        "bottom": params["bottom"],
+        "emb": pemb.shard_tables(params["emb"], p, config),
+        "top": params["top"],
+    }
+    sh_params = jax.device_put(sh_params, param_shardings(mesh, sh_params))
+    bs = batch_sharding(mesh)
+    step = make_sharded_train_step(config, lr, mesh, p)
+    new_params, loss = step(sh_params,
+                            jax.device_put(jnp.asarray(dense), bs),
+                            jax.device_put(jnp.asarray(sparse), bs),
+                            jax.device_put(jnp.asarray(labels), bs))
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-6)
+    got_emb = pemb.unshard_tables(np.asarray(new_params["emb"]), p, config)
+    np.testing.assert_allclose(
+        got_emb,
+        emb_ops.unpack_tables(
+            jax.tree.map(np.asarray, ref_params["emb"]), config),
+        atol=1e-5, rtol=1e-5)
