@@ -21,6 +21,7 @@ Size math mirrors the reference exactly
 from __future__ import annotations
 
 import dataclasses
+from functools import cached_property
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp
@@ -170,7 +171,7 @@ class DLRMConfig:
     def full_top_mlp_sizes(self) -> Tuple[int, ...]:
         return (self.top_input,) + self.top_mlp_sizes
 
-    @property
+    @cached_property
     def table_offsets(self) -> Tuple[int, ...]:
         """Row offset of each table inside the stacked embedding array."""
         off, out = 0, []
@@ -204,7 +205,7 @@ class DLRMConfig:
         """Lane width of one physical storage row."""
         return self.feature_size * self.pack
 
-    @property
+    @cached_property
     def packed_table_rows(self) -> Tuple[int, ...]:
         """Physical rows per table (each table padded to a whole number of
         physical rows so tables never share one)."""
@@ -215,7 +216,7 @@ class DLRMConfig:
     def packed_total_rows(self) -> int:
         return sum(self.packed_table_rows)
 
-    @property
+    @cached_property
     def table_chunk(self) -> Tuple[int, ...]:
         """Chunk index of each table: two-level first-fit-decreasing by
         packed bytes — deep tables (rows > deep_table_rows) binned at
@@ -255,7 +256,7 @@ class DLRMConfig:
     def num_chunks(self) -> int:
         return max(self.table_chunk) + 1
 
-    @property
+    @cached_property
     def chunk_table_offsets(self) -> Tuple[int, ...]:
         """Physical row offset of each table inside its chunk (tables laid
         out within a chunk in ascending table order)."""
@@ -267,14 +268,14 @@ class DLRMConfig:
             used[c] += self.packed_table_rows[t]
         return tuple(out)
 
-    @property
+    @cached_property
     def chunk_rows(self) -> Tuple[int, ...]:
         used = [0] * self.num_chunks
         for t in range(self.num_tables):
             used[self.table_chunk[t]] += self.packed_table_rows[t]
         return tuple(used)
 
-    @property
+    @cached_property
     def emb_shapes(self) -> Tuple[Tuple[int, int], ...]:
         """Storage shapes of the embedding parameter: one (rows, width) per
         chunk in engine format, or a single (total_rows, D) plain stack."""

@@ -44,15 +44,19 @@ class SparseGrad(NamedTuple):
 def translate_ids(ids: jax.Array, offsets) -> jax.Array:
     """Translate per-table ids to stacked-table row indices.
 
-    ``ids``: (..., T) or (..., T, H) int32, 0-based per-table row ids.
+    ``ids``: (T,), (B, T) or (B, T, H) int32, 0-based per-table row ids.
     ``offsets``: static per-table row offsets (config.table_offsets).
+
+    Disambiguation is by RANK, never by axis length — when ``n_hot`` equals
+    the table count a shape test on the last axis would silently add the
+    offsets along the hot axis instead of the table axis.
     """
     offs = jnp.asarray(offsets, dtype=ids.dtype)
-    if ids.ndim >= 1 and ids.shape[-1] == len(offsets):
-        return ids + offs
-    # (..., T, H): broadcast offsets over the hot dimension.
-    assert ids.shape[-2] == len(offsets), (ids.shape, len(offsets))
-    return ids + offs[:, None]
+    if ids.ndim == 3:   # (B, T, H): broadcast offsets over the hot dim
+        assert ids.shape[1] == len(offsets), (ids.shape, len(offsets))
+        return ids + offs[:, None]
+    assert ids.shape[-1] == len(offsets), (ids.shape, len(offsets))
+    return ids + offs  # (T,) or (B, T)
 
 
 def gather_rows(emb: jax.Array, flat_ids: jax.Array) -> jax.Array:
@@ -265,27 +269,32 @@ def chunk_translate(ids: jax.Array, config, tables):
     return po + ids // p, ids % p
 
 
-def extract_slots(g128: jax.Array, slot: jax.Array, config,
-                  compute_dtype=jnp.float32) -> jax.Array:
-    """(..., 128) gathered physical rows + slot -> (..., D) logical rows.
+def extract_slots(g128: jax.Array, slot: jax.Array, config=None,
+                  compute_dtype=jnp.float32, *, pack: int = None,
+                  d: int = None) -> jax.Array:
+    """(..., row_width) gathered physical rows + slot -> (..., D) logical
+    rows.  Geometry from ``config`` or explicit ``pack``/``d``.
 
     One-hot einsum so the extraction runs on the MXU; exact (one-hot of
     int in [0, PACK), values 0/1)."""
-    p, d = config.pack, config.feature_size
-    g = g128.reshape(g128.shape[:-1] + (p, d))
-    oh = jax.nn.one_hot(slot, p, dtype=compute_dtype)
+    if pack is None:
+        pack, d = config.pack, config.feature_size
+    g = g128.reshape(g128.shape[:-1] + (pack, d))
+    oh = jax.nn.one_hot(slot, pack, dtype=compute_dtype)
     return jnp.einsum("...p,...pd->...d", oh,
                       g.astype(compute_dtype)).astype(g128.dtype)
 
 
-def expand_slots(rows: jax.Array, slot: jax.Array, config,
-                 compute_dtype=jnp.float32) -> jax.Array:
-    """(..., D) update rows + slot -> (..., 128) physical-row updates with
-    zeros in the other slots (transpose of :func:`extract_slots`)."""
-    p = config.pack
-    oh = jax.nn.one_hot(slot, p, dtype=compute_dtype)
+def expand_slots(rows: jax.Array, slot: jax.Array, config=None,
+                 compute_dtype=jnp.float32, *, pack: int = None
+                 ) -> jax.Array:
+    """(..., D) update rows + slot -> (..., D*pack) physical-row updates
+    with zeros in the other slots (transpose of :func:`extract_slots`)."""
+    if pack is None:
+        pack = config.pack
+    oh = jax.nn.one_hot(slot, pack, dtype=compute_dtype)
     out = jnp.einsum("...p,...d->...pd", oh, rows.astype(compute_dtype))
-    return out.reshape(rows.shape[:-1] + (p * rows.shape[-1],)
+    return out.reshape(rows.shape[:-1] + (pack * rows.shape[-1],)
                        ).astype(rows.dtype)
 
 

@@ -145,23 +145,21 @@ def _local_rows_for_slots(ids_all, meta, pack: int):
 
 
 def _extract(g, slot, pack: int, d: int):
-    """(..., D*pack) physical rows + lane slot -> (..., D) logical rows."""
+    """(..., D*pack) physical rows + lane slot -> (..., D) logical rows
+    (ops/embedding.extract_slots with explicit geometry)."""
     if pack == 1:
         return g
-    gs = g.reshape(g.shape[:-1] + (pack, d))
-    oh = jax.nn.one_hot(slot, pack, dtype=jnp.float32)
-    return jnp.einsum("...p,...pd->...d", oh,
-                      gs.astype(jnp.float32)).astype(g.dtype)
+    from dlrm_tpu.ops.embedding import extract_slots
+    return extract_slots(g, slot, pack=pack, d=d)
 
 
 def _expand(rows, slot, pack: int):
-    """(..., D) + lane slot -> (..., D*pack) zero outside the slot."""
+    """(..., D) + lane slot -> (..., D*pack) zero outside the slot
+    (ops/embedding.expand_slots with explicit geometry)."""
     if pack == 1:
         return rows
-    oh = jax.nn.one_hot(slot, pack, dtype=jnp.float32)
-    out = jnp.einsum("...p,...d->...pd", oh, rows.astype(jnp.float32))
-    return out.reshape(rows.shape[:-1] + (pack * rows.shape[-1],)
-                       ).astype(rows.dtype)
+    from dlrm_tpu.ops.embedding import expand_slots
+    return expand_slots(rows, slot, pack=pack)
 
 
 def _rs_translate(ids_t, k, placement, my_idx):
@@ -290,10 +288,9 @@ def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
                              pack=placement.pack,
                              dim=emb.shape[-1] // placement.pack,
                              placement=placement)
-    id_spec = P(axis) if ids.ndim >= 2 else P(axis)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), id_spec, {k: P(axis) for k in meta}),
+        in_specs=(P(axis), P(axis), {k: P(axis) for k in meta}),
         out_specs=P(axis),
     )(emb, ids, meta)
 

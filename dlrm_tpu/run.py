@@ -85,6 +85,10 @@ def _data_iter(args, config, *, steps: Optional[int], seed: int = 0):
         loader = DACLoader(load(args.data), args.batch_size,
                            shuffle=getattr(args, "shuffle", False),
                            seed=getattr(args, "seed", 0))
+        if len(loader) == 0:
+            raise SystemExit(
+                f"dataset {args.data} has fewer records than one batch "
+                f"({args.batch_size}); lower --batch-size")
         def gen():
             count = 0
             while steps is None or count < steps:
@@ -211,13 +215,13 @@ def cmd_train(args) -> int:
         params = tiered
         batch_place = None
     else:
-        if mgr is not None:
-            restored = mgr.restore_latest(template=params)
-            if restored is not None:
-                params, start_step = restored
-                params = jax.tree.map(jnp.asarray, params)
-                print(f"resumed from step {start_step}", file=sys.stderr)
         if args.optimizer == "sgd":
+            if mgr is not None:
+                restored = mgr.restore_latest(template=params)
+                if restored is not None:
+                    params, start_step = restored
+                    params = jax.tree.map(jnp.asarray, params)
+                    print(f"resumed from step {start_step}", file=sys.stderr)
             step_fn = dlrm_tpu.make_jit_train_step(config, lr)
             if callable(lr):
                 step_fn.step = start_step
@@ -228,6 +232,17 @@ def cmd_train(args) -> int:
                 config, optimizer=args.optimizer, lr=lr)
             opt_state = init_opt_state(params, config=config,
                                        optimizer=args.optimizer, lr=lr)
+            if mgr is not None:
+                # optimizer state (Adagrad accumulators, schedule count)
+                # checkpoints alongside the params — resuming must not
+                # reset the optimization trajectory
+                restored = mgr.restore_latest(
+                    template={"params": params, "opt": opt_state})
+                if restored is not None:
+                    full, start_step = restored
+                    params = jax.tree.map(jnp.asarray, full["params"])
+                    opt_state = jax.tree.map(jnp.asarray, full["opt"])
+                    print(f"resumed from step {start_step}", file=sys.stderr)
             state_box = {"opt": opt_state}
 
             def step_fn(p, d, s, l):
@@ -237,6 +252,12 @@ def cmd_train(args) -> int:
         batch_place = None
 
     from dlrm_tpu.data.prefetch import device_prefetch
+
+    def ckpt_payload():
+        if (not sharded and args.hbm_budget_gb is None
+                and args.optimizer != "sgd"):
+            return {"params": params, "opt": state_box["opt"]}
+        return params
 
     eval_record: List[dict] = []
 
@@ -305,9 +326,9 @@ def cmd_train(args) -> int:
         if args.eval_every and step % args.eval_every == 0:
             periodic_eval()
         if mgr is not None:
-            mgr.maybe_save(step, params)
+            mgr.maybe_save(step, ckpt_payload())
     if mgr is not None:
-        mgr.save(step, params, force=True)
+        mgr.save(step, ckpt_payload(), force=True)
         mgr.wait_until_finished()
         mgr.close()
 
@@ -350,7 +371,10 @@ def cmd_eval(args) -> int:
 
     config = _build_config(args)
     if args.ckpt_dir:
-        template = dlrm_tpu.init_params(jax.random.key(0), config)
+        # abstract template (shapes/dtypes only): avoids materializing a
+        # random multi-GB model just to describe the checkpoint structure
+        template = jax.eval_shape(
+            lambda: dlrm_tpu.init_params(jax.random.key(0), config))
         params, step = restore_checkpoint(args.ckpt_dir, template=template)
         params = jax.tree.map(jnp.asarray, params)
     elif args.hdf5:
@@ -359,7 +383,9 @@ def cmd_eval(args) -> int:
         params = jax.tree.map(jnp.asarray, params)
     else:
         raise SystemExit("eval needs --ckpt-dir or --hdf5")
-    data = _data_iter(args, config, steps=args.eval_steps)
+    # synthetic fallback needs a bound or evaluate() would never terminate
+    eval_steps = args.eval_steps or (None if args.data else 10)
+    data = _data_iter(args, config, steps=eval_steps)
     print(json.dumps(evaluate(params, data, config)))
     return 0
 

@@ -97,21 +97,11 @@ def make_schedule(base_lr: float, *, schedule: str = "constant",
 
 def _dedup_rows(ids: jax.Array, rows: jax.Array):
     """Sum rows of duplicate ids; returns (ids', rows') of the same static
-    shape where duplicates beyond the first occurrence carry id -1 (dropped
-    by scatter mode='drop') and zero rows."""
-    n = ids.shape[0]
-    order = jnp.argsort(ids)
-    sids = ids[order]
-    srows = rows[order]
-    heads = jnp.concatenate([jnp.ones((1,), jnp.bool_),
-                             sids[1:] != sids[:-1]])
-    seg = jnp.cumsum(heads.astype(jnp.int32)) - 1
-    summed = jax.ops.segment_sum(srows, seg, num_segments=n)
-    uniq = jax.ops.segment_max(jnp.where(heads, sids, -1), seg,
-                               num_segments=n)
-    n_uniq = seg[-1] + 1
-    valid = jnp.arange(n) < n_uniq
-    return jnp.where(valid, uniq, -1), summed
+    shape where surplus slots carry id -1 (dropped by scatter mode='drop')
+    and zero rows.  Thin unwrap of ops/embedding.dedup_sparse_grad (the
+    SparseIndexer analog)."""
+    out = emb_ops.dedup_sparse_grad(emb_ops.SparseGrad(ids, rows))
+    return out.ids, out.rows
 
 
 def apply_adagrad_chunked(emb, state: EmbAdagradState, ids: jax.Array,

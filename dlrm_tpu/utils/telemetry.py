@@ -92,14 +92,32 @@ class InstrumentedTrainer:
         # forward inside the VJP — numerically identical, and the remat is
         # the TPU-idiomatic trade anyway.  This path is for diagnostics;
         # production steps use the single fused jit in train/train.py.
+        # honor the config's interaction impl and compute dtype so the
+        # phase breakdown profiles the SAME math as train.train_step
+        # (the lookup stage uses the plain full-gather strategy, not the
+        # mixed gather/one-hot split, to keep one clean :lookup phase)
+        cd = config.compute_dtype
+        cd = None if cd == config.weight_dtype else cd
+
         def bottom_f(bp, dense):
-            return mlp_apply(bp, dense, final="relu")
+            return mlp_apply(bp, dense, final="relu", compute_dtype=cd)
 
         def inter_f(x, y):
-            return dot_interaction(x, y, config.interaction_pad_to)
+            if config.interaction_impl == "pallas":
+                from dlrm_tpu.ops.interaction_pallas import \
+                    fused_dot_interaction
+                return fused_dot_interaction(x, y.astype(x.dtype),
+                                             config.interaction_pad_to)
+            if config.interaction_impl == "pairwise":
+                from dlrm_tpu.ops.interaction import dot_interaction_pairwise
+                return dot_interaction_pairwise(x, y.astype(x.dtype),
+                                                config.interaction_pad_to)
+            return dot_interaction(x, y.astype(x.dtype),
+                                   config.interaction_pad_to)
 
         def top_f(tp, z):
-            return mlp_apply(tp, z, final="sigmoid")[:, 0]
+            return mlp_apply(tp, z, final="sigmoid",
+                             compute_dtype=cd)[:, 0]
 
         self._lookup = jax.jit(
             lambda emb, ids: emb_ops.pool(

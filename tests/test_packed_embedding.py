@@ -147,3 +147,26 @@ def test_chunked_vs_plain_train_step(rng):
         emb_ops.unpack_tables(
             tuple(np.asarray(x) for x in new_p["emb"]), c),
         np.asarray(new_l["emb"]), atol=1e-5)
+
+
+def test_translate_ids_nhot_equals_num_tables(rng):
+    """Regression: (B, T, H) vs (B, T) must disambiguate by RANK — when
+    n_hot == num_tables a last-axis length test routes per-table offsets
+    along the hot axis, silently gathering from the wrong tables."""
+    c = dlrm_tpu.tiny_config(num_tables=3, rows=50, feature_size=8, n_hot=3)
+    logical = rng.normal(size=(c.total_rows, c.feature_size)).astype(
+        np.float32)
+    ids = np.stack([rng.integers(0, 50, size=(16, 3)) for _ in range(3)],
+                   axis=1).astype(np.int32)      # (B=16, T=3, H=3)
+    flat = emb_ops.translate_ids(jnp.asarray(ids), c.table_offsets)
+    # table axis is dim 1: every id of table t must land in table t's range
+    for t in range(3):
+        off = c.table_offsets[t]
+        vals = np.asarray(flat)[:, t, :]
+        assert vals.min() >= off and vals.max() < off + 50, t
+    # pooled lookup equals a per-table manual oracle
+    got = emb_ops.pool(emb_ops.gather_rows(jnp.asarray(logical), flat))
+    for t in range(3):
+        off = c.table_offsets[t]
+        want = logical[off + ids[:, t]].sum(axis=1)
+        np.testing.assert_allclose(np.asarray(got)[:, t], want, atol=1e-6)
