@@ -111,6 +111,41 @@ def unshard_tables(sharded: np.ndarray, placement: TablePlacement,
     return out
 
 
+def shard_col_tables(stacked, placement: TablePlacement,
+                     config: DLRMConfig):
+    """Column-sharded tables: (R, D) -> tuple of (N, R, D/N) arrays (one
+    per table in placement.col_sharded order), each to be placed with
+    P(axis) on dim 0.  Accepts either storage layout for ``stacked``."""
+    from dlrm_tpu.ops import embedding as emb_ops
+
+    if isinstance(stacked, (tuple, list)):
+        stacked = emb_ops.unpack_tables(
+            tuple(np.asarray(c) for c in stacked), config)
+    stacked = np.asarray(stacked)
+    n = placement.num_shards
+    d = stacked.shape[1]
+    assert d % n == 0, (d, n)
+    wc = d // n
+    out = []
+    for t in placement.col_sharded:
+        go = config.table_offsets[t]
+        tab = stacked[go:go + placement.table_sizes[t]]  # (R, D)
+        out.append(np.stack(
+            [tab[:, s * wc:(s + 1) * wc] for s in range(n)], axis=0))
+    return tuple(out)
+
+
+def unshard_col_tables(cs_arrays, placement: TablePlacement):
+    """Inverse of :func:`shard_col_tables`: per-table (N, R, D/N) ->
+    list of logical (R, D) tables in placement.col_sharded order."""
+    out = []
+    for arr in cs_arrays:
+        arr = np.asarray(arr)
+        out.append(np.concatenate([arr[s] for s in range(arr.shape[0])],
+                                  axis=1))
+    return out
+
+
 def placement_arrays(placement: TablePlacement):
     """Device-dependent metadata as arrays to shard over the table axis."""
     return {
@@ -176,16 +211,30 @@ def _rs_translate(ids_t, k, placement, my_idx):
     return phys, slot, owned
 
 
-def _lookup_body(emb, ids, meta, *, axis: str, out_column: np.ndarray,
+def _cs_lookup(cs_local, ids_t, axis: str):
+    """Column-sharded table: local gather of the lane slice for ALL ids,
+    then one all-to-all that splits the batch and concatenates the lane
+    slices: (B, D/N) per shard -> (B/N, D) batch-sharded."""
+    rows = jnp.take(cs_local[0], ids_t, axis=0)   # (B[, H], D/N)
+    if rows.ndim == 3:
+        rows = jnp.sum(rows, axis=1)              # pool multi-hot
+    with jax.named_scope("cs_a2a_fwd"):
+        return jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=1,
+                                  tiled=True)     # (B/N, D)
+
+
+def _lookup_body(emb, cs, ids, meta, *, axis: str, out_column: np.ndarray,
                  pack: int, dim: int, placement: "TablePlacement"):
-    """SPMD body: emb (1, R, D*pack), ids (B/N, T[,H]) -> pooled
-    (B/N, T, D) in GLOBAL table order.
+    """SPMD body: emb (1, R, D*pack), cs per-table (1, R_t, D/N) lane
+    slices, ids (B/N, T[,H]) -> pooled (B/N, T, D) in GLOBAL table order.
 
     Slot-placed tables: local gather + all-to-all slot exchange.
     Row-sharded tables: each id's row lives on exactly ONE shard, so the
     masked local partials sum to the full lookup — psum_scatter both sums
     over shards and splits the batch in one collective (comm volume B*D
     per table, same order as the slot all-to-all).
+    Column-sharded tables: every shard gathers its lane slice for all ids,
+    one all-to-all splits the batch and concatenates the lanes.
     """
     ids_all = jax.lax.all_gather(ids, axis, axis=0, tiled=True)
     parts = []
@@ -221,11 +270,18 @@ def _lookup_body(emb, ids, meta, *, axis: str, out_column: np.ndarray,
             part = jax.lax.psum_scatter(stacked, axis, scatter_dimension=0,
                                         tiled=True)  # (B/N, n_rs, D)
         parts.append(part)
+    if placement.col_sharded:
+        cs_parts = []
+        for k, t in enumerate(placement.col_sharded):
+            ids_t = (ids_all[:, t] if ids_all.ndim == 2
+                     else ids_all[:, t, :])
+            cs_parts.append(_cs_lookup(cs[k], ids_t, axis))  # (B/N, D)
+        parts.append(jnp.stack(cs_parts, axis=1))            # (B/N, n_cs, D)
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     return jnp.take(out, jnp.asarray(placement.output_order()), axis=1)
 
 
-def _update_body(emb, ids, d_pooled, lr, meta, *, axis: str,
+def _update_body(emb, cs, ids, d_pooled, lr, meta, *, axis: str,
                  out_column: np.ndarray, num_slots: int, pack: int,
                  placement: "TablePlacement"):
     """SPMD body of the sparse SGD update.
@@ -273,15 +329,33 @@ def _update_body(emb, ids, d_pooled, lr, meta, *, axis: str,
             upd = _expand((-lr * g).astype(new.dtype), slot, pack)
             new = new.at[phys.reshape(-1)].add(
                 upd.reshape(-1, dim * pack), mode="drop")
-    return new[None]
+    new_cs = []
+    for k, t in enumerate(placement.col_sharded):
+        d_t = d_pooled[:, t, :]  # (B/N, D), global table order
+        with jax.named_scope("cs_a2a_bwd"):
+            back = jax.lax.all_to_all(d_t, axis, split_axis=1,
+                                      concat_axis=0, tiled=True)  # (B, D/N)
+        ids_t = (ids_all[:, t] if ids_all.ndim == 2
+                 else ids_all[:, t, :])
+        g = back
+        if ids_t.ndim == 2:  # multi-hot: broadcast pooled grad to hits
+            g = jnp.broadcast_to(back[:, None, :],
+                                 ids_t.shape + (back.shape[-1],))
+        local = cs[k][0]
+        upd = (-lr * g).astype(local.dtype)
+        new_cs.append(local.at[ids_t.reshape(-1)].add(
+            upd.reshape(-1, upd.shape[-1]), mode="drop")[None])
+    return new[None], tuple(new_cs)
 
 
 # -- public API ----------------------------------------------------------------
 
 def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
-                   placement: TablePlacement, axis: str = "d") -> jax.Array:
-    """Pooled lookup: emb (N, R, D) sharded on ``axis``; ids (B, T[,H])
-    batch-sharded on ``axis``.  Returns (B, T, D) batch-sharded."""
+                   placement: TablePlacement, axis: str = "d",
+                   cs=()) -> jax.Array:
+    """Pooled lookup: emb (N, R, W) sharded on ``axis``; ids (B, T[,H])
+    batch-sharded on ``axis``; ``cs`` the column-sharded per-table
+    (N, R_t, D/N) arrays.  Returns (B, T, D) batch-sharded."""
     meta = placement_arrays(placement)
     body = functools.partial(_lookup_body, axis=axis,
                              out_column=placement.out_column(),
@@ -290,16 +364,18 @@ def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
                              placement=placement)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(axis), {k: P(axis) for k in meta}),
+        in_specs=(P(axis), tuple(P(axis) for _ in cs), P(axis),
+                  {k: P(axis) for k in meta}),
         out_specs=P(axis),
-    )(emb, ids, meta)
+    )(emb, tuple(cs), ids, meta)
 
 
 def sharded_update_sgd(emb: jax.Array, ids: jax.Array, d_pooled: jax.Array,
                        lr, *, mesh: Mesh, placement: TablePlacement,
-                       axis: str = "d") -> jax.Array:
+                       axis: str = "d", cs=()):
     """Apply the compressed embedding gradient (d loss / d pooled, shape
-    (B, T, D) batch-sharded) to the sharded tables with SGD."""
+    (B, T, D) batch-sharded) to the sharded tables with SGD.  Returns
+    (new_emb, new_cs)."""
     meta = placement_arrays(placement)
     body = functools.partial(
         _update_body, axis=axis, out_column=placement.out_column(),
@@ -307,7 +383,7 @@ def sharded_update_sgd(emb: jax.Array, ids: jax.Array, d_pooled: jax.Array,
         pack=placement.pack, placement=placement)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(),
-                  {k: P(axis) for k in meta}),
-        out_specs=P(axis),
-    )(emb, ids, d_pooled, jnp.asarray(lr, jnp.float32), meta)
+        in_specs=(P(axis), tuple(P(axis) for _ in cs), P(axis), P(axis),
+                  P(), {k: P(axis) for k in meta}),
+        out_specs=(P(axis), tuple(P(axis) for _ in cs)),
+    )(emb, tuple(cs), ids, d_pooled, jnp.asarray(lr, jnp.float32), meta)

@@ -94,8 +94,11 @@ def param_shardings(mesh: Mesh, params: dict, axis: str = "d") -> dict:
     small; data-parallel), sharded embedding stack (N, R, D) split on axis."""
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
-    return {
+    out = {
         "bottom": jax.tree.map(lambda _: repl, params["bottom"]),
         "emb": shard,
         "top": jax.tree.map(lambda _: repl, params["top"]),
     }
+    if "emb_cs" in params:  # column-sharded per-table (N, R, D/N) leaves
+        out["emb_cs"] = tuple(shard for _ in params["emb_cs"])
+    return out

@@ -67,6 +67,11 @@ class TablePlacement:
     row_sharded: Tuple[int, ...] = ()
     rs_rows_per_shard: Tuple[int, ...] = ()   # logical rows per shard block
     rs_local_offsets: Tuple[int, ...] = ()    # physical offset per rs table
+    # Column-sharded tables: every shard stores ALL rows but only
+    # row_width/N of the feature lanes, as separate (N, R, W/N) param
+    # leaves next to the slot/row-sharded stack (requires pack == 1 — the
+    # natural regime is fs >= 128, e.g. MLPerf's D=128 tables).
+    col_sharded: Tuple[int, ...] = ()
 
     @property
     def num_tables(self) -> int:
@@ -80,7 +85,8 @@ class TablePlacement:
     def slot_table_list(self) -> Tuple[int, ...]:
         """Slot-placed (whole-table) tables, ascending global order."""
         return tuple(t for t in range(self.num_tables)
-                     if t not in self.row_sharded)
+                     if t not in self.row_sharded
+                     and t not in self.col_sharded)
 
     def out_column(self) -> np.ndarray:
         """(T_slot,) column of each slot table (in slot_table_list order)
@@ -91,8 +97,10 @@ class TablePlacement:
 
     def output_order(self) -> np.ndarray:
         """(T,) permutation restoring global table order from the
-        [slot_table_list..., row_sharded...] assembly order."""
-        order = list(self.slot_table_list) + list(self.row_sharded)
+        [slot_table_list..., row_sharded..., col_sharded...] assembly
+        order."""
+        order = (list(self.slot_table_list) + list(self.row_sharded)
+                 + list(self.col_sharded))
         inv = np.zeros(self.num_tables, dtype=np.int32)
         for pos, t in enumerate(order):
             inv[t] = pos
@@ -101,7 +109,8 @@ class TablePlacement:
 
 def plan_placement(table_sizes: Sequence[int], num_shards: int,
                    pack: int = 1,
-                   max_rows_per_shard: int = None) -> TablePlacement:
+                   max_rows_per_shard: int = None,
+                   col_sharded_tables: Sequence[int] = ()) -> TablePlacement:
     """Greedy balanced assignment: biggest table to the lightest shard.
 
     ``pack``: logical rows per physical storage row (config.pack); local
@@ -117,11 +126,18 @@ def plan_placement(table_sizes: Sequence[int], num_shards: int,
     phys_sizes = tuple(-(-s // pack) for s in table_sizes)
     t = len(table_sizes)
 
+    col_sharded = tuple(sorted(int(x) for x in col_sharded_tables))
+    if col_sharded and pack != 1:
+        raise ValueError(
+            "column sharding requires pack == 1 (split lanes cannot be "
+            "lane-packed); use feature_size >= 128 or packed_tables=False")
     row_sharded = tuple(
         ti for ti in range(t)
         if max_rows_per_shard is not None
-        and table_sizes[ti] > max_rows_per_shard)
-    slot_set = [ti for ti in range(t) if ti not in row_sharded]
+        and table_sizes[ti] > max_rows_per_shard
+        and ti not in col_sharded)
+    slot_set = [ti for ti in range(t)
+                if ti not in row_sharded and ti not in col_sharded]
     # row-sharded blocks: whole physical rows per shard, fixed local offsets
     def _rs_rows(rows: int) -> int:
         chunk = -(-rows // num_shards)       # ceil rows / shards
@@ -170,7 +186,7 @@ def plan_placement(table_sizes: Sequence[int], num_shards: int,
             table_local_offsets[ti] = off
             off += phys_sizes[ti]
         max_rows = max(max_rows, off)
-    for ti in row_sharded:  # sentinels; resolved via rs_* fields instead
+    for ti in (*row_sharded, *col_sharded):  # sentinels; resolved elsewhere
         table_shard[ti] = -1
         table_slot[ti] = -1
         table_local_offsets[ti] = -1
@@ -197,4 +213,5 @@ def plan_placement(table_sizes: Sequence[int], num_shards: int,
         row_sharded=row_sharded,
         rs_rows_per_shard=rs_rows_per_shard,
         rs_local_offsets=tuple(rs_local_offsets),
+        col_sharded=col_sharded,
     )

@@ -167,12 +167,18 @@ def cmd_train(args) -> int:
         from dlrm_tpu.parallel.placement import plan_placement
         from dlrm_tpu.train.train import make_sharded_train_step
 
+        cs_tables = tuple(int(x) for x in args.col_sharded_tables.split(",")
+                          ) if args.col_sharded_tables else ()
         mesh = make_mesh(n_dev)
         placement = plan_placement(config.table_sizes, n_dev,
-                                   pack=config.pack,
-                                   max_rows_per_shard=args.max_rows_per_shard)
+                                   pack=config.pack if not cs_tables else 1,
+                                   max_rows_per_shard=args.max_rows_per_shard,
+                                   col_sharded_tables=cs_tables)
         if placement.row_sharded:
             print(f"row-sharded tables: {list(placement.row_sharded)}",
+                  file=sys.stderr)
+        if placement.col_sharded:
+            print(f"column-sharded tables: {list(placement.col_sharded)}",
                   file=sys.stderr)
         sh_params = {
             "bottom": params["bottom"],
@@ -180,6 +186,9 @@ def cmd_train(args) -> int:
                                      config),
             "top": params["top"],
         }
+        if placement.col_sharded:
+            sh_params["emb_cs"] = pemb.shard_col_tables(
+                params["emb"], placement, config)
         shardings = param_shardings(mesh, sh_params)
         if mgr is not None:
             restored = mgr.restore_latest(template=sh_params,
@@ -349,11 +358,17 @@ def cmd_train(args) -> int:
         if sharded:
             from dlrm_tpu.ops import embedding as emb_ops
             from dlrm_tpu.parallel import embedding as pemb
+            logical = pemb.unshard_tables(np.asarray(params["emb"]),
+                                          placement, config)
+            if placement.col_sharded:
+                cs_tabs = pemb.unshard_col_tables(
+                    [np.asarray(a) for a in params["emb_cs"]], placement)
+                for k, t in enumerate(placement.col_sharded):
+                    off = config.table_offsets[t]
+                    logical[off:off + config.table_sizes[t]] = cs_tabs[k]
             host = {
                 "bottom": jax.tree.map(np.asarray, params["bottom"]),
-                "emb": emb_ops.pack_tables(
-                    pemb.unshard_tables(np.asarray(params["emb"]),
-                                        placement, config), config),
+                "emb": emb_ops.pack_tables(logical, config),
                 "top": jax.tree.map(np.asarray, params["top"]),
             }
             host = jax.tree.map(jnp.asarray, host)
@@ -510,6 +525,9 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--max-rows-per-shard", type=int, default=None,
                     help="row-shard tables bigger than this across the "
                     "mesh (for tables larger than one device's HBM)")
+    tr.add_argument("--col-sharded-tables", default=None,
+                    help="comma-separated table indices to column-shard "
+                    "(feature-dim slices; requires unpacked storage)")
     tr.set_defaults(fn=cmd_train)
 
     ev = sub.add_parser("eval", help="accuracy / AUC / loss")

@@ -309,9 +309,10 @@ def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
     from dlrm_tpu.parallel import embedding as pemb  # local import: no cycle
 
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    cs = params.get("emb_cs", ())
     with jax.named_scope("lookup"):
         pooled = pemb.sharded_lookup(params["emb"], sparse, mesh=mesh,
-                                     placement=placement, axis=axis)
+                                     placement=placement, axis=axis, cs=cs)
 
     def inner(dp, p):
         return _loss_from_pooled(dp, p, dense, labels, config)
@@ -322,11 +323,13 @@ def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
         new_dense = jax.tree.map(
             lambda p, g: (p - lr * g).astype(p.dtype), dense_params, dgrads)
     with jax.named_scope("sparse_update"):
-        new_emb = pemb.sharded_update_sgd(
+        new_emb, new_cs = pemb.sharded_update_sgd(
             params["emb"], sparse, d_pooled, lr, mesh=mesh,
-            placement=placement, axis=axis)
+            placement=placement, axis=axis, cs=cs)
     new_params = {"bottom": new_dense["bottom"], "emb": new_emb,
                   "top": new_dense["top"]}
+    if "emb_cs" in params:
+        new_params["emb_cs"] = new_cs
     return new_params, loss
 
 

@@ -154,3 +154,16 @@ def test_train_cli_host_tier(capsys):
     assert rc == 0
     assert res["steps"] == 3 and np.isfinite(res["final_loss"])
     assert 0.0 <= res["eval"]["accuracy"] <= 1.0
+
+
+def test_train_cli_col_and_row_sharded(capsys):
+    """Hybrid row+column sharding via the CLI on the 8-device mesh."""
+    sizes = ",".join(str(s) for s in (64, 400, 12, 300, 64, 50))
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--table-sizes", sizes,
+        "--batch-size", "32", "--steps", "3", "--sharded", "true",
+        "--max-rows-per-shard", "350", "--col-sharded-tables", "3,5",
+        "--eval-after", "--eval-steps", "2", "--log-every", "1"])
+    assert rc == 0
+    assert res["steps"] == 3 and np.isfinite(res["final_loss"])
+    assert 0.0 <= res["eval"]["accuracy"] <= 1.0

@@ -222,3 +222,62 @@ def test_row_sharded_train_step_matches_single_device(n_hot, packed, rng):
         emb_ops.unpack_tables(
             jax.tree.map(np.asarray, ref_params["emb"]), config),
         atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n_hot", [1, 2])
+def test_col_sharded_train_step_matches_single_device(n_hot, rng):
+    """Column-sharded tables (feature-dim slices on every shard; the
+    fs>=128 / pack==1 regime) + slot + row-sharded tables in ONE step."""
+    import dataclasses
+    config = dlrm_tpu.tiny_config(num_tables=6, rows=64, feature_size=8,
+                                  n_hot=n_hot)
+    config = dataclasses.replace(
+        config, table_sizes=(64, 400, 12, 300, 64, 50),
+        packed_tables=False)  # column sharding requires pack == 1
+    params = dlrm_tpu.init_params(jax.random.key(7), config)
+    dense, sparse, labels = _random_batch(rng, config, 32)
+    sparse[1] = sparse[0]  # duplicate ids
+    lr = 0.5
+
+    ref_params, ref_loss = jax.jit(
+        lambda p, d, s, l: train_step(p, d, s, l, config=config, lr=lr)
+    )(params, jnp.asarray(dense), jnp.asarray(sparse), jnp.asarray(labels))
+
+    mesh = make_mesh(8)
+    p = plan_placement(config.table_sizes, 8, pack=1,
+                       max_rows_per_shard=350,
+                       col_sharded_tables=(3, 5))
+    assert p.col_sharded == (3, 5) and p.row_sharded == (1,)
+    emb_np = np.asarray(params["emb"])
+    sh_params = {
+        "bottom": params["bottom"],
+        "emb": pemb.shard_tables(emb_np, p, config),
+        "emb_cs": pemb.shard_col_tables(emb_np, p, config),
+        "top": params["top"],
+    }
+    sh_params = jax.device_put(sh_params, param_shardings(mesh, sh_params))
+    bs = batch_sharding(mesh)
+    step = make_sharded_train_step(config, lr, mesh, p)
+    new_params, loss = step(sh_params,
+                            jax.device_put(jnp.asarray(dense), bs),
+                            jax.device_put(jnp.asarray(sparse), bs),
+                            jax.device_put(jnp.asarray(labels), bs))
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-6)
+    # non-col tables via unshard; col tables via their own converter
+    got_emb = pemb.unshard_tables(np.asarray(new_params["emb"]), p, config)
+    want_emb = np.asarray(ref_params["emb"])
+    for t in range(config.num_tables):
+        off = config.table_offsets[t]
+        rows = config.table_sizes[t]
+        if t in p.col_sharded:
+            continue
+        np.testing.assert_allclose(got_emb[off:off + rows],
+                                   want_emb[off:off + rows],
+                                   atol=1e-5, rtol=1e-5, err_msg=f"t={t}")
+    got_cs = pemb.unshard_col_tables(
+        [np.asarray(a) for a in new_params["emb_cs"]], p)
+    for k, t in enumerate(p.col_sharded):
+        off = config.table_offsets[t]
+        rows = config.table_sizes[t]
+        np.testing.assert_allclose(got_cs[k], want_emb[off:off + rows],
+                                   atol=1e-5, rtol=1e-5, err_msg=f"cs t={t}")
