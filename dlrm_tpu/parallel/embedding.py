@@ -370,6 +370,115 @@ def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
     )(emb, tuple(cs), ids, meta)
 
 
+def _collect_grad_pairs(ids_all, back, meta, placement, axis, pack, dim):
+    """Collect every (logical-row key, gradient row) contribution on this
+    shard: slot tables (from the routed-back a2a grads) + row-sharded
+    tables (from the all-gathered rs grad columns).  Invalid entries carry
+    key -1 and zero rows.  Returns (keys (M,), g (M, D))."""
+    keys_parts, g_parts = [], []
+    if placement.slot_table_list:
+        phys, slot = _local_rows_for_slots(ids_all, meta, pack)
+        valid = meta["slot_valid"][0]          # (K,)
+        b = back
+        if phys.ndim == 3:
+            b = jnp.broadcast_to(back[:, :, None, :], phys.shape + (dim,))
+            vmask = valid[None, :, None]
+        else:
+            vmask = valid[None, :]
+        key = jnp.where(vmask > 0, phys * pack + slot, -1)
+        keys_parts.append(key.reshape(-1))
+        g_parts.append((b * (vmask > 0)[..., None]).reshape(-1, dim))
+    return keys_parts, g_parts
+
+
+def _adagrad_apply_local(emb_l, acc_l, keys, g, lr, pack, dim,
+                         eps: float = 1e-10):
+    """Exact local Adagrad on deduped (key, summed-grad) pairs (same math
+    as train/optim.apply_adagrad_chunked / optax.scale_by_rss)."""
+    from dlrm_tpu.ops.embedding import dedup_sparse_grad, SparseGrad
+
+    out = dedup_sparse_grad(SparseGrad(keys, g))
+    keys_u, g_u = out.ids, out.rows
+    phys_u = jnp.where(keys_u >= 0, keys_u // pack, -1)
+    lane_u = jnp.where(keys_u >= 0, keys_u % pack, 0)
+    acc_rows = _extract(jnp.take(acc_l, phys_u, axis=0), lane_u, pack, dim)
+    acc_new = acc_rows + g_u * g_u
+    acc_l = acc_l.at[phys_u].add(
+        _expand(g_u * g_u, lane_u, pack), mode="drop")
+    step_rows = g_u * jnp.where(acc_new > 0,
+                                jax.lax.rsqrt(acc_new + eps), 0.0)
+    emb_l = emb_l.at[phys_u].add(
+        _expand((-lr * step_rows).astype(emb_l.dtype), lane_u, pack),
+        mode="drop")
+    return emb_l, acc_l
+
+
+def _update_body_adagrad(emb, acc, ids, d_pooled, lr, meta, *, axis: str,
+                         out_column: np.ndarray, num_slots: int, pack: int,
+                         placement: "TablePlacement"):
+    """SPMD Adagrad update: same gradient routing as _update_body, then an
+    exact dedup-then-apply Adagrad on each shard's owned rows (accumulator
+    sharded like the tables)."""
+    dim = d_pooled.shape[-1]
+    b_local = d_pooled.shape[0]
+    ids_all = jax.lax.all_gather(ids, axis, axis=0, tiled=True)
+    keys_parts, g_parts = [], []
+    if placement.slot_table_list:
+        d_slots = jnp.take(
+            d_pooled, jnp.asarray(placement.slot_table_list), axis=1)
+        scat = jnp.zeros((b_local, num_slots, dim), d_pooled.dtype)
+        scat = scat.at[:, jnp.asarray(out_column), :].set(d_slots)
+        with jax.named_scope("a2a_bwd"):
+            back = jax.lax.all_to_all(scat, axis, split_axis=1,
+                                      concat_axis=0, tiled=True)
+        kp, gp = _collect_grad_pairs(ids_all, back, meta, placement, axis,
+                                     pack, dim)
+        keys_parts += kp
+        g_parts += gp
+    if placement.row_sharded:
+        my_idx = jax.lax.axis_index(axis)
+        d_rs = jnp.take(d_pooled, jnp.asarray(placement.row_sharded,
+                                              jnp.int32), axis=1)
+        with jax.named_scope("rs_allgather_bwd"):
+            d_rs_all = jax.lax.all_gather(d_rs, axis, axis=0, tiled=True)
+        for k, t in enumerate(placement.row_sharded):
+            ids_t = (ids_all[:, t] if ids_all.ndim == 2
+                     else ids_all[:, t, :])
+            phys, slot, owned = _rs_translate(ids_t, k, placement, my_idx)
+            g = d_rs_all[:, k, :]
+            if ids_t.ndim == 2:
+                g = jnp.broadcast_to(g[:, None, :], ids_t.shape + (dim,))
+            key = jnp.where(owned, phys * pack + slot, -1)
+            keys_parts.append(key.reshape(-1))
+            g_parts.append((g * owned[..., None]).reshape(-1, dim))
+    keys = jnp.concatenate(keys_parts)
+    g = jnp.concatenate(g_parts).astype(jnp.float32)
+    new_emb, new_acc = _adagrad_apply_local(emb[0], acc[0], keys, g, lr,
+                                            pack, dim)
+    return new_emb[None], new_acc[None]
+
+
+def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
+                           d_pooled: jax.Array, lr, *, mesh: Mesh,
+                           placement: TablePlacement, axis: str = "d"):
+    """Sparse Adagrad on the sharded tables (slot + row-sharded; column
+    sharding not supported with adagrad yet).  ``acc`` is the accumulator
+    in the same (N, local_rows, W) layout.  Returns (new_emb, new_acc)."""
+    assert not placement.col_sharded, \
+        "adagrad + column sharding not implemented"
+    meta = placement_arrays(placement)
+    body = functools.partial(
+        _update_body_adagrad, axis=axis, out_column=placement.out_column(),
+        num_slots=placement.num_shards * placement.slots_per_shard,
+        pack=placement.pack, placement=placement)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(),
+                  {k: P(axis) for k in meta}),
+        out_specs=(P(axis), P(axis)),
+    )(emb, acc, ids, d_pooled, jnp.asarray(lr, jnp.float32), meta)
+
+
 def sharded_update_sgd(emb: jax.Array, ids: jax.Array, d_pooled: jax.Array,
                        lr, *, mesh: Mesh, placement: TablePlacement,
                        axis: str = "d", cs=()):

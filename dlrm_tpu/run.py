@@ -144,11 +144,9 @@ def cmd_train(args) -> int:
                            decay_steps=args.decay_steps)
     n_dev = len(jax.devices())
     sharded = args.sharded if args.sharded is not None else (n_dev > 1)
-    if sharded and getattr(args, "lr_schedule", "constant") != "constant":
-        raise SystemExit("--lr-schedule is single-chip only for now")
-    if sharded and getattr(args, "optimizer", "sgd") != "sgd":
-        raise SystemExit("--optimizer adagrad is single-chip only for now; "
-                         "pass --sharded false")
+    if sharded and getattr(args, "optimizer", "sgd") != "sgd" \
+            and args.col_sharded_tables:
+        raise SystemExit("adagrad + column sharding not implemented")
     print(f"devices: {n_dev} ({jax.devices()[0].platform}), "
           f"sharded={sharded}", file=sys.stderr)
     params = dlrm_tpu.init_params(jax.random.key(config.seed), config)
@@ -197,7 +195,24 @@ def cmd_train(args) -> int:
                 sh_params, start_step = restored
                 print(f"resumed from step {start_step}", file=sys.stderr)
         params = jax.device_put(sh_params, shardings)
-        step_fn = make_sharded_train_step(config, args.lr, mesh, placement)
+        if args.optimizer == "sgd" and not callable(lr):
+            step_fn = make_sharded_train_step(config, args.lr, mesh,
+                                              placement)
+        else:
+            from dlrm_tpu.train.train import (init_sharded_opt_state,
+                                              make_sharded_train_step_opt)
+            opt_step = make_sharded_train_step_opt(
+                config, optimizer=args.optimizer, lr=lr, mesh=mesh,
+                placement=placement)
+            opt_state = init_sharded_opt_state(
+                params, config=config, optimizer=args.optimizer, lr=lr,
+                mesh=mesh)
+            state_box = {"opt": opt_state}
+
+            def step_fn(p, d, s, l):
+                (p2, state_box["opt"]), loss = opt_step(
+                    p, state_box["opt"], d, s, l)
+                return p2, loss
         batch_place = batch_sharding(mesh)
     elif args.hbm_budget_gb is not None:
         # two-tier tables (the reference's CacheManager localsize knob,

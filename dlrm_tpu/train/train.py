@@ -333,6 +333,91 @@ def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
     return new_params, loss
 
 
+def sharded_train_step_opt(params: dict, opt_state: dict, dense, sparse,
+                           labels, *, config: DLRMConfig, optimizer: str,
+                           lr, mesh, placement, axis: str = "d"):
+    """Hybrid-parallel step with a pluggable optimizer (sgd | adagrad).
+
+    For adagrad the accumulator lives in the same (N, local_rows, W)
+    sharded layout as the tables and each shard applies an exact
+    dedup-then-apply update to the rows it owns (column sharding is
+    SGD-only for now).
+    """
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.train import optim
+
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    cs = params.get("emb_cs", ())
+    with jax.named_scope("lookup"):
+        pooled = pemb.sharded_lookup(params["emb"], sparse, mesh=mesh,
+                                     placement=placement, axis=axis, cs=cs)
+
+    def inner(dp, p):
+        return _loss_from_pooled(dp, p, dense, labels, config)
+
+    loss, (dgrads, d_pooled) = jax.value_and_grad(
+        inner, argnums=(0, 1))(dense_params, pooled)
+
+    count = opt_state.get("count", jnp.zeros((), jnp.int32))
+    lr_t = lr(count) if callable(lr) else lr
+    tx = optim.dense_optimizer(optimizer, lr)
+    with jax.named_scope("dense_update"):
+        import optax
+        updates, new_dense_state = tx.update(dgrads, opt_state["dense"],
+                                             dense_params)
+        new_dense = optax.apply_updates(dense_params, updates)
+        new_dense = jax.tree.map(
+            lambda p, q: q.astype(p.dtype), dense_params, new_dense)
+
+    new_opt = {"dense": new_dense_state, "count": count + 1}
+    with jax.named_scope("sparse_update"):
+        if optimizer == "sgd":
+            new_emb, new_cs = pemb.sharded_update_sgd(
+                params["emb"], sparse, d_pooled, lr_t, mesh=mesh,
+                placement=placement, axis=axis, cs=cs)
+            new_opt["emb_acc"] = opt_state.get("emb_acc", ())
+        else:
+            assert not cs, "adagrad + column sharding not implemented"
+            new_emb, new_acc = pemb.sharded_update_adagrad(
+                params["emb"], opt_state["emb_acc"], sparse, d_pooled,
+                lr_t, mesh=mesh, placement=placement, axis=axis)
+            new_cs = ()
+            new_opt["emb_acc"] = new_acc
+    new_params = {"bottom": new_dense["bottom"], "emb": new_emb,
+                  "top": new_dense["top"]}
+    if "emb_cs" in params:
+        new_params["emb_cs"] = new_cs
+    return (new_params, new_opt), loss
+
+
+def init_sharded_opt_state(params: dict, *, config: DLRMConfig,
+                           optimizer: str, lr, mesh, axis: str = "d"
+                           ) -> dict:
+    """Optimizer state for the sharded step: optax state (replicated) plus
+    an Adagrad accumulator in the same sharded layout as params['emb']."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dlrm_tpu.train import optim
+
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    tx = optim.dense_optimizer(optimizer, lr)
+    state = {"dense": tx.init(dense_params),
+             "count": jnp.zeros((), jnp.int32), "emb_acc": ()}
+    if optimizer == "adagrad":
+        acc = jnp.zeros(params["emb"].shape, jnp.float32)
+        state["emb_acc"] = jax.device_put(
+            acc, NamedSharding(mesh, P(axis)))
+    return state
+
+
+def make_sharded_train_step_opt(config: DLRMConfig, *, optimizer: str,
+                                lr, mesh, placement, axis: str = "d"
+                                ) -> Callable:
+    step = functools.partial(sharded_train_step_opt, config=config,
+                             optimizer=optimizer, lr=lr, mesh=mesh,
+                             placement=placement, axis=axis)
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
 def make_sharded_train_step(config: DLRMConfig, lr: float, mesh, placement,
                             axis: str = "d") -> Callable:
     """Jitted hybrid train step with explicit in/out shardings."""

@@ -169,3 +169,66 @@ def test_scheduled_sgd_step_matches_manual():
         p2, _ = fixed(p2, *args)
     np.testing.assert_allclose(
         _logical(p1["emb"], c), _logical(p2["emb"], c), atol=1e-6)
+
+
+@pytest.mark.parametrize("n_hot,row_sharded", [(1, False), (2, True)])
+def test_sharded_adagrad_matches_single_device(n_hot, row_sharded):
+    """Sharded adagrad (accumulator sharded like the tables, per-shard
+    exact dedup) == the single-device chunked adagrad step."""
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.train import (init_sharded_opt_state,
+                                      make_sharded_train_step_opt)
+
+    c, params, args = _setup(n_hot=n_hot)
+    lr = 0.3
+
+    # single-device oracle (already validated against optax.adagrad)
+    ref_step = make_jit_train_step_opt(c, optimizer="adagrad", lr=lr)
+    ref_opt = init_opt_state(params, config=c, optimizer="adagrad", lr=lr)
+    ref_state = (jax.tree.map(jnp.copy, params), ref_opt)
+    for _ in range(3):
+        ref_state, ref_loss = ref_step(ref_state[0], ref_state[1], *args)
+
+    mesh = make_mesh(8)
+    p = plan_placement(c.table_sizes, 8, pack=c.pack,
+                       max_rows_per_shard=100 if row_sharded else None)
+    if row_sharded:
+        assert p.row_sharded
+    sh_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": pemb.shard_tables(params["emb"], p, c),
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+    sh_params = jax.device_put(sh_params, param_shardings(mesh, sh_params))
+    opt = init_sharded_opt_state(sh_params, config=c, optimizer="adagrad",
+                                 lr=lr, mesh=mesh)
+    step = make_sharded_train_step_opt(c, optimizer="adagrad", lr=lr,
+                                       mesh=mesh, placement=p)
+    bs = batch_sharding(mesh)
+    sh_args = tuple(jax.device_put(a, bs) for a in args)
+    state = (sh_params, opt)
+    state, _ = step(state[0], state[1], *sh_args)
+    # strict after ONE step (before rsqrt amplifies rounding divergence)
+    ref1 = (jax.tree.map(jnp.copy, params),
+            init_opt_state(params, config=c, optimizer="adagrad", lr=lr))
+    ref1, _ = ref_step(ref1[0], ref1[1], *args)
+    np.testing.assert_allclose(
+        pemb.unshard_tables(np.asarray(state[0]["emb"]), p, c),
+        _logical(ref1[0]["emb"], c), atol=2e-5, rtol=2e-5)
+    for _ in range(2):
+        state, loss = step(state[0], state[1], *sh_args)
+
+    np.testing.assert_allclose(float(loss), float(ref_loss),
+                               atol=1e-5, rtol=1e-5)
+    # looser after 3: adagrad's rsqrt compounds float noise across steps
+    got_emb = pemb.unshard_tables(np.asarray(state[0]["emb"]), p, c)
+    np.testing.assert_allclose(got_emb, _logical(ref_state[0]["emb"], c),
+                               atol=5e-4, rtol=5e-4)
+    for side in ("bottom", "top"):
+        for a, b in zip(state[0][side], ref_state[0][side]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]),
+                                       atol=5e-4, rtol=5e-4)
