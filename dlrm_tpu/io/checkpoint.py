@@ -41,6 +41,17 @@ def _require_ocp():
     assert ocp is not None, "orbax-checkpoint required for checkpointing"
 
 
+def _abstract_from_metadata(tree: Any) -> Any:
+    """Checkpoint metadata tree -> pytree of ShapeDtypeStructs (no
+    shardings).  Restoring against this works on ANY topology — orbax's
+    default template-less restore replays the save-time shardings and
+    fails when the current devices differ (e.g. evaluating an 8-chip
+    training checkpoint on one chip)."""
+    return jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(tuple(m.shape), np.dtype(m.dtype)),
+        tree)
+
+
 def _as_state(params: Any, step: int) -> dict:
     return {"params": params, "step": int(step)}
 
@@ -91,7 +102,8 @@ def restore_checkpoint(ckpt_dir: str, *, step: Optional[int] = None,
         path = os.path.join(path, "default")
     with ocp.StandardCheckpointer() as ckptr:
         if template is None:
-            state = ckptr.restore(path)
+            md = ckptr.metadata(path).item_metadata.tree
+            state = ckptr.restore(path, _abstract_from_metadata(md))
         else:
             if shardings is not None:
                 abstract = jax.tree.map(
@@ -149,7 +161,12 @@ class CheckpointManager:
         if step is None:
             return None
         if template is None:
-            state = self._mgr.restore(step)
+            path = os.path.join(self.ckpt_dir, str(step), "default")
+            with ocp.StandardCheckpointer() as ckptr:
+                md = ckptr.metadata(path).item_metadata.tree
+            state = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(
+                    _abstract_from_metadata(md)))
         else:
             if shardings is not None:
                 abstract = jax.tree.map(

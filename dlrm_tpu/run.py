@@ -157,6 +157,25 @@ def cmd_train(args) -> int:
         mgr = CheckpointManager(args.ckpt_dir,
                                 save_interval=args.save_interval,
                                 max_to_keep=args.max_to_keep)
+        # sidecar describing the run's storage layout, so `eval --ckpt-dir`
+        # can rebuild the placement and unshard on any topology
+        import os
+        meta_path = os.path.join(os.path.abspath(args.ckpt_dir),
+                                 "run_meta.json")
+        cs_meta = ([int(x) for x in args.col_sharded_tables.split(",")]
+                   if args.col_sharded_tables else [])
+        with open(meta_path, "w") as f:
+            json.dump({
+                "sharded": bool(sharded),
+                "num_shards": n_dev,
+                "pack": config.pack if not cs_meta else 1,
+                "max_rows_per_shard": args.max_rows_per_shard,
+                "col_sharded_tables": cs_meta,
+                "optimizer": args.optimizer,
+                "wrapped_opt": bool(args.optimizer != "sgd"
+                                    or (sharded and callable(lr))),
+                "table_sizes": list(config.table_sizes),
+            }, f)
 
     if sharded:
         from dlrm_tpu.parallel import embedding as pemb
@@ -188,25 +207,42 @@ def cmd_train(args) -> int:
             sh_params["emb_cs"] = pemb.shard_col_tables(
                 params["emb"], placement, config)
         shardings = param_shardings(mesh, sh_params)
-        if mgr is not None:
-            restored = mgr.restore_latest(template=sh_params,
-                                          shardings=shardings)
-            if restored is not None:
-                sh_params, start_step = restored
-                print(f"resumed from step {start_step}", file=sys.stderr)
-        params = jax.device_put(sh_params, shardings)
         if args.optimizer == "sgd" and not callable(lr):
+            if mgr is not None:
+                restored = mgr.restore_latest(template=sh_params,
+                                              shardings=shardings)
+                if restored is not None:
+                    sh_params, start_step = restored
+                    print(f"resumed from step {start_step}",
+                          file=sys.stderr)
+            params = jax.device_put(sh_params, shardings)
             step_fn = make_sharded_train_step(config, args.lr, mesh,
                                               placement)
         else:
             from dlrm_tpu.train.train import (init_sharded_opt_state,
-                                              make_sharded_train_step_opt)
+                                              make_sharded_train_step_opt,
+                                              sharded_opt_shardings)
+            opt_state = init_sharded_opt_state(
+                sh_params, config=config, optimizer=args.optimizer, lr=lr,
+                mesh=mesh)
+            if mgr is not None:
+                # the Adagrad accumulators / schedule count checkpoint
+                # alongside the params (accumulator sharded like the
+                # tables) — resuming must not reset the trajectory
+                restored = mgr.restore_latest(
+                    template={"params": sh_params, "opt": opt_state},
+                    shardings={"params": shardings,
+                               "opt": sharded_opt_shardings(opt_state,
+                                                            mesh)})
+                if restored is not None:
+                    full, start_step = restored
+                    sh_params, opt_state = full["params"], full["opt"]
+                    print(f"resumed from step {start_step}",
+                          file=sys.stderr)
+            params = jax.device_put(sh_params, shardings)
             opt_step = make_sharded_train_step_opt(
                 config, optimizer=args.optimizer, lr=lr, mesh=mesh,
                 placement=placement)
-            opt_state = init_sharded_opt_state(
-                params, config=config, optimizer=args.optimizer, lr=lr,
-                mesh=mesh)
             state_box = {"opt": opt_state}
 
             def step_fn(p, d, s, l):
@@ -278,8 +314,9 @@ def cmd_train(args) -> int:
     from dlrm_tpu.data.prefetch import device_prefetch
 
     def ckpt_payload():
-        if (not sharded and args.hbm_budget_gb is None
-                and args.optimizer != "sgd"):
+        uses_opt_state = (args.optimizer != "sgd"
+                          or (sharded and callable(lr)))
+        if args.hbm_budget_gb is None and uses_opt_state:
             return {"params": params, "opt": state_box["opt"]}
         return params
 
@@ -287,7 +324,26 @@ def cmd_train(args) -> int:
 
     def eval_view():
         """params in the standard storage layout for metrics.evaluate."""
-        if args.hbm_budget_gb is not None and not sharded:
+        if sharded:
+            # gather the table shards to host and rebuild the single-chip
+            # storage layout (eval cadence is low; single-process only)
+            from dlrm_tpu.ops import embedding as emb_ops
+            from dlrm_tpu.parallel import embedding as pemb
+            logical = pemb.unshard_tables(np.asarray(params["emb"]),
+                                          placement, config)
+            if placement.col_sharded:
+                cs_tabs = pemb.unshard_col_tables(
+                    [np.asarray(a) for a in params["emb_cs"]], placement)
+                for k, t in enumerate(placement.col_sharded):
+                    off = config.table_offsets[t]
+                    logical[off:off + config.table_sizes[t]] = cs_tabs[k]
+            host = {
+                "bottom": jax.tree.map(np.asarray, params["bottom"]),
+                "emb": emb_ops.pack_tables(logical, config),
+                "top": jax.tree.map(np.asarray, params["top"]),
+            }
+            return jax.tree.map(jnp.asarray, host)
+        if args.hbm_budget_gb is not None:
             from dlrm_tpu.ops import embedding as emb_ops
             from dlrm_tpu.parallel import host_tier as ht
             t = state_box["tiered"]
@@ -301,10 +357,6 @@ def cmd_train(args) -> int:
 
     def periodic_eval():
         # the reference's Every(test, n) combinator (train/utils.jl:11-46)
-        if sharded:
-            print("eval-every: skipped (sharded path; use --eval-after)",
-                  file=sys.stderr)
-            return
         eval_data = args.eval_data or args.data
         eval_steps = args.eval_steps
         if eval_data is None and eval_steps is None:
@@ -352,7 +404,8 @@ def cmd_train(args) -> int:
         if mgr is not None:
             mgr.maybe_save(step, ckpt_payload())
     if mgr is not None:
-        mgr.save(step, ckpt_payload(), force=True)
+        if mgr.latest_step() != step:  # maybe_save may have just saved it
+            mgr.save(step, ckpt_payload(), force=True)
         mgr.wait_until_finished()
         mgr.close()
 
@@ -369,25 +422,7 @@ def cmd_train(args) -> int:
                                                  "uniform")),
             config, steps=args.eval_steps or (None if args.data else 10),
             seed=10_000)
-        host = eval_view() if not sharded else None
-        if sharded:
-            from dlrm_tpu.ops import embedding as emb_ops
-            from dlrm_tpu.parallel import embedding as pemb
-            logical = pemb.unshard_tables(np.asarray(params["emb"]),
-                                          placement, config)
-            if placement.col_sharded:
-                cs_tabs = pemb.unshard_col_tables(
-                    [np.asarray(a) for a in params["emb_cs"]], placement)
-                for k, t in enumerate(placement.col_sharded):
-                    off = config.table_offsets[t]
-                    logical[off:off + config.table_sizes[t]] = cs_tabs[k]
-            host = {
-                "bottom": jax.tree.map(np.asarray, params["bottom"]),
-                "emb": emb_ops.pack_tables(logical, config),
-                "top": jax.tree.map(np.asarray, params["top"]),
-            }
-            host = jax.tree.map(jnp.asarray, host)
-        result["eval"] = evaluate(host, eval_iter, config)
+        result["eval"] = evaluate(eval_view(), eval_iter, config)
     print(json.dumps(result))
     return 0
 
@@ -401,11 +436,41 @@ def cmd_eval(args) -> int:
 
     config = _build_config(args)
     if args.ckpt_dir:
-        # abstract template (shapes/dtypes only): avoids materializing a
-        # random multi-GB model just to describe the checkpoint structure
-        template = jax.eval_shape(
-            lambda: dlrm_tpu.init_params(jax.random.key(0), config))
-        params, step = restore_checkpoint(args.ckpt_dir, template=template)
+        import os
+        meta = {}
+        meta_path = os.path.join(os.path.abspath(args.ckpt_dir),
+                                 "run_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        # template-less restore is topology-independent (metadata-driven
+        # abstract template in io/checkpoint.py); optimizer-state runs wrap
+        # the params as {"params": ..., "opt": ...}
+        params, step = restore_checkpoint(args.ckpt_dir)
+        if isinstance(params, dict) and "opt" in params:
+            params = params["params"]
+        if meta.get("sharded"):
+            # rebuild the training run's placement and undo the sharded
+            # (N, local_rows, W) layout into the standard storage
+            from dlrm_tpu.ops import embedding as emb_ops
+            from dlrm_tpu.parallel import embedding as pemb
+            from dlrm_tpu.parallel.placement import plan_placement
+            placement = plan_placement(
+                meta.get("table_sizes", config.table_sizes),
+                meta["num_shards"], pack=meta.get("pack", 1),
+                max_rows_per_shard=meta.get("max_rows_per_shard"),
+                col_sharded_tables=meta.get("col_sharded_tables", ()))
+            logical = pemb.unshard_tables(np.asarray(params["emb"]),
+                                          placement, config)
+            if placement.col_sharded:
+                cs_tabs = pemb.unshard_col_tables(
+                    [np.asarray(a) for a in params["emb_cs"]], placement)
+                for k, t in enumerate(placement.col_sharded):
+                    off = config.table_offsets[t]
+                    logical[off:off + config.table_sizes[t]] = cs_tabs[k]
+            params = {"bottom": params["bottom"],
+                      "emb": emb_ops.pack_tables(logical, config),
+                      "top": params["top"]}
         params = jax.tree.map(jnp.asarray, params)
     elif args.hdf5:
         from dlrm_tpu.io import hdf5 as h5io
@@ -507,7 +572,7 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--eval-data", default=None)
     tr.add_argument("--eval-after", action="store_true")
     tr.add_argument("--eval-every", type=int, default=None,
-                    help="evaluate every N steps (single-chip path)")
+                    help="evaluate every N steps")
     tr.add_argument("--eval-steps", type=int, default=None)
     tr.add_argument("--shuffle", action="store_true",
                     help="shuffle batch windows each epoch")

@@ -409,6 +409,20 @@ def init_sharded_opt_state(params: dict, *, config: DLRMConfig,
     return state
 
 
+def sharded_opt_shardings(opt_state: dict, mesh, axis: str = "d"):
+    """Shardings pytree for :func:`init_sharded_opt_state`'s output: the
+    Adagrad accumulator is sharded like the tables (first axis over the
+    mesh), everything else (optax dense state, schedule count) replicated.
+    Used to checkpoint/restore the optimizer state alongside the params."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    sh = jax.tree.map(lambda _: rep, opt_state)
+    if not isinstance(opt_state.get("emb_acc", ()), tuple):
+        sh["emb_acc"] = NamedSharding(mesh, P(axis))
+    return sh
+
+
 def make_sharded_train_step_opt(config: DLRMConfig, *, optimizer: str,
                                 lr, mesh, placement, axis: str = "d"
                                 ) -> Callable:

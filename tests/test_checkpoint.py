@@ -146,3 +146,64 @@ def test_sharded_table_checkpoint_roundtrip(tmp_path):
     from dlrm_tpu.ops import embedding as emb_ops
     np.testing.assert_array_equal(
         back, emb_ops.unpack_tables(jax.tree.map(np.asarray, params["emb"]), config))
+
+
+def test_sharded_adagrad_resume_parity(tmp_path):
+    """Resuming the sharded-adagrad step (params + sharded accumulator +
+    schedule count via CheckpointManager) is bit-identical to uninterrupted
+    training — the accumulator must not reset (run.py ckpt_payload)."""
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.train import (init_sharded_opt_state,
+                                      make_sharded_train_step_opt,
+                                      sharded_opt_shardings)
+
+    config, params, batch = _tiny_setup()
+    mesh = make_mesh(8)
+    placement = plan_placement(config.table_sizes, 8, pack=config.pack)
+    sh_params = {
+        "bottom": params["bottom"],
+        "emb": jnp.asarray(pemb.shard_tables(params["emb"], placement,
+                                             config)),
+        "top": params["top"],
+    }
+    shardings = param_shardings(mesh, sh_params)
+    sh_params = jax.device_put(sh_params, shardings)
+    bs = batch_sharding(mesh)
+    args = tuple(jax.device_put(batch[k], bs)
+                 for k in ("dense", "sparse", "labels"))
+    step = make_sharded_train_step_opt(config, optimizer="adagrad", lr=0.2,
+                                       mesh=mesh, placement=placement)
+
+    def fresh():
+        p = jax.device_put(jax.tree.map(jnp.copy, sh_params), shardings)
+        o = init_sharded_opt_state(p, config=config, optimizer="adagrad",
+                                   lr=0.2, mesh=mesh)
+        return p, o
+
+    p, o = fresh()
+    for _ in range(4):
+        (p, o), _ = step(p, o, *args)
+    straight = jax.tree.map(np.asarray, p)
+
+    p, o = fresh()
+    for _ in range(2):
+        (p, o), _ = step(p, o, *args)
+    with ckpt.CheckpointManager(tmp_path / "ck") as mgr:
+        mgr.save(2, {"params": p, "opt": o}, force=True)
+        mgr.wait_until_finished()
+    tpl_p, tpl_o = fresh()
+    with ckpt.CheckpointManager(tmp_path / "ck") as mgr:
+        full, step_no = mgr.restore_latest(
+            template={"params": tpl_p, "opt": tpl_o},
+            shardings={"params": shardings,
+                       "opt": sharded_opt_shardings(tpl_o, mesh)})
+    assert step_no == 2
+    p, o = full["params"], full["opt"]
+    assert o["emb_acc"].sharding.spec == P("d")
+    assert np.asarray(o["emb_acc"]).max() > 0  # accumulator survived
+    for _ in range(2):
+        (p, o), _ = step(p, o, *args)
+    assert _tree_equal(straight, p)

@@ -167,3 +167,39 @@ def test_train_cli_col_and_row_sharded(capsys):
     assert rc == 0
     assert res["steps"] == 3 and np.isfinite(res["final_loss"])
     assert 0.0 <= res["eval"]["accuracy"] <= 1.0
+
+
+def test_sharded_adagrad_ckpt_resume_eval(tmp_path, capsys):
+    """Sharded adagrad: checkpoint + resume via CLI, then `eval --ckpt-dir`
+    rebuilds the placement from run_meta.json and reproduces the training
+    run's --eval-after metrics exactly on the same data."""
+    paths = _write_text_shards(tmp_path)
+    out = str(tmp_path / "data.bin")
+    _run(capsys, ["preprocess", *paths, "--out", out])
+    sizes = ",".join("1000" for _ in range(26))
+    ckpt = str(tmp_path / "ck")
+    common = ["--config", "tiny", "--table-sizes", sizes,
+              "--batch-size", "16"]
+    rc, res = _run(capsys, [
+        "train", *common, "--data", out, "--sharded", "true",
+        "--optimizer", "adagrad", "--lr", "0.05", "--log-every", "2",
+        "--ckpt-dir", ckpt, "--save-interval", "4", "--eval-every", "4",
+        "--eval-steps", "2", "--eval-after"])
+    assert rc == 0 and res["steps"] == 7
+    assert res["eval_record"] and res["eval_record"][0]["step"] == 4
+    assert os.path.exists(os.path.join(ckpt, "run_meta.json"))
+
+    # resume continues (accumulator restored, not reset)
+    rc, res2 = _run(capsys, [
+        "train", *common, "--data", out, "--sharded", "true",
+        "--optimizer", "adagrad", "--lr", "0.05", "--log-every", "2",
+        "--ckpt-dir", ckpt, "--eval-after"])
+    assert rc == 0 and res2["steps"] == 7
+
+    # eval from the checkpoint == the training run's own --eval-after
+    rc, ev = _run(capsys, ["eval", *common, "--data", out,
+                           "--ckpt-dir", ckpt])
+    assert rc == 0
+    np.testing.assert_allclose(ev["loss"], res2["eval"]["loss"],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(ev["auc"], res2["eval"]["auc"], atol=1e-9)
