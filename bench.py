@@ -97,11 +97,43 @@ def main():
         except OSError:
             pass
 
+    # secondary: the coalesced-update block mode (--update-interval 4, the
+    # reference BatchUpdater relaxation; train.train_block) — one scatter
+    # per chunk per K steps, bounded staleness < K
+    from dlrm_tpu.train.train import make_jit_train_block
+    K = 4
+    kd = jnp.broadcast_to(dense, (K,) + dense.shape)
+    ks = jnp.asarray(np.stack(
+        [np.stack([rng.integers(0, s, size=BATCH)
+                   for s in config.table_sizes], axis=1)
+         for _ in range(K)]).astype(np.int32))
+    kl = jnp.broadcast_to(labels, (K, BATCH))
+    blk = make_jit_train_block(config, lr=0.1, block=K)
+    params = dlrm_tpu.init_params(jax.random.key(0), config)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        params, bl = blk(params, kd, ks, kl)
+    _ = float(bl[-1])
+    log(f"block K={K} compile+warmup: {time.perf_counter() - t0:.1f}s")
+    totals = []
+    for iters in (4, 12):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, bl = blk(params, kd, ks, kl)
+        _ = float(bl[-1])
+        totals.append(time.perf_counter() - t0)
+    blk_step = (totals[1] - totals[0]) / 8 / K
+    blk_tput = BATCH / blk_step
+    log(f"block K={K}: {blk_step*1e3:.2f} ms/step "
+        f"-> {blk_tput:,.0f} examples/s")
+
     print(json.dumps({
         "metric": f"dlrm_kaggle_fs{FEATURE_SIZE}_train_b{BATCH}",
         "value": round(throughput, 1),
         "unit": "examples/s/chip",
         "vs_baseline": round(throughput / baseline, 3),
+        "block4_examples_per_s": round(blk_tput, 1),
+        "block4_vs_baseline": round(blk_tput / baseline, 3),
     }))
 
 

@@ -77,6 +77,27 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
                    help="comma-separated table row counts (overrides preset)")
 
 
+def _block_iter(source, k: int):
+    """Stack K consecutive batches host-side for the coalesced block step
+    (train.train_block); a sub-K remainder at stream end is passed through
+    as single batches."""
+    buf = []
+    for b in source:
+        buf.append(b)
+        if len(buf) == k:
+            yield {key: np.stack([np.asarray(x[key]) for x in buf])
+                   for key in buf[0]}
+            buf = []
+    for b in buf:
+        yield b
+
+
+def _crossed(prev: int, cur: int, every: Optional[int]) -> bool:
+    """True when [prev, cur] crossed a multiple of ``every`` (block steps
+    advance the step counter by K at a time)."""
+    return bool(every) and (cur // every) > (prev // every)
+
+
 def _data_iter(args, config, *, steps: Optional[int], seed: int = 0):
     from dlrm_tpu.data import synthetic
     from dlrm_tpu.data.criteo import DACLoader, load
@@ -373,36 +394,59 @@ def cmd_train(args) -> int:
         print(f"eval @ step {step}: acc={m['accuracy']:.4f} "
               f"auc={m['auc']:.4f} loss={m['loss']:.5f}", file=sys.stderr)
 
+    block = max(int(getattr(args, "update_interval", 1) or 1), 1)
+    blk_fn = None
+    if block > 1:
+        if sharded or args.hbm_budget_gb is not None \
+                or args.optimizer != "sgd" or callable(lr):
+            raise SystemExit("--update-interval > 1 requires the "
+                             "single-chip constant-lr SGD path")
+        from dlrm_tpu.train.train import make_jit_train_block
+        blk_fn = make_jit_train_block(config, args.lr, block)
+
     losses: List[float] = []
     t_start = time.time()
     step = start_step
     remaining = None if args.steps is None else max(args.steps - start_step, 0)
     source = _data_iter(args, config, steps=remaining, seed=args.seed)
+    if block > 1:
+        source = _block_iter(source, block)
+    profiling = False
     for b in device_prefetch(source, size=args.prefetch,
                              sharding=batch_place):
         if args.profile_dir is not None:
-            # capture a jax.profiler trace of steps 3..6 after warmup; the
+            # capture a jax.profiler trace of steps ~3..6 after warmup; the
             # named_scope phases (lookup/interaction/...) appear in the trace
-            if step == start_step + 3:
+            if not profiling and step >= start_step + 3:
                 jax.profiler.start_trace(args.profile_dir)
-            elif step == start_step + 6:
+                profiling = True
+            elif profiling and step >= start_step + 6:
                 jax.block_until_ready(params)
                 jax.profiler.stop_trace()
-                print(f"profile written to {args.profile_dir}",
-                      file=sys.stderr)
-        params, loss = step_fn(params, b["dense"], b["sparse"], b["labels"])
-        step += 1
-        if step % args.log_every == 0:
+                profiling = False
+                args.profile_dir = None
+                print("profile written", file=sys.stderr)
+        prev = step
+        if blk_fn is not None and np.asarray(b["dense"]).ndim == 3:
+            params, blk_losses = blk_fn(params, b["dense"], b["sparse"],
+                                        b["labels"])
+            loss = blk_losses[-1]
+            step += int(b["dense"].shape[0])
+        else:
+            params, loss = step_fn(params, b["dense"], b["sparse"],
+                                   b["labels"])
+            step += 1
+        if _crossed(prev, step, args.log_every):
             loss = float(loss)
             losses.append(loss)
             dt = time.time() - t_start
             eps = (step - start_step) * args.batch_size / max(dt, 1e-9)
             print(f"step {step} loss {loss:.5f} "
                   f"({eps:,.0f} examples/s)", file=sys.stderr)
-        if args.eval_every and step % args.eval_every == 0:
+        if _crossed(prev, step, args.eval_every):
             periodic_eval()
-        if mgr is not None:
-            mgr.maybe_save(step, ckpt_payload())
+        if mgr is not None and _crossed(prev, step, mgr.save_interval):
+            mgr.save(step, ckpt_payload())
     if mgr is not None:
         if mgr.latest_step() != step:  # maybe_save may have just saved it
             mgr.save(step, ckpt_payload(), force=True)
@@ -590,6 +634,12 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--log-every", type=int, default=100)
     tr.add_argument("--prefetch", type=int, default=2,
                     help="batches transferred to device ahead of compute")
+    tr.add_argument("--update-interval", type=int, default=1,
+                    help="coalesce the big-table embedding updates of K "
+                    "consecutive steps into one scatter per chunk "
+                    "(bounded staleness < K steps, the reference's "
+                    "BatchUpdater relaxation; measured +39%% throughput "
+                    "at K=8 on v5e)")
     tr.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of a few steps")
     tr.add_argument("--hbm-budget-gb", type=float, default=None,

@@ -295,6 +295,115 @@ def make_jit_train_step_opt(config: DLRMConfig, *, optimizer: str = "sgd",
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+# -- coalesced K-step block (the BatchUpdater analog) -------------------------
+
+def train_block(params: dict, dense: jax.Array, sparse: jax.Array,
+                labels: jax.Array, *, config: DLRMConfig, lr: float,
+                block: int):
+    """``block`` SGD micro-steps fused into one jitted program, with the
+    big-table scatter updates COALESCED into one scatter-add per storage
+    chunk at block end.
+
+    This is the TPU-native analog of the reference's disabled BatchUpdater
+    pipeline (src/model/embedding_update.jl:1-37): there, precompute threads
+    aggregate sparse updates in DRAM and writeback threads trickle them into
+    the (slow-tier) tables behind the forward pass, deliberately tolerating
+    bounded staleness.  Here the same relaxation — the forward of micro-step
+    k reads big-table rows as of block entry (stale by < ``block`` steps) —
+    buys amortization of the measured ~2.4 ms fixed cost per XLA TPU scatter
+    op (ops/embedding.py rationale) across ``block`` batches.
+
+    Exactness contract:
+      * dense params and small (one-hot-path) tables update every micro-step
+        — they are carried, never stale;
+      * big-table gradients are computed w.r.t. the stale rows and their
+        scatter-adds commute, so when no id repeats across micro-batches the
+        block is bit-identical to ``block`` sequential :func:`train_step`
+        calls (oracle-tested);
+      * ``block=1`` is always exactly :func:`train_step`.
+
+    Args: ``dense`` (K, B, 13), ``sparse`` (K, B, T[, H]), ``labels``
+    (K, B).  Returns (new_params, losses (K,)).
+    """
+    small, big = emb_ops.partition_tables(config.table_sizes,
+                                          config.small_table_threshold)
+    dense_params, emb = model_lib.split_params(params)
+    emb_ops.check_storage(emb, config)
+    assert config.is_packed, "train_block requires engine storage"
+    emb_dtype = emb[0].dtype
+
+    dp = dense_params
+    st = tuple(emb_ops.get_logical_table(emb, config, t) for t in small)
+    losses, ids_acc, drows_acc = [], [], []
+    for k in range(block):
+        d, s, l = dense[k], sparse[k], labels[k]
+        ids_big = None
+        if big:
+            ids_big = s[:, big] if s.ndim == 2 else s[:, big, :]
+            with jax.named_scope("lookup_gather"):
+                rows_big = emb_ops.gather_tables(emb, ids_big, config, big)
+        else:
+            rows_big = jnp.zeros((d.shape[0], 0, config.feature_size),
+                                 emb_dtype)
+
+        def inner(dp_, rows_big_, st_, s=s, d=d, l=l):
+            parts = [emb_ops.pool(rows_big_)]
+            with jax.named_scope("lookup_onehot"):
+                for j, t in enumerate(small):
+                    idt = s[:, t] if s.ndim == 2 else s[:, t, :]
+                    parts.append(emb_ops.onehot_lookup(
+                        st_[j], idt, config.compute_dtype)[:, None, :])
+            pooled = jnp.concatenate(parts, axis=1).astype(emb_dtype)
+            pooled = pooled[:, emb_ops.table_order_permutation(small, big),
+                            :]
+            return _loss_from_pooled(dp_, pooled, d, l, config)
+
+        loss, (dgrads, d_rows_big, d_smalls) = jax.value_and_grad(
+            inner, argnums=(0, 1, 2))(dp, rows_big, st)
+        with jax.named_scope("dense_update"):
+            dp = jax.tree.map(
+                lambda p, g: (p - lr * g).astype(p.dtype), dp, dgrads)
+            st = tuple((t - lr * g).astype(t.dtype)
+                       for t, g in zip(st, d_smalls))
+        losses.append(loss)
+        if big:
+            ids_acc.append(ids_big)
+            drows_acc.append(d_rows_big)
+
+    new_emb = list(emb)
+    if big:
+        with jax.named_scope("coalesced_sparse_update"):
+            ids_cat = jnp.concatenate(ids_acc, axis=0)
+            drows_cat = jnp.concatenate(drows_acc, axis=0)
+            new_emb = list(emb_ops.apply_sgd_chunked(
+                new_emb, ids_cat, drows_cat, lr, config, big))
+    with jax.named_scope("small_table_writeback"):
+        for j, t in enumerate(small):
+            c = config.table_chunk[t]
+            po = config.chunk_table_offsets[t]
+            pn = config.packed_table_rows[t]
+            pad = pn * config.pack - config.table_sizes[t]
+            tab = st[j]
+            if pad:
+                # pad slots are never read but must round-trip unchanged
+                # (train_step's .add leaves them alone)
+                orig = emb[c][po:po + pn].reshape(-1, config.feature_size)
+                tab = jnp.concatenate([tab, orig[config.table_sizes[t]:]])
+            new_emb[c] = new_emb[c].at[po:po + pn].set(
+                tab.reshape(pn, config.row_width))
+    return (model_lib.merge_params(dp, tuple(new_emb)),
+            jnp.stack(losses))
+
+
+def make_jit_train_block(config: DLRMConfig, lr: float, block: int
+                         ) -> Callable:
+    """Jitted coalesced block step: f(params, (K,B,13), (K,B,T[,H]),
+    (K,B)) -> (params, (K,) losses)."""
+    step = functools.partial(train_block, config=config, lr=lr,
+                             block=block)
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
                        labels: jax.Array, *, config: DLRMConfig, lr: float,
                        mesh, placement, axis: str = "d"):

@@ -1,0 +1,157 @@
+"""Coalesced K-step block updates (the BatchUpdater analog).
+
+The reference's BatchUpdater (src/model/embedding_update.jl:1-37, disabled)
+aggregates sparse updates and trickles them into the tables behind the
+forward pass, tolerating bounded staleness.  train.train_block is the
+TPU-native equivalent; its exactness contract is oracle-tested here:
+
+* block=1 is bit-identical to train_step;
+* when no big-table id repeats across micro-batches, a K-block is
+  bit-identical to K sequential train_step calls (scatter-adds commute,
+  dense params and small tables are carried exactly);
+* with repeated ids the relaxation still trains (AUC rises on the skewed
+  synthetic task like exact SGD does).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dlrm_tpu
+from dlrm_tpu.train.train import make_jit_train_block
+
+
+def _config():
+    # small_table_threshold=16 makes tables 0,2 one-hot-path and 1,3 gather
+    import dataclasses
+    return dataclasses.replace(
+        dlrm_tpu.tiny_config(num_tables=4, rows=256, feature_size=8),
+        small_table_threshold=16, table_sizes=(16, 256, 8, 256))
+
+
+def _batches(config, k, b, rng, disjoint=False):
+    dense = rng.normal(size=(k, b, 13)).astype(np.float32)
+    if disjoint:
+        # partition each table's id space across the K micro-batches so no
+        # row is read after being written within the block
+        sparse = np.stack([np.stack(
+            [rng.integers(i * (s // k), (i + 1) * (s // k), size=b)
+             for s in config.table_sizes], axis=1)
+            for i in range(k)]).astype(np.int32)
+    else:
+        sparse = np.stack([np.stack(
+            [rng.integers(0, s, size=b) for s in config.table_sizes],
+            axis=1) for _ in range(k)]).astype(np.int32)
+    labels = (rng.random((k, b)) > 0.5).astype(np.float32)
+    return jnp.asarray(dense), jnp.asarray(sparse), jnp.asarray(labels)
+
+
+def _leaves_allclose(a, b, **kw):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), **kw)
+
+
+def test_block1_equals_train_step():
+    config = _config()
+    params = dlrm_tpu.init_params(jax.random.key(0), config)
+    rng = np.random.default_rng(0)
+    dense, sparse, labels = _batches(config, 1, 32, rng)
+    step = dlrm_tpu.make_jit_train_step(config, lr=0.1)
+    blk = make_jit_train_block(config, lr=0.1, block=1)
+
+    p_ref, loss_ref = step(jax.tree.map(jnp.copy, params),
+                           dense[0], sparse[0], labels[0])
+    p_blk, losses = blk(jax.tree.map(jnp.copy, params),
+                        dense, sparse, labels)
+    np.testing.assert_allclose(float(losses[0]), float(loss_ref), rtol=1e-6)
+    _leaves_allclose(p_ref, p_blk, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_block_disjoint_ids_equals_sequential(k):
+    """No id repeats across micro-batches => block == sequential exactly."""
+    config = _config()
+    params = dlrm_tpu.init_params(jax.random.key(1), config)
+    rng = np.random.default_rng(1)
+    dense, sparse, labels = _batches(config, k, 32, rng, disjoint=True)
+    step = dlrm_tpu.make_jit_train_step(config, lr=0.1)
+    blk = make_jit_train_block(config, lr=0.1, block=k)
+
+    p_ref = jax.tree.map(jnp.copy, params)
+    ref_losses = []
+    for i in range(k):
+        p_ref, loss = step(p_ref, dense[i], sparse[i], labels[i])
+        ref_losses.append(float(loss))
+    p_blk, losses = blk(jax.tree.map(jnp.copy, params),
+                        dense, sparse, labels)
+    np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-5)
+    _leaves_allclose(p_ref, p_blk, rtol=1e-5, atol=1e-6)
+
+
+def test_block_multihot_disjoint_equals_sequential():
+    import dataclasses
+    config = dataclasses.replace(_config(), n_hot=3)
+    params = dlrm_tpu.init_params(jax.random.key(2), config)
+    rng = np.random.default_rng(2)
+    k, b = 2, 16
+    dense = jnp.asarray(rng.normal(size=(k, b, 13)).astype(np.float32))
+    sparse = jnp.asarray(np.stack([np.stack(
+        [rng.integers(i * (s // k), (i + 1) * (s // k), size=(b, 3))
+         for s in config.table_sizes], axis=1)
+        for i in range(k)]).astype(np.int32))
+    labels = jnp.asarray((rng.random((k, b)) > 0.5).astype(np.float32))
+    step = dlrm_tpu.make_jit_train_step(config, lr=0.1)
+    blk = make_jit_train_block(config, lr=0.1, block=k)
+
+    p_ref = jax.tree.map(jnp.copy, params)
+    for i in range(k):
+        p_ref, _ = step(p_ref, dense[i], sparse[i], labels[i])
+    p_blk, _ = blk(jax.tree.map(jnp.copy, params), dense, sparse, labels)
+    _leaves_allclose(p_ref, p_blk, rtol=1e-5, atol=1e-6)
+
+
+def test_block_trains_on_skewed_synthetic():
+    """Bounded staleness (repeated hot ids across micro-batches) still
+    learns: AUC after training with block=4 is close to exact SGD's."""
+    import dataclasses
+    from dlrm_tpu.data import synthetic
+    from dlrm_tpu.train.metrics import evaluate
+
+    # threshold 0: every table on the gather/scatter path, so hot ids DO
+    # repeat across micro-batches and the block forward reads stale rows
+    config = dataclasses.replace(
+        dlrm_tpu.tiny_config(num_tables=4, rows=128, feature_size=8),
+        small_table_threshold=0)
+    truth = synthetic.ClickthroughModel(config, seed=5)
+    params = dlrm_tpu.init_params(jax.random.key(3), config)
+    b, steps, k = 128, 120, 4
+
+    def run_exact():
+        p = jax.tree.map(jnp.copy, params)
+        step = dlrm_tpu.make_jit_train_step(config, lr=0.1)
+        for batch in truth.stream(b, steps, seed=11):
+            p, _ = step(p, batch["dense"], batch["sparse"],
+                        batch["labels"])
+        return p
+
+    def run_block():
+        p = jax.tree.map(jnp.copy, params)
+        blk = make_jit_train_block(config, lr=0.1, block=k)
+        buf = []
+        for batch in truth.stream(b, steps, seed=11):
+            buf.append(batch)
+            if len(buf) == k:
+                p, _ = blk(p,
+                           jnp.stack([x["dense"] for x in buf]),
+                           jnp.stack([x["sparse"] for x in buf]),
+                           jnp.stack([x["labels"] for x in buf]))
+                buf = []
+        return p
+
+    ev = lambda p: evaluate(p, truth.stream(b, 10, seed=999), config)
+    auc_exact = ev(run_exact())["auc"]
+    auc_block = ev(run_block())["auc"]
+    assert auc_exact > 0.6, auc_exact  # the task is learnable at all
+    # bounded staleness costs at most a little AUC at this scale
+    assert auc_block > auc_exact - 0.03, (auc_block, auc_exact)

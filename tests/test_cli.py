@@ -203,3 +203,15 @@ def test_sharded_adagrad_ckpt_resume_eval(tmp_path, capsys):
     np.testing.assert_allclose(ev["loss"], res2["eval"]["loss"],
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(ev["auc"], res2["eval"]["auc"], atol=1e-9)
+
+
+def test_train_cli_update_interval(capsys):
+    """Coalesced block mode from the CLI, including a sub-K remainder."""
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "7",
+        "--sharded", "false", "--update-interval", "4", "--log-every", "2",
+        "--eval-after", "--eval-steps", "2"])
+    assert rc == 0
+    assert res["steps"] == 7  # 4-block + 3 single remainder steps
+    assert np.isfinite(res["final_loss"])
+    assert 0.0 <= res["eval"]["accuracy"] <= 1.0
