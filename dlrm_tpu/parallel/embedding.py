@@ -413,12 +413,32 @@ def _adagrad_apply_local(emb_l, acc_l, keys, g, lr, pack, dim,
     return emb_l, acc_l
 
 
-def _update_body_adagrad(emb, acc, ids, d_pooled, lr, meta, *, axis: str,
-                         out_column: np.ndarray, num_slots: int, pack: int,
-                         placement: "TablePlacement"):
+def _cs_adagrad_local(cs_local, acc_local, ids_t, g, lr,
+                      eps: float = 1e-10):
+    """Exact Adagrad on one column-sharded table's lane slice: Adagrad is
+    elementwise, so each shard's (R, D/N) slice keeps an independent
+    accumulator slice.  ``g``: (B[, H], D/N) routed-back lane grads."""
+    from dlrm_tpu.ops.embedding import dedup_sparse_grad, SparseGrad
+
+    wc = g.shape[-1]
+    out = dedup_sparse_grad(SparseGrad(ids_t.reshape(-1),
+                                       g.reshape(-1, wc)))
+    ids_u, g_u = out.ids, out.rows
+    acc_rows = jnp.take(acc_local, ids_u, axis=0)
+    acc_new = acc_rows + g_u * g_u
+    acc_local = acc_local.at[ids_u].add(g_u * g_u, mode="drop")
+    step = g_u * jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+    cs_local = cs_local.at[ids_u].add((-lr * step).astype(cs_local.dtype),
+                                      mode="drop")
+    return cs_local, acc_local
+
+
+def _update_body_adagrad(emb, acc, cs, acc_cs, ids, d_pooled, lr, meta, *,
+                         axis: str, out_column: np.ndarray, num_slots: int,
+                         pack: int, placement: "TablePlacement"):
     """SPMD Adagrad update: same gradient routing as _update_body, then an
     exact dedup-then-apply Adagrad on each shard's owned rows (accumulator
-    sharded like the tables)."""
+    sharded like the tables; lane-sliced for column-sharded tables)."""
     dim = d_pooled.shape[-1]
     b_local = d_pooled.shape[0]
     ids_all = jax.lax.all_gather(ids, axis, axis=0, tiled=True)
@@ -451,21 +471,43 @@ def _update_body_adagrad(emb, acc, ids, d_pooled, lr, meta, *, axis: str,
             key = jnp.where(owned, phys * pack + slot, -1)
             keys_parts.append(key.reshape(-1))
             g_parts.append((g * owned[..., None]).reshape(-1, dim))
-    keys = jnp.concatenate(keys_parts)
-    g = jnp.concatenate(g_parts).astype(jnp.float32)
-    new_emb, new_acc = _adagrad_apply_local(emb[0], acc[0], keys, g, lr,
-                                            pack, dim)
-    return new_emb[None], new_acc[None]
+    if keys_parts:
+        keys = jnp.concatenate(keys_parts)
+        g = jnp.concatenate(g_parts).astype(jnp.float32)
+        new_emb, new_acc = _adagrad_apply_local(emb[0], acc[0], keys, g,
+                                                lr, pack, dim)
+    else:
+        new_emb, new_acc = emb[0], acc[0]
+    new_cs, new_acc_cs = [], []
+    for k, t in enumerate(placement.col_sharded):
+        d_t = d_pooled[:, t, :]  # (B/N, D), global table order
+        with jax.named_scope("cs_a2a_bwd"):
+            back = jax.lax.all_to_all(d_t, axis, split_axis=1,
+                                      concat_axis=0, tiled=True)  # (B, D/N)
+        ids_t = (ids_all[:, t] if ids_all.ndim == 2
+                 else ids_all[:, t, :])
+        g = back
+        if ids_t.ndim == 2:  # multi-hot: broadcast pooled grad to hits
+            g = jnp.broadcast_to(back[:, None, :],
+                                 ids_t.shape + (back.shape[-1],))
+        cs_new, acc_new = _cs_adagrad_local(
+            cs[k][0], acc_cs[k][0], ids_t, g.astype(jnp.float32), lr)
+        new_cs.append(cs_new[None])
+        new_acc_cs.append(acc_new[None])
+    return (new_emb[None], new_acc[None], tuple(new_cs),
+            tuple(new_acc_cs))
 
 
 def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
                            d_pooled: jax.Array, lr, *, mesh: Mesh,
-                           placement: TablePlacement, axis: str = "d"):
-    """Sparse Adagrad on the sharded tables (slot + row-sharded; column
-    sharding not supported with adagrad yet).  ``acc`` is the accumulator
-    in the same (N, local_rows, W) layout.  Returns (new_emb, new_acc)."""
-    assert not placement.col_sharded, \
-        "adagrad + column sharding not implemented"
+                           placement: TablePlacement, axis: str = "d",
+                           cs=(), acc_cs=()):
+    """Sparse Adagrad on the sharded tables (slot + row-sharded +
+    column-sharded).  ``acc`` is the accumulator in the same
+    (N, local_rows, W) layout; ``acc_cs`` mirrors the per-table
+    (N, R_t, D/N) column-sharded arrays (Adagrad is elementwise, so lane
+    slices accumulate independently).  Returns (new_emb, new_acc, new_cs,
+    new_acc_cs)."""
     meta = placement_arrays(placement)
     body = functools.partial(
         _update_body_adagrad, axis=axis, out_column=placement.out_column(),
@@ -473,10 +515,13 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
         pack=placement.pack, placement=placement)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(),
+        in_specs=(P(axis), P(axis), tuple(P(axis) for _ in cs),
+                  tuple(P(axis) for _ in acc_cs), P(axis), P(axis), P(),
                   {k: P(axis) for k in meta}),
-        out_specs=(P(axis), P(axis)),
-    )(emb, acc, ids, d_pooled, jnp.asarray(lr, jnp.float32), meta)
+        out_specs=(P(axis), P(axis), tuple(P(axis) for _ in cs),
+                   tuple(P(axis) for _ in acc_cs)),
+    )(emb, acc, tuple(cs), tuple(acc_cs), ids, d_pooled,
+      jnp.asarray(lr, jnp.float32), meta)
 
 
 def sharded_update_sgd(emb: jax.Array, ids: jax.Array, d_pooled: jax.Array,

@@ -165,9 +165,6 @@ def cmd_train(args) -> int:
                            decay_steps=args.decay_steps)
     n_dev = len(jax.devices())
     sharded = args.sharded if args.sharded is not None else (n_dev > 1)
-    if sharded and getattr(args, "optimizer", "sgd") != "sgd" \
-            and args.col_sharded_tables:
-        raise SystemExit("adagrad + column sharding not implemented")
     print(f"devices: {n_dev} ({jax.devices()[0].platform}), "
           f"sharded={sharded}", file=sys.stderr)
     params = dlrm_tpu.init_params(jax.random.key(config.seed), config)

@@ -485,13 +485,15 @@ def sharded_train_step_opt(params: dict, opt_state: dict, dense, sparse,
                 params["emb"], sparse, d_pooled, lr_t, mesh=mesh,
                 placement=placement, axis=axis, cs=cs)
             new_opt["emb_acc"] = opt_state.get("emb_acc", ())
+            new_opt["emb_acc_cs"] = opt_state.get("emb_acc_cs", ())
         else:
-            assert not cs, "adagrad + column sharding not implemented"
-            new_emb, new_acc = pemb.sharded_update_adagrad(
-                params["emb"], opt_state["emb_acc"], sparse, d_pooled,
-                lr_t, mesh=mesh, placement=placement, axis=axis)
-            new_cs = ()
+            new_emb, new_acc, new_cs, new_acc_cs = \
+                pemb.sharded_update_adagrad(
+                    params["emb"], opt_state["emb_acc"], sparse, d_pooled,
+                    lr_t, mesh=mesh, placement=placement, axis=axis,
+                    cs=cs, acc_cs=opt_state.get("emb_acc_cs", ()))
             new_opt["emb_acc"] = new_acc
+            new_opt["emb_acc_cs"] = new_acc_cs
     new_params = {"bottom": new_dense["bottom"], "emb": new_emb,
                   "top": new_dense["top"]}
     if "emb_cs" in params:
@@ -510,11 +512,16 @@ def init_sharded_opt_state(params: dict, *, config: DLRMConfig,
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     tx = optim.dense_optimizer(optimizer, lr)
     state = {"dense": tx.init(dense_params),
-             "count": jnp.zeros((), jnp.int32), "emb_acc": ()}
+             "count": jnp.zeros((), jnp.int32), "emb_acc": (),
+             "emb_acc_cs": ()}
     if optimizer == "adagrad":
         acc = jnp.zeros(params["emb"].shape, jnp.float32)
         state["emb_acc"] = jax.device_put(
             acc, NamedSharding(mesh, P(axis)))
+        state["emb_acc_cs"] = tuple(
+            jax.device_put(jnp.zeros(a.shape, jnp.float32),
+                           NamedSharding(mesh, P(axis)))
+            for a in params.get("emb_cs", ()))
     return state
 
 
@@ -529,6 +536,9 @@ def sharded_opt_shardings(opt_state: dict, mesh, axis: str = "d"):
     sh = jax.tree.map(lambda _: rep, opt_state)
     if not isinstance(opt_state.get("emb_acc", ()), tuple):
         sh["emb_acc"] = NamedSharding(mesh, P(axis))
+    if opt_state.get("emb_acc_cs", ()):
+        sh["emb_acc_cs"] = tuple(NamedSharding(mesh, P(axis))
+                                 for _ in opt_state["emb_acc_cs"])
     return sh
 
 

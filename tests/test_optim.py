@@ -232,3 +232,99 @@ def test_sharded_adagrad_matches_single_device(n_hot, row_sharded):
             np.testing.assert_allclose(np.asarray(a["w"]),
                                        np.asarray(b["w"]),
                                        atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.parametrize("n_hot", [1, 2])
+def test_sharded_adagrad_col_sharded_matches_dense_oracle(n_hot):
+    """Adagrad with column-sharded (+ row-sharded + slot) tables: Adagrad
+    is elementwise, so each lane slice keeps an independent accumulator;
+    two sharded steps must match a dense-gradient Adagrad oracle."""
+    from dlrm_tpu.models import dlrm as model_lib
+    from dlrm_tpu.ops.loss import bce_loss
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.optim import apply_adagrad_dense_table
+    from dlrm_tpu.train.train import (init_sharded_opt_state,
+                                      make_sharded_train_step_opt)
+    import optax
+
+    c = dlrm_tpu.tiny_config(num_tables=6, rows=64, feature_size=8,
+                             n_hot=n_hot)
+    c = dataclasses.replace(c, table_sizes=(64, 400, 12, 300, 64, 50),
+                            packed_tables=False)
+    params = dlrm_tpu.init_params(jax.random.key(7), c)
+    rng = np.random.default_rng(3)
+    batch = synthetic.random_batch(rng, c, 32)
+    sparse = np.asarray(batch["sparse"]).copy()
+    sparse[1] = sparse[0]  # duplicate ids: the adagrad-critical case
+    args = (jnp.asarray(batch["dense"]), jnp.asarray(sparse),
+            jnp.asarray(batch["labels"]))
+    lr, steps = 0.3, 2
+
+    # dense-gradient oracle: full-table autodiff grad (duplicates already
+    # summed), elementwise adagrad per table; optax for the MLPs
+    def loss_fn(p):
+        return bce_loss(model_lib.forward(p, args[0], args[1], c), args[2])
+
+    ref = jax.tree.map(jnp.copy, params)
+    tx = optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+    dense_ref = {"bottom": ref["bottom"], "top": ref["top"]}
+    dstate = tx.init(dense_ref)
+    acc = jnp.zeros(ref["emb"].shape, jnp.float32)
+    for _ in range(steps):
+        ref_full = {"bottom": dense_ref["bottom"], "emb": ref["emb"],
+                    "top": dense_ref["top"]}
+        g = jax.grad(loss_fn)(ref_full)
+        upd, dstate = tx.update({"bottom": g["bottom"], "top": g["top"]},
+                                dstate, dense_ref)
+        dense_ref = optax.apply_updates(dense_ref, upd)
+        new_emb, acc = apply_adagrad_dense_table(ref["emb"], acc,
+                                                 g["emb"], lr)
+        ref = {"bottom": dense_ref["bottom"], "emb": new_emb,
+               "top": dense_ref["top"]}
+
+    mesh = make_mesh(8)
+    p = plan_placement(c.table_sizes, 8, pack=1, max_rows_per_shard=350,
+                       col_sharded_tables=(3, 5))
+    assert p.col_sharded == (3, 5) and p.row_sharded == (1,)
+    emb_np = np.asarray(params["emb"])
+    sh_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": pemb.shard_tables(emb_np, p, c),
+        "emb_cs": pemb.shard_col_tables(emb_np, p, c),
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+    sh_params = jax.device_put(sh_params, param_shardings(mesh, sh_params))
+    opt = init_sharded_opt_state(sh_params, config=c, optimizer="adagrad",
+                                 lr=lr, mesh=mesh)
+    assert len(opt["emb_acc_cs"]) == 2
+    step = make_sharded_train_step_opt(c, optimizer="adagrad", lr=lr,
+                                       mesh=mesh, placement=p)
+    bs = batch_sharding(mesh)
+    sh_args = tuple(jax.device_put(a, bs) for a in args)
+    state = (sh_params, opt)
+    for _ in range(steps):
+        state, loss = step(state[0], state[1], *sh_args)
+
+    want_emb = np.asarray(ref["emb"])
+    got_emb = pemb.unshard_tables(np.asarray(state[0]["emb"]), p, c)
+    for t in range(c.num_tables):
+        off, rows = c.table_offsets[t], c.table_sizes[t]
+        if t in p.col_sharded:
+            continue
+        np.testing.assert_allclose(got_emb[off:off + rows],
+                                   want_emb[off:off + rows],
+                                   atol=1e-4, rtol=1e-4, err_msg=f"t={t}")
+    got_cs = pemb.unshard_col_tables(
+        [np.asarray(a) for a in state[0]["emb_cs"]], p)
+    for k, t in enumerate(p.col_sharded):
+        off, rows = c.table_offsets[t], c.table_sizes[t]
+        np.testing.assert_allclose(got_cs[k], want_emb[off:off + rows],
+                                   atol=1e-4, rtol=1e-4, err_msg=f"cs t={t}")
+    for side in ("bottom", "top"):
+        for a, b in zip(state[0][side], ref[side]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]),
+                                       atol=1e-4, rtol=1e-4)
