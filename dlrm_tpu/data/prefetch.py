@@ -45,6 +45,8 @@ def device_prefetch(source: Iterable, *, size: int = 2,
             self.exc = exc
 
     def put(batch):
+        if callable(sharding):  # per-batch placement (e.g. block stacking)
+            return jax.device_put(batch, sharding(batch))
         if sharding is not None:
             return jax.device_put(batch, sharding)
         return jax.device_put(batch)

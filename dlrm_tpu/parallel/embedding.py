@@ -283,14 +283,22 @@ def _lookup_body(emb, cs, ids, meta, *, axis: str, out_column: np.ndarray,
 
 def _update_body(emb, cs, ids, d_pooled, lr, meta, *, axis: str,
                  out_column: np.ndarray, num_slots: int, pack: int,
-                 placement: "TablePlacement"):
+                 placement: "TablePlacement", block_leading: bool = False):
     """SPMD body of the sparse SGD update.
 
     emb (1, R, D*pack), ids (B/N, T[,H]), d_pooled (B/N, T, D) -> new emb.
     Slot tables route gradients back through the inverse all-to-all;
     row-sharded tables all-gather their (B, D) gradient columns and each
     shard scatter-adds only the rows it owns.
+
+    ``block_leading``: ids/d_pooled carry a leading micro-step dim
+    (K, B/N, ...) from the coalesced block step — folded into the local
+    batch here (scatter-add order is irrelevant), so K steps' updates
+    cost ONE scatter pass.
     """
+    if block_leading:
+        ids = ids.reshape((-1,) + ids.shape[2:])
+        d_pooled = d_pooled.reshape((-1,) + d_pooled.shape[2:])
     dim = d_pooled.shape[-1]
     b_local = d_pooled.shape[0]
     ids_all = jax.lax.all_gather(ids, axis, axis=0, tiled=True)
@@ -526,18 +534,23 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
 
 def sharded_update_sgd(emb: jax.Array, ids: jax.Array, d_pooled: jax.Array,
                        lr, *, mesh: Mesh, placement: TablePlacement,
-                       axis: str = "d", cs=()):
+                       axis: str = "d", cs=(), block_leading: bool = False):
     """Apply the compressed embedding gradient (d loss / d pooled, shape
     (B, T, D) batch-sharded) to the sharded tables with SGD.  Returns
-    (new_emb, new_cs)."""
+    (new_emb, new_cs).
+
+    ``block_leading``: ids/d_pooled are (K, B, ...) — K micro-steps'
+    gradients coalesced into one scatter pass (sharded_train_block)."""
     meta = placement_arrays(placement)
     body = functools.partial(
         _update_body, axis=axis, out_column=placement.out_column(),
         num_slots=placement.num_shards * placement.slots_per_shard,
-        pack=placement.pack, placement=placement)
+        pack=placement.pack, placement=placement,
+        block_leading=block_leading)
+    batch_spec = P(None, axis) if block_leading else P(axis)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), tuple(P(axis) for _ in cs), P(axis), P(axis),
-                  P(), {k: P(axis) for k in meta}),
+        in_specs=(P(axis), tuple(P(axis) for _ in cs), batch_spec,
+                  batch_spec, P(), {k: P(axis) for k in meta}),
         out_specs=(P(axis), tuple(P(axis) for _ in cs)),
     )(emb, tuple(cs), ids, d_pooled, jnp.asarray(lr, jnp.float32), meta)

@@ -394,12 +394,23 @@ def cmd_train(args) -> int:
     block = max(int(getattr(args, "update_interval", 1) or 1), 1)
     blk_fn = None
     if block > 1:
-        if sharded or args.hbm_budget_gb is not None \
+        if args.hbm_budget_gb is not None \
                 or args.optimizer != "sgd" or callable(lr):
-            raise SystemExit("--update-interval > 1 requires the "
-                             "single-chip constant-lr SGD path")
-        from dlrm_tpu.train.train import make_jit_train_block
-        blk_fn = make_jit_train_block(config, args.lr, block)
+            raise SystemExit("--update-interval > 1 requires "
+                             "constant-lr SGD")
+        if sharded:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from dlrm_tpu.train.train import make_sharded_train_block
+            blk_fn = make_sharded_train_block(config, args.lr, mesh,
+                                              placement, block)
+            single_place = batch_place
+            stacked_place = NamedSharding(mesh, P(None, "d"))
+            batch_place = (lambda b: stacked_place
+                           if np.asarray(b["dense"]).ndim == 3
+                           else single_place)
+        else:
+            from dlrm_tpu.train.train import make_jit_train_block
+            blk_fn = make_jit_train_block(config, args.lr, block)
 
     losses: List[float] = []
     t_start = time.time()

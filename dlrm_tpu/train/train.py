@@ -551,6 +551,64 @@ def make_sharded_train_step_opt(config: DLRMConfig, *, optimizer: str,
     return jax.jit(step, donate_argnums=(0, 1))
 
 
+def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
+                        labels: jax.Array, *, config: DLRMConfig, lr: float,
+                        mesh, placement, block: int, axis: str = "d"):
+    """Coalesced K-step block on the hybrid-parallel path (see
+    :func:`train_block` for the semantics — the BatchUpdater relaxation).
+
+    Per micro-step: sharded lookup (a2a / reduce-scatter collectives) on
+    the tables AS OF BLOCK ENTRY, global MLP fwd/bwd (GSPMD psums the
+    data-parallel dense grads), exact dense SGD.  The K compressed
+    embedding gradients are stacked (K, B, T, D) batch-sharded and applied
+    in ONE scatter pass per shard at block end (staleness < K steps).
+
+    Args: ``dense`` (K, B, 13), ``sparse`` (K, B, T[, H]), ``labels``
+    (K, B) — batch dim sharded over ``axis``.  Returns (params, (K,)).
+    """
+    from dlrm_tpu.parallel import embedding as pemb
+
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    cs = params.get("emb_cs", ())
+    dp = dense_params
+    losses, d_pooled_acc = [], []
+    for k in range(block):
+        with jax.named_scope("lookup"):
+            pooled = pemb.sharded_lookup(params["emb"], sparse[k],
+                                         mesh=mesh, placement=placement,
+                                         axis=axis, cs=cs)
+
+        def inner(dp_, p_, k=k):
+            return _loss_from_pooled(dp_, p_, dense[k], labels[k], config)
+
+        loss, (dgrads, d_pooled) = jax.value_and_grad(
+            inner, argnums=(0, 1))(dp, pooled)
+        with jax.named_scope("dense_update"):
+            dp = jax.tree.map(
+                lambda p, g: (p - lr * g).astype(p.dtype), dp, dgrads)
+        losses.append(loss)
+        d_pooled_acc.append(d_pooled)
+
+    with jax.named_scope("coalesced_sparse_update"):
+        d_stack = jnp.stack(d_pooled_acc)  # (K, B, T, D), dim 1 sharded
+        new_emb, new_cs = pemb.sharded_update_sgd(
+            params["emb"], sparse, d_stack, lr, mesh=mesh,
+            placement=placement, axis=axis, cs=cs, block_leading=True)
+    new_params = {"bottom": dp["bottom"], "emb": new_emb,
+                  "top": dp["top"]}
+    if "emb_cs" in params:
+        new_params["emb_cs"] = new_cs
+    return new_params, jnp.stack(losses)
+
+
+def make_sharded_train_block(config: DLRMConfig, lr: float, mesh, placement,
+                             block: int, axis: str = "d") -> Callable:
+    step = functools.partial(sharded_train_block, config=config, lr=lr,
+                             mesh=mesh, placement=placement, block=block,
+                             axis=axis)
+    return jax.jit(step, donate_argnums=(0,))
+
+
 def make_sharded_train_step(config: DLRMConfig, lr: float, mesh, placement,
                             axis: str = "d") -> Callable:
     """Jitted hybrid train step with explicit in/out shardings."""

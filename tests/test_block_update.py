@@ -155,3 +155,57 @@ def test_block_trains_on_skewed_synthetic():
     assert auc_exact > 0.6, auc_exact  # the task is learnable at all
     # bounded staleness costs at most a little AUC at this scale
     assert auc_block > auc_exact - 0.03, (auc_block, auc_exact)
+
+
+@pytest.mark.parametrize("row_sharded", [False, True])
+def test_sharded_block_disjoint_ids_equals_sequential(row_sharded):
+    """Hybrid-parallel block: with no id repeats across micro-batches, a
+    K-block == K sequential sharded steps (and exercises slot +
+    row-sharded routing with the leading-K fold)."""
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.train import (make_sharded_train_block,
+                                      make_sharded_train_step)
+
+    config = dlrm_tpu.tiny_config(num_tables=4, rows=256, feature_size=8)
+    params = dlrm_tpu.init_params(jax.random.key(4), config)
+    rng = np.random.default_rng(4)
+    k, b = 2, 32
+    dense, sparse, labels = _batches(config, k, b, rng, disjoint=True)
+
+    mesh = make_mesh(8)
+    p = plan_placement(config.table_sizes, 8, pack=config.pack,
+                       max_rows_per_shard=200 if row_sharded else None)
+    if row_sharded:
+        assert p.row_sharded
+    sh_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": jnp.asarray(pemb.shard_tables(params["emb"], p, config)),
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+    shardings = param_shardings(mesh, sh_params)
+    sh_params = jax.device_put(sh_params, shardings)
+    bs = batch_sharding(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    bs2 = NamedSharding(mesh, P(None, "d"))
+
+    step = make_sharded_train_step(config, 0.1, mesh, p)
+    p_ref = jax.device_put(jax.tree.map(jnp.copy, sh_params), shardings)
+    ref_losses = []
+    for i in range(k):
+        p_ref, loss = step(p_ref,
+                           jax.device_put(dense[i], bs),
+                           jax.device_put(sparse[i], bs),
+                           jax.device_put(labels[i], bs))
+        ref_losses.append(float(loss))
+
+    blk = make_sharded_train_block(config, 0.1, mesh, p, block=k)
+    p_blk, losses = blk(jax.device_put(jax.tree.map(jnp.copy, sh_params),
+                                       shardings),
+                        jax.device_put(dense, bs2),
+                        jax.device_put(sparse, bs2),
+                        jax.device_put(labels, bs2))
+    np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-5)
+    _leaves_allclose(p_ref, p_blk, rtol=1e-5, atol=1e-6)

@@ -215,3 +215,15 @@ def test_train_cli_update_interval(capsys):
     assert res["steps"] == 7  # 4-block + 3 single remainder steps
     assert np.isfinite(res["final_loss"])
     assert 0.0 <= res["eval"]["accuracy"] <= 1.0
+
+
+def test_train_cli_sharded_update_interval(capsys):
+    """Coalesced block mode on the hybrid-parallel path via the CLI."""
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "6",
+        "--sharded", "true", "--update-interval", "2", "--log-every", "2",
+        "--eval-after", "--eval-steps", "2"])
+    assert rc == 0
+    assert res["steps"] == 6
+    assert np.isfinite(res["final_loss"])
+    assert 0.0 <= res["eval"]["accuracy"] <= 1.0
