@@ -303,6 +303,178 @@ def tiered_train_step(params, dense, sparse, labels, *, config: DLRMConfig,
              "emb_dev": new_dev, "emb_host": new_host}, loss)
 
 
+def _adagrad_rows(acc_rows, g, lr, eps: float = 1e-10):
+    """Elementwise Adagrad on deduped rows: returns (delta_acc, step_rows)
+    with the same semantics as train/optim.apply_adagrad_chunked."""
+    acc_new = acc_rows + g * g
+    step = g * jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+    return g * g, step
+
+
+def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
+                          config: DLRMConfig, optimizer: str, lr,
+                          plan: TierPlan):
+    """Two-tier step with a pluggable optimizer (sgd | adagrad).
+
+    The Adagrad accumulator lives tier-matched: a device-resident slab for
+    the device tier, a pinned-host slab for the host tier (updated with
+    host-side gather/scatter like the tables themselves — the reference
+    keeps optimizer work on the PMM tier's writeback threads the same way,
+    src/model/embedding_update.jl).  Duplicate ids are deduped before the
+    nonlinear accumulator update (dedup-then-apply contract).
+    """
+    from dlrm_tpu.models import dlrm as model_lib
+    from dlrm_tpu.ops import embedding as emb_ops
+    from dlrm_tpu.ops.loss import bce_loss
+    from dlrm_tpu.train import optim
+    import optax
+
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    emb_dev, emb_host = params["emb_dev"], params["emb_host"]
+
+    gathered = []
+    order = []
+    ids_dev = ids_host = None
+    if plan.device_tables:
+        ids_dev = _tier_ids(sparse, list(plan.device_tables),
+                            plan.device_offsets)
+        with jax.named_scope("lookup_device_tier"):
+            gathered.append(jnp.take(emb_dev, ids_dev, axis=0))
+        order += list(plan.device_tables)
+    if plan.host_tables:
+        ids_host = _tier_ids(sparse, list(plan.host_tables),
+                             plan.host_offsets)
+        with jax.named_scope("lookup_host_tier"):
+            gathered.append(host_tier_gather(emb_host, ids_host))
+        order += list(plan.host_tables)
+    inv = jnp.asarray(np.argsort(np.asarray(order)))
+
+    def inner(dp, gathered):
+        pooled = jnp.concatenate(
+            [g if g.ndim == 3 else jnp.sum(g, axis=2) for g in gathered],
+            axis=1)
+        pooled = jnp.take(pooled, inv, axis=1)
+        out = model_lib.forward_from_pooled(dp, pooled, dense, config)
+        return bce_loss(out, labels)
+
+    loss, (dgrads, d_gathered) = jax.value_and_grad(
+        inner, argnums=(0, 1))(dense_params, gathered)
+
+    count = opt_state["count"]
+    lr_t = lr(count) if callable(lr) else lr
+    tx = optim.dense_optimizer(optimizer, lr)
+    with jax.named_scope("dense_update"):
+        updates, new_dense_state = tx.update(dgrads, opt_state["dense"],
+                                             dense_params)
+        new_dense = optax.apply_updates(dense_params, updates)
+        new_dense = jax.tree.map(
+            lambda p, q: q.astype(p.dtype), dense_params, new_dense)
+
+    new_dev, new_host = emb_dev, emb_host
+    new_opt = {"dense": new_dense_state, "count": count + 1,
+               "dev_acc": opt_state.get("dev_acc", ()),
+               "host_acc": opt_state.get("host_acc", ())}
+    i = 0
+    if plan.device_tables:
+        d_rows = d_gathered[i]; i += 1
+        flat = ids_dev.reshape(-1)
+        g = d_rows.reshape(-1, d_rows.shape[-1]).astype(jnp.float32)
+        if optimizer == "sgd":
+            with jax.named_scope("device_tier_update"):
+                new_dev = emb_dev.at[flat].add(
+                    (-lr_t * g).astype(emb_dev.dtype),
+                    mode="promise_in_bounds")
+        else:
+            with jax.named_scope("device_tier_adagrad"):
+                out = emb_ops.dedup_sparse_grad(
+                    emb_ops.SparseGrad(flat, g))
+                ids_u, g_u = out.ids, out.rows
+                acc = opt_state["dev_acc"]
+                d_acc, step_rows = _adagrad_rows(
+                    jnp.take(acc, ids_u, axis=0), g_u, lr_t)
+                new_opt["dev_acc"] = acc.at[ids_u].add(d_acc, mode="drop")
+                new_dev = emb_dev.at[ids_u].add(
+                    (-lr_t * step_rows).astype(emb_dev.dtype), mode="drop")
+    if plan.host_tables:
+        d_rows = d_gathered[i]
+        if optimizer == "sgd":
+            with jax.named_scope("host_tier_update"):
+                new_host = host_tier_scatter_add(emb_host, ids_host,
+                                                 -lr_t * d_rows)
+        else:
+            with jax.named_scope("host_tier_adagrad"):
+                flat = ids_host.reshape(-1)
+                g = d_rows.reshape(-1, d_rows.shape[-1]
+                                   ).astype(jnp.float32)
+                out = emb_ops.dedup_sparse_grad(
+                    emb_ops.SparseGrad(flat, g))
+                # dedup on device; only the deduped (ids, g), g^2 and the
+                # step rows cross PCIe
+                ids_u, g_u = out.ids, out.rows
+                # clamp the -1 surplus slots to row 0 with zero updates
+                # (host scatters run PROMISE_IN_BOUNDS, no 'drop' mode)
+                valid = (ids_u >= 0)[:, None]
+                ids_u = jnp.maximum(ids_u, 0)
+                g_u = g_u * valid
+                acc = opt_state["host_acc"]
+                acc_rows = host_tier_gather(acc, ids_u)
+                d_acc, step_rows = _adagrad_rows(acc_rows, g_u, lr_t)
+                new_opt["host_acc"] = host_tier_scatter_add(acc, ids_u,
+                                                            d_acc)
+                new_host = host_tier_scatter_add(emb_host, ids_u,
+                                                 -lr_t * step_rows)
+    return ({"bottom": new_dense["bottom"], "top": new_dense["top"],
+             "emb_dev": new_dev, "emb_host": new_host}, new_opt), loss
+
+
+def init_tiered_opt_state(params: dict, *, config: DLRMConfig,
+                          optimizer: str, lr, plan: TierPlan,
+                          device=None) -> dict:
+    """Optimizer state with tier-matched Adagrad accumulator slabs."""
+    from dlrm_tpu.train import optim
+
+    device = device or jax.devices()[0]
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    tx = optim.dense_optimizer(optimizer, lr)
+    state = {"dense": tx.init(dense_params),
+             "count": jnp.zeros((), jnp.int32),
+             "dev_acc": (), "host_acc": ()}
+    if optimizer == "adagrad":
+        state["dev_acc"] = jax.device_put(
+            jnp.zeros(params["emb_dev"].shape, jnp.float32), device)
+        host_sh = jax.sharding.SingleDeviceSharding(
+            device, memory_kind="pinned_host")
+        try:
+            state["host_acc"] = jax.device_put(
+                jnp.zeros(params["emb_host"].shape, jnp.float32), host_sh)
+        except Exception:  # backends without pinned_host (CPU tests)
+            state["host_acc"] = jnp.zeros(params["emb_host"].shape,
+                                          jnp.float32)
+    return state
+
+
+def make_tiered_train_step_opt(config: DLRMConfig, *, optimizer: str, lr,
+                               plan: TierPlan, device=None,
+                               pin_host_output: Optional[bool] = None):
+    """Jitted two-tier pluggable-optimizer step (see make_tiered_train_step
+    for the host-output pinning rationale)."""
+    device = device or jax.devices()[0]
+    if pin_host_output is None:
+        pin_host_output = device.platform == "tpu"
+    step = functools.partial(tiered_train_step_opt, config=config,
+                             optimizer=optimizer, lr=lr, plan=plan)
+    if not pin_host_output:
+        return jax.jit(step)
+    sh_host = jax.sharding.SingleDeviceSharding(device,
+                                                memory_kind="pinned_host")
+    opt_sh = {"dense": None, "count": None, "dev_acc": None,
+              "host_acc": sh_host if optimizer == "adagrad" else None}
+    out_shardings = (({"bottom": None, "top": None, "emb_dev": None,
+                       "emb_host": sh_host}, opt_sh), None)
+    return jax.jit(step, donate_argnums=(0, 1),
+                   out_shardings=out_shardings)
+
+
 def make_tiered_train_step(config: DLRMConfig, lr: float, plan: TierPlan,
                            device=None, pin_host_output: Optional[bool] = None):
     """Jitted two-tier step; on TPU the host-tier stack stays pinned in host

@@ -273,8 +273,6 @@ def cmd_train(args) -> int:
         # src/DLRM.jl:47-53): spill the biggest tables to host memory
         from dlrm_tpu.parallel import host_tier as ht
 
-        if args.optimizer != "sgd" or callable(lr):
-            raise SystemExit("--hbm-budget-gb supports plain SGD for now")
         if mgr is not None:
             raise SystemExit("--hbm-budget-gb with --ckpt-dir not wired yet")
         plan = ht.plan_tiers(config,
@@ -282,14 +280,28 @@ def cmd_train(args) -> int:
         print(f"host-tier tables: {list(plan.host_tables)} "
               f"({plan.host_rows:,} rows)", file=sys.stderr)
         tiered = ht.init_tiered_params(params, plan, config)
-        tiered_step = ht.make_tiered_train_step(config, args.lr, plan)
-        state_box = {"tiered": tiered}
+        if args.optimizer == "sgd" and not callable(lr):
+            tiered_step = ht.make_tiered_train_step(config, args.lr, plan)
+            state_box = {"tiered": tiered}
 
-        def step_fn(p, d, s, l):
-            del p
-            state_box["tiered"], loss = tiered_step(state_box["tiered"],
-                                                    d, s, l)
-            return state_box["tiered"], loss
+            def step_fn(p, d, s, l):
+                del p
+                state_box["tiered"], loss = tiered_step(
+                    state_box["tiered"], d, s, l)
+                return state_box["tiered"], loss
+        else:
+            opt_step = ht.make_tiered_train_step_opt(
+                config, optimizer=args.optimizer, lr=lr, plan=plan)
+            opt_state = ht.init_tiered_opt_state(
+                tiered, config=config, optimizer=args.optimizer, lr=lr,
+                plan=plan)
+            state_box = {"tiered": tiered, "opt": opt_state}
+
+            def step_fn(p, d, s, l):
+                del p
+                (state_box["tiered"], state_box["opt"]), loss = opt_step(
+                    state_box["tiered"], state_box["opt"], d, s, l)
+                return state_box["tiered"], loss
         params = tiered
         batch_place = None
     else:
