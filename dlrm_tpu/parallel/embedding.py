@@ -69,6 +69,8 @@ def shard_tables(stacked: np.ndarray, placement: TablePlacement,
              stacked[config.table_offsets[t]:
                      config.table_offsets[t] + rows], -(-rows // p))
     for k, t in enumerate(placement.row_sharded):
+        if placement.rs_host and placement.rs_host[k]:
+            continue  # lives in the host stack (shard_host_tables)
         rows = placement.table_sizes[t]
         chunk = placement.rs_rows_per_shard[k]
         go = config.table_offsets[t]
@@ -80,9 +82,46 @@ def shard_tables(stacked: np.ndarray, placement: TablePlacement,
     return out
 
 
+def shard_host_tables(stacked, placement: TablePlacement,
+                      config: DLRMConfig) -> np.ndarray:
+    """Per-shard host stack (N, host_local_rows, W) for the host-resident
+    row-sharded tables (placement.rs_host).  Place with
+    NamedSharding(mesh, P(axis), memory_kind='pinned_host')."""
+    from dlrm_tpu.ops import embedding as emb_ops
+
+    if isinstance(stacked, (tuple, list)):
+        stacked = emb_ops.unpack_tables(
+            tuple(np.asarray(c) for c in stacked), config)
+    stacked = np.asarray(stacked)
+    n, p = placement.num_shards, placement.pack
+    d = stacked.shape[1]
+    out = np.zeros((n, placement.host_local_rows, d * p),
+                   dtype=stacked.dtype)
+    for k, t in enumerate(placement.row_sharded):
+        if not placement.rs_host[k]:
+            continue
+        rows = placement.table_sizes[t]
+        chunk = placement.rs_rows_per_shard[k]
+        lo = placement.rs_local_offsets[k]
+        go = config.table_offsets[t]
+        for shard in range(n):
+            blk = stacked[go + shard * chunk:
+                          go + min((shard + 1) * chunk, rows)]
+            if len(blk):
+                pad = chunk - len(blk)
+                if pad:
+                    blk = np.concatenate(
+                        [blk, np.zeros((pad, d), blk.dtype)])
+                out[shard, lo:lo + chunk // p] = blk.reshape(
+                    chunk // p, d * p)
+    return out
+
+
 def unshard_tables(sharded: np.ndarray, placement: TablePlacement,
-                   config: DLRMConfig) -> np.ndarray:
-    """Inverse of :func:`shard_tables` (returns the logical (R, D) stack)."""
+                   config: DLRMConfig, host=None) -> np.ndarray:
+    """Inverse of :func:`shard_tables` (returns the logical (R, D) stack).
+    ``host``: the (N, host_local_rows, W) host stack when the placement has
+    host-resident row-sharded tables (their rows stay zero if omitted)."""
     sharded = np.asarray(sharded)
     total = sum(placement.table_sizes)
     p = placement.pack
@@ -97,6 +136,11 @@ def unshard_tables(sharded: np.ndarray, placement: TablePlacement,
         out[go:go + rows] = sharded[shard, lo:lo + prows].reshape(
             prows * p, d)[:rows]
     for k, t in enumerate(placement.row_sharded):
+        src = sharded
+        if placement.rs_host and placement.rs_host[k]:
+            if host is None:
+                continue  # caller merges the host stack separately
+            src = np.asarray(host)
         rows = placement.table_sizes[t]
         chunk = placement.rs_rows_per_shard[k]
         lo = placement.rs_local_offsets[k]
@@ -106,7 +150,7 @@ def unshard_tables(sharded: np.ndarray, placement: TablePlacement,
             n_rows = min(chunk, rows - start)
             if n_rows <= 0:
                 break
-            out[go + start:go + start + n_rows] = sharded[
+            out[go + start:go + start + n_rows] = src[
                 shard, lo:lo + chunk // p].reshape(chunk, d)[:n_rows]
     return out
 
@@ -199,16 +243,54 @@ def _expand(rows, slot, pack: int):
 
 def _rs_translate(ids_t, k, placement, my_idx):
     """Row-sharded table k: global ids (B[,H]) -> (phys, slot, owned mask)
-    for THIS shard's contiguous block (non-owned ids -> trash row)."""
+    for THIS shard's contiguous block (non-owned ids -> trash row of the
+    stack the table lives in, device or host)."""
     pack = placement.pack
     chunk = placement.rs_rows_per_shard[k]
     lo = placement.rs_local_offsets[k]
+    trash = (placement.host_local_rows - 1
+             if placement.rs_host and placement.rs_host[k]
+             else placement.local_rows - 1)
     owner = ids_t // chunk
     owned = owner == my_idx
     local = jnp.where(owned, ids_t - my_idx * chunk, 0)
-    phys = jnp.where(owned, lo + local // pack, placement.local_rows - 1)
+    phys = jnp.where(owned, lo + local // pack, trash)
     slot = local % pack if pack > 1 else jnp.zeros_like(local)
     return phys, slot, owned
+
+
+def _host_gather_rows(emb_h_local, phys):
+    """Gather physical rows from this shard's host stack (host compute),
+    returning device-resident rows: phys any shape -> shape + (W,)."""
+    from jax.experimental import compute_on
+    from dlrm_tpu.parallel.host_tier import _raw_gather
+
+    # re-annotate the table as host-resident: the input IS pinned_host, but
+    # trace-time memory-space inference can drop the tag when other inputs
+    # were placed from a different thread (prefetch); this device_put is a
+    # no-op on data and pins the aval
+    emb_h_local = jax.device_put(emb_h_local, jax.memory.Space.Host)
+    flat = jax.device_put(phys.reshape(-1), jax.memory.Space.Host)
+    with jax.named_scope("host_rs_gather"), \
+            compute_on.compute_on("device_host"):
+        rows = _raw_gather(emb_h_local, flat)
+    rows = jax.device_put(rows, jax.memory.Space.Device)
+    return rows.reshape(phys.shape + (emb_h_local.shape[-1],))
+
+
+def _host_scatter_add_rows(emb_h_local, phys, upd):
+    """Scatter-add physical-row updates into this shard's host stack
+    (host compute); upd: phys.shape + (W,)."""
+    from jax.experimental import compute_on
+    from dlrm_tpu.parallel.host_tier import _raw_scatter_add
+
+    emb_h_local = jax.device_put(emb_h_local, jax.memory.Space.Host)
+    flat = jax.device_put(phys.reshape(-1), jax.memory.Space.Host)
+    upd_h = jax.device_put(upd.reshape(-1, upd.shape[-1]),
+                           jax.memory.Space.Host)
+    with jax.named_scope("host_rs_scatter"), \
+            compute_on.compute_on("device_host"):
+        return _raw_scatter_add(emb_h_local, flat, upd_h)
 
 
 def _cs_lookup(cs_local, ids_t, axis: str):
@@ -223,16 +305,21 @@ def _cs_lookup(cs_local, ids_t, axis: str):
                                   tiled=True)     # (B/N, D)
 
 
-def _lookup_body(emb, cs, ids, meta, *, axis: str, out_column: np.ndarray,
-                 pack: int, dim: int, placement: "TablePlacement"):
-    """SPMD body: emb (1, R, D*pack), cs per-table (1, R_t, D/N) lane
-    slices, ids (B/N, T[,H]) -> pooled (B/N, T, D) in GLOBAL table order.
+def _lookup_body(emb, emb_h, cs, ids, meta, *, axis: str,
+                 out_column: np.ndarray, pack: int, dim: int,
+                 placement: "TablePlacement"):
+    """SPMD body: emb (1, R, D*pack), emb_h (1, H, D*pack) host-resident
+    (or None), cs per-table (1, R_t, D/N) lane slices, ids (B/N, T[,H])
+    -> pooled (B/N, T, D) in GLOBAL table order.
 
     Slot-placed tables: local gather + all-to-all slot exchange.
     Row-sharded tables: each id's row lives on exactly ONE shard, so the
     masked local partials sum to the full lookup — psum_scatter both sums
     over shards and splits the batch in one collective (comm volume B*D
-    per table, same order as the slot all-to-all).
+    per table, same order as the slot all-to-all).  Host-resident
+    row-sharded tables gather from this shard's pinned-host stack
+    (host-side compute, only hit rows cross PCIe) and join the same
+    psum_scatter.
     Column-sharded tables: every shard gathers its lane slice for all ids,
     one all-to-all splits the batch and concatenates the lanes.
     """
@@ -258,7 +345,10 @@ def _lookup_body(emb, cs, ids, meta, *, axis: str, out_column: np.ndarray,
             ids_t = (ids_all[:, t] if ids_all.ndim == 2
                      else ids_all[:, t, :])      # (B[, H])
             phys, slot, owned = _rs_translate(ids_t, k, placement, my_idx)
-            g = jnp.take(emb[0], phys, axis=0)   # (B[, H], D*pack)
+            if placement.rs_host and placement.rs_host[k]:
+                g = _host_gather_rows(emb_h[0], phys)
+            else:
+                g = jnp.take(emb[0], phys, axis=0)  # (B[, H], D*pack)
             rows = _extract(g, slot, pack, dim)  # (B[, H], D)
             rows = rows * owned[..., None].astype(rows.dtype)
             if rows.ndim == 3:
@@ -281,7 +371,7 @@ def _lookup_body(emb, cs, ids, meta, *, axis: str, out_column: np.ndarray,
     return jnp.take(out, jnp.asarray(placement.output_order()), axis=1)
 
 
-def _update_body(emb, cs, ids, d_pooled, lr, meta, *, axis: str,
+def _update_body(emb, emb_h, cs, ids, d_pooled, lr, meta, *, axis: str,
                  out_column: np.ndarray, num_slots: int, pack: int,
                  placement: "TablePlacement", block_leading: bool = False):
     """SPMD body of the sparse SGD update.
@@ -319,6 +409,7 @@ def _update_body(emb, cs, ids, d_pooled, lr, meta, *, axis: str,
         upd = _expand((-lr * back).astype(new.dtype), slot, pack)
         new = new.at[phys.reshape(-1)].add(
             upd.reshape(-1, dim * pack), mode="drop")
+    new_h = emb_h[0]
     if placement.row_sharded:
         my_idx = jax.lax.axis_index(axis)
         d_rs = jnp.take(d_pooled, jnp.asarray(placement.row_sharded,
@@ -334,9 +425,13 @@ def _update_body(emb, cs, ids, d_pooled, lr, meta, *, axis: str,
             if ids_t.ndim == 2:  # multi-hot: broadcast pooled grad to hits
                 g = jnp.broadcast_to(g[:, None, :], ids_t.shape + (dim,))
             g = g * owned[..., None].astype(g.dtype)
-            upd = _expand((-lr * g).astype(new.dtype), slot, pack)
-            new = new.at[phys.reshape(-1)].add(
-                upd.reshape(-1, dim * pack), mode="drop")
+            if placement.rs_host and placement.rs_host[k]:
+                upd = _expand((-lr * g).astype(new_h.dtype), slot, pack)
+                new_h = _host_scatter_add_rows(new_h, phys, upd)
+            else:
+                upd = _expand((-lr * g).astype(new.dtype), slot, pack)
+                new = new.at[phys.reshape(-1)].add(
+                    upd.reshape(-1, dim * pack), mode="drop")
     new_cs = []
     for k, t in enumerate(placement.col_sharded):
         d_t = d_pooled[:, t, :]  # (B/N, D), global table order
@@ -353,18 +448,22 @@ def _update_body(emb, cs, ids, d_pooled, lr, meta, *, axis: str,
         upd = (-lr * g).astype(local.dtype)
         new_cs.append(local.at[ids_t.reshape(-1)].add(
             upd.reshape(-1, upd.shape[-1]), mode="drop")[None])
-    return new[None], tuple(new_cs)
+    return new[None], new_h[None], tuple(new_cs)
 
 
 # -- public API ----------------------------------------------------------------
 
 def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
                    placement: TablePlacement, axis: str = "d",
-                   cs=()) -> jax.Array:
+                   cs=(), emb_h=None) -> jax.Array:
     """Pooled lookup: emb (N, R, W) sharded on ``axis``; ids (B, T[,H])
     batch-sharded on ``axis``; ``cs`` the column-sharded per-table
-    (N, R_t, D/N) arrays.  Returns (B, T, D) batch-sharded."""
+    (N, R_t, D/N) arrays; ``emb_h`` the (N, host_local_rows, W) pinned-host
+    stack for host-resident row-sharded tables.  Returns (B, T, D)
+    batch-sharded."""
     meta = placement_arrays(placement)
+    if emb_h is None:
+        emb_h = _dummy_host_stack(emb)
     body = functools.partial(_lookup_body, axis=axis,
                              out_column=placement.out_column(),
                              pack=placement.pack,
@@ -372,10 +471,10 @@ def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
                              placement=placement)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), tuple(P(axis) for _ in cs), P(axis),
+        in_specs=(P(axis), P(axis), tuple(P(axis) for _ in cs), P(axis),
                   {k: P(axis) for k in meta}),
         out_specs=P(axis),
-    )(emb, tuple(cs), ids, meta)
+    )(emb, emb_h, tuple(cs), ids, meta)
 
 
 def _collect_grad_pairs(ids_all, back, meta, placement, axis, pack, dim):
@@ -516,6 +615,8 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
     (N, R_t, D/N) column-sharded arrays (Adagrad is elementwise, so lane
     slices accumulate independently).  Returns (new_emb, new_acc, new_cs,
     new_acc_cs)."""
+    assert not placement.host_row_sharded, \
+        "adagrad + host-resident row-sharded tables not implemented (SGD only)"
     meta = placement_arrays(placement)
     body = functools.partial(
         _update_body_adagrad, axis=axis, out_column=placement.out_column(),
@@ -532,25 +633,38 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
       jnp.asarray(lr, jnp.float32), meta)
 
 
+def _dummy_host_stack(emb: jax.Array) -> jax.Array:
+    """(N, 1, W) placeholder threaded through shard_map when the placement
+    has no host-resident tables (keeps the SPMD body signature uniform)."""
+    return jnp.zeros((emb.shape[0], 1, emb.shape[-1]), emb.dtype)
+
+
 def sharded_update_sgd(emb: jax.Array, ids: jax.Array, d_pooled: jax.Array,
                        lr, *, mesh: Mesh, placement: TablePlacement,
-                       axis: str = "d", cs=(), block_leading: bool = False):
+                       axis: str = "d", cs=(), emb_h=None,
+                       block_leading: bool = False):
     """Apply the compressed embedding gradient (d loss / d pooled, shape
     (B, T, D) batch-sharded) to the sharded tables with SGD.  Returns
-    (new_emb, new_cs).
+    (new_emb, new_emb_h, new_cs) — new_emb_h is None when the placement
+    has no host-resident row-sharded tables.
 
     ``block_leading``: ids/d_pooled are (K, B, ...) — K micro-steps'
     gradients coalesced into one scatter pass (sharded_train_block)."""
     meta = placement_arrays(placement)
+    has_host = emb_h is not None
+    if not has_host:
+        emb_h = _dummy_host_stack(emb)
     body = functools.partial(
         _update_body, axis=axis, out_column=placement.out_column(),
         num_slots=placement.num_shards * placement.slots_per_shard,
         pack=placement.pack, placement=placement,
         block_leading=block_leading)
     batch_spec = P(None, axis) if block_leading else P(axis)
-    return jax.shard_map(
+    new_emb, new_h, new_cs = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), tuple(P(axis) for _ in cs), batch_spec,
+        in_specs=(P(axis), P(axis), tuple(P(axis) for _ in cs), batch_spec,
                   batch_spec, P(), {k: P(axis) for k in meta}),
-        out_specs=(P(axis), tuple(P(axis) for _ in cs)),
-    )(emb, tuple(cs), ids, d_pooled, jnp.asarray(lr, jnp.float32), meta)
+        out_specs=(P(axis), P(axis), tuple(P(axis) for _ in cs)),
+    )(emb, emb_h, tuple(cs), ids, d_pooled, jnp.asarray(lr, jnp.float32),
+      meta)
+    return new_emb, (new_h if has_host else None), new_cs

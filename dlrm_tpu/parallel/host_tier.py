@@ -46,6 +46,24 @@ from jax.experimental import compute_on
 from dlrm_tpu.config import DLRMConfig
 
 
+_BACKEND_PRIMED = False
+
+
+def ensure_backend_primed() -> None:
+    """Work around a JAX lazy-initialization quirk: if the FIRST jit
+    compiled in a process mixes memory spaces (pinned_host operands inside
+    the program), abstract evaluation drops the input's memory space and
+    tracing fails with "memory_space of all inputs ... must be the same".
+    Any prior successful jit compilation initializes the machinery.  Call
+    before building a program that touches pinned_host."""
+    global _BACKEND_PRIMED
+    if _BACKEND_PRIMED:
+        return
+    jax.jit(lambda x: x + 1)(jnp.zeros((1,), jnp.float32)
+                             ).block_until_ready()
+    _BACKEND_PRIMED = True
+
+
 def host_memory_supported(device=None) -> bool:
     """True if the backend exposes a pinned_host memory space."""
     device = device or jax.devices()[0]
@@ -202,6 +220,10 @@ def host_tier_gather(emb_host, flat_ids):
     """Gather rows from the host-resident stack; returns device-resident
     rows.  flat_ids: any shape; result flat_ids.shape + (D,)."""
     shape = flat_ids.shape
+    # the no-op re-annotation pins the table's aval to host memory space;
+    # trace-time inference can drop the tag when other jit inputs were
+    # placed from a different thread (see parallel/embedding.py)
+    emb_host = jax.device_put(emb_host, jax.memory.Space.Host)
     ids_h = jax.device_put(flat_ids.reshape(-1), jax.memory.Space.Host)
     with compute_on.compute_on("device_host"):
         rows = _raw_gather(emb_host, ids_h)
@@ -212,6 +234,7 @@ def host_tier_gather(emb_host, flat_ids):
 def host_tier_scatter_add(emb_host, flat_ids, updates):
     """Scatter-add updates into the host-resident stack (host compute);
     updates stream host-ward compressed."""
+    emb_host = jax.device_put(emb_host, jax.memory.Space.Host)
     ids_h = jax.device_put(flat_ids.reshape(-1), jax.memory.Space.Host)
     upd_h = jax.device_put(
         updates.reshape(-1, updates.shape[-1]).astype(emb_host.dtype),
@@ -458,6 +481,7 @@ def make_tiered_train_step_opt(config: DLRMConfig, *, optimizer: str, lr,
                                pin_host_output: Optional[bool] = None):
     """Jitted two-tier pluggable-optimizer step (see make_tiered_train_step
     for the host-output pinning rationale)."""
+    ensure_backend_primed()
     device = device or jax.devices()[0]
     if pin_host_output is None:
         pin_host_output = device.platform == "tpu"
@@ -482,6 +506,7 @@ def make_tiered_train_step(config: DLRMConfig, lr: float, plan: TierPlan,
     annotate output placement (no annotate_device_placement custom call), so
     there the updated host stack round-trips through default memory — same
     numerics, used only by tests."""
+    ensure_backend_primed()
     device = device or jax.devices()[0]
     if pin_host_output is None:
         pin_host_output = device.platform == "tpu"

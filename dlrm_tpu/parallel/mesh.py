@@ -101,4 +101,7 @@ def param_shardings(mesh: Mesh, params: dict, axis: str = "d") -> dict:
     }
     if "emb_cs" in params:  # column-sharded per-table (N, R, D/N) leaves
         out["emb_cs"] = tuple(shard for _ in params["emb_cs"])
+    if "emb_h" in params:  # host-resident row-sharded stack
+        out["emb_h"] = NamedSharding(mesh, P(axis),
+                                     memory_kind="pinned_host")
     return out

@@ -67,6 +67,13 @@ class TablePlacement:
     row_sharded: Tuple[int, ...] = ()
     rs_rows_per_shard: Tuple[int, ...] = ()   # logical rows per shard block
     rs_local_offsets: Tuple[int, ...] = ()    # physical offset per rs table
+    # Host-resident row-sharded tables (the CachedArrays-tier x sharding
+    # composition): rs_host[k] marks row_sharded[k] as living in a SECOND
+    # per-shard stack (N, host_local_rows, W) pinned to host memory;
+    # rs_local_offsets[k] then indexes that stack.  host_local_rows
+    # includes its own trailing trash row.
+    rs_host: Tuple[bool, ...] = ()
+    host_local_rows: int = 0
     # Column-sharded tables: every shard stores ALL rows but only
     # row_width/N of the feature lanes, as separate (N, R, W/N) param
     # leaves next to the slot/row-sharded stack (requires pack == 1 — the
@@ -80,6 +87,14 @@ class TablePlacement:
     @property
     def trash_row(self) -> int:
         return self.local_rows - 1
+
+    @property
+    def host_row_sharded(self) -> Tuple[int, ...]:
+        """Row-sharded tables whose blocks live in the host stack."""
+        if not self.rs_host:
+            return ()
+        return tuple(t for k, t in enumerate(self.row_sharded)
+                     if self.rs_host[k])
 
     @property
     def slot_table_list(self) -> Tuple[int, ...]:
@@ -110,7 +125,8 @@ class TablePlacement:
 def plan_placement(table_sizes: Sequence[int], num_shards: int,
                    pack: int = 1,
                    max_rows_per_shard: int = None,
-                   col_sharded_tables: Sequence[int] = ()) -> TablePlacement:
+                   col_sharded_tables: Sequence[int] = (),
+                   host_tables: Sequence[int] = ()) -> TablePlacement:
     """Greedy balanced assignment: biggest table to the lightest shard.
 
     ``pack``: logical rows per physical storage row (config.pack); local
@@ -131,11 +147,18 @@ def plan_placement(table_sizes: Sequence[int], num_shards: int,
         raise ValueError(
             "column sharding requires pack == 1 (split lanes cannot be "
             "lane-packed); use feature_size >= 128 or packed_tables=False")
+    host_set = set(int(x) for x in host_tables)
+    if host_set & set(col_sharded):
+        raise ValueError("a table cannot be both host-resident and "
+                         "column-sharded")
+    # host-resident tables are always row-sharded (each shard stores its
+    # contiguous block in ITS host memory) regardless of max_rows_per_shard
     row_sharded = tuple(
         ti for ti in range(t)
-        if max_rows_per_shard is not None
-        and table_sizes[ti] > max_rows_per_shard
-        and ti not in col_sharded)
+        if ti in host_set
+        or (max_rows_per_shard is not None
+            and table_sizes[ti] > max_rows_per_shard
+            and ti not in col_sharded))
     slot_set = [ti for ti in range(t)
                 if ti not in row_sharded and ti not in col_sharded]
     # row-sharded blocks: whole physical rows per shard, fixed local offsets
@@ -146,12 +169,19 @@ def plan_placement(table_sizes: Sequence[int], num_shards: int,
     rs_rows_per_shard = tuple(_rs_rows(table_sizes[ti])
                               for ti in row_sharded)
     rs_phys_per_shard = tuple(r // pack for r in rs_rows_per_shard)
+    rs_host = tuple(ti in host_set for ti in row_sharded)
     rs_local_offsets = []
-    off = 0
-    for p in rs_phys_per_shard:
-        rs_local_offsets.append(off)
-        off += p
+    off = 0        # device-stack rs region
+    host_off = 0   # host-stack rs region
+    for p, is_host in zip(rs_phys_per_shard, rs_host):
+        if is_host:
+            rs_local_offsets.append(host_off)
+            host_off += p
+        else:
+            rs_local_offsets.append(off)
+            off += p
     rs_total_phys = off
+    host_local_rows = host_off + 1 if host_off else 0  # + trash row
 
     order = [ti for ti in np.argsort(-np.asarray(table_sizes),
                                      kind="stable") if ti in slot_set]
@@ -214,4 +244,6 @@ def plan_placement(table_sizes: Sequence[int], num_shards: int,
         rs_rows_per_shard=rs_rows_per_shard,
         rs_local_offsets=tuple(rs_local_offsets),
         col_sharded=col_sharded,
+        rs_host=rs_host,
+        host_local_rows=host_local_rows,
     )

@@ -189,6 +189,10 @@ def cmd_train(args) -> int:
                 "pack": config.pack if not cs_meta else 1,
                 "max_rows_per_shard": args.max_rows_per_shard,
                 "col_sharded_tables": cs_meta,
+                "host_tables": ([int(x) for x in
+                                 args.host_tables.split(",")]
+                                if getattr(args, "host_tables", None)
+                                else []),
                 "optimizer": args.optimizer,
                 "wrapped_opt": bool(args.optimizer != "sgd"
                                     or (sharded and callable(lr))),
@@ -204,14 +208,22 @@ def cmd_train(args) -> int:
 
         cs_tables = tuple(int(x) for x in args.col_sharded_tables.split(",")
                           ) if args.col_sharded_tables else ()
+        host_tabs = tuple(int(x) for x in args.host_tables.split(",")
+                          ) if getattr(args, "host_tables", None) else ()
+        if host_tabs and args.optimizer != "sgd":
+            raise SystemExit("--host-tables requires --optimizer sgd")
         mesh = make_mesh(n_dev)
         placement = plan_placement(config.table_sizes, n_dev,
                                    pack=config.pack if not cs_tables else 1,
                                    max_rows_per_shard=args.max_rows_per_shard,
-                                   col_sharded_tables=cs_tables)
+                                   col_sharded_tables=cs_tables,
+                                   host_tables=host_tabs)
         if placement.row_sharded:
             print(f"row-sharded tables: {list(placement.row_sharded)}",
                   file=sys.stderr)
+        if placement.host_row_sharded:
+            print("host-resident row-sharded tables: "
+                  f"{list(placement.host_row_sharded)}", file=sys.stderr)
         if placement.col_sharded:
             print(f"column-sharded tables: {list(placement.col_sharded)}",
                   file=sys.stderr)
@@ -223,6 +235,9 @@ def cmd_train(args) -> int:
         }
         if placement.col_sharded:
             sh_params["emb_cs"] = pemb.shard_col_tables(
+                params["emb"], placement, config)
+        if placement.host_row_sharded:
+            sh_params["emb_h"] = pemb.shard_host_tables(
                 params["emb"], placement, config)
         shardings = param_shardings(mesh, sh_params)
         if args.optimizer == "sgd" and not callable(lr):
@@ -359,8 +374,10 @@ def cmd_train(args) -> int:
             # storage layout (eval cadence is low; single-process only)
             from dlrm_tpu.ops import embedding as emb_ops
             from dlrm_tpu.parallel import embedding as pemb
-            logical = pemb.unshard_tables(np.asarray(params["emb"]),
-                                          placement, config)
+            logical = pemb.unshard_tables(
+                np.asarray(params["emb"]), placement, config,
+                host=(np.asarray(params["emb_h"])
+                      if "emb_h" in params else None))
             if placement.col_sharded:
                 cs_tabs = pemb.unshard_col_tables(
                     [np.asarray(a) for a in params["emb_cs"]], placement)
@@ -524,8 +541,10 @@ def cmd_eval(args) -> int:
                 meta["num_shards"], pack=meta.get("pack", 1),
                 max_rows_per_shard=meta.get("max_rows_per_shard"),
                 col_sharded_tables=meta.get("col_sharded_tables", ()))
-            logical = pemb.unshard_tables(np.asarray(params["emb"]),
-                                          placement, config)
+            logical = pemb.unshard_tables(
+                np.asarray(params["emb"]), placement, config,
+                host=(np.asarray(params["emb_h"])
+                      if "emb_h" in params else None))
             if placement.col_sharded:
                 cs_tabs = pemb.unshard_col_tables(
                     [np.asarray(a) for a in params["emb_cs"]], placement)
@@ -678,6 +697,11 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--col-sharded-tables", default=None,
                     help="comma-separated table indices to column-shard "
                     "(feature-dim slices; requires unpacked storage)")
+    tr.add_argument("--host-tables", default=None,
+                    help="comma-separated table indices to keep in HOST "
+                    "memory, row-sharded: each shard stores its block in "
+                    "its pinned-host space (tables bigger than the whole "
+                    "slice's HBM; SGD only)")
     tr.set_defaults(fn=cmd_train)
 
     ev = sub.add_parser("eval", help="accuracy / AUC / loss")

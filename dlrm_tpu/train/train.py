@@ -419,9 +419,11 @@ def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
 
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     cs = params.get("emb_cs", ())
+    emb_h = params.get("emb_h")
     with jax.named_scope("lookup"):
         pooled = pemb.sharded_lookup(params["emb"], sparse, mesh=mesh,
-                                     placement=placement, axis=axis, cs=cs)
+                                     placement=placement, axis=axis, cs=cs,
+                                     emb_h=emb_h)
 
     def inner(dp, p):
         return _loss_from_pooled(dp, p, dense, labels, config)
@@ -432,13 +434,15 @@ def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
         new_dense = jax.tree.map(
             lambda p, g: (p - lr * g).astype(p.dtype), dense_params, dgrads)
     with jax.named_scope("sparse_update"):
-        new_emb, new_cs = pemb.sharded_update_sgd(
+        new_emb, new_h, new_cs = pemb.sharded_update_sgd(
             params["emb"], sparse, d_pooled, lr, mesh=mesh,
-            placement=placement, axis=axis, cs=cs)
+            placement=placement, axis=axis, cs=cs, emb_h=emb_h)
     new_params = {"bottom": new_dense["bottom"], "emb": new_emb,
                   "top": new_dense["top"]}
     if "emb_cs" in params:
         new_params["emb_cs"] = new_cs
+    if "emb_h" in params:
+        new_params["emb_h"] = new_h
     return new_params, loss
 
 
@@ -459,7 +463,8 @@ def sharded_train_step_opt(params: dict, opt_state: dict, dense, sparse,
     cs = params.get("emb_cs", ())
     with jax.named_scope("lookup"):
         pooled = pemb.sharded_lookup(params["emb"], sparse, mesh=mesh,
-                                     placement=placement, axis=axis, cs=cs)
+                                     placement=placement, axis=axis, cs=cs,
+                                     emb_h=params.get("emb_h"))
 
     def inner(dp, p):
         return _loss_from_pooled(dp, p, dense, labels, config)
@@ -481,12 +486,16 @@ def sharded_train_step_opt(params: dict, opt_state: dict, dense, sparse,
     new_opt = {"dense": new_dense_state, "count": count + 1}
     with jax.named_scope("sparse_update"):
         if optimizer == "sgd":
-            new_emb, new_cs = pemb.sharded_update_sgd(
+            new_emb, new_h, new_cs = pemb.sharded_update_sgd(
                 params["emb"], sparse, d_pooled, lr_t, mesh=mesh,
-                placement=placement, axis=axis, cs=cs)
+                placement=placement, axis=axis, cs=cs,
+                emb_h=params.get("emb_h"))
             new_opt["emb_acc"] = opt_state.get("emb_acc", ())
             new_opt["emb_acc_cs"] = opt_state.get("emb_acc_cs", ())
         else:
+            assert "emb_h" not in params, \
+                "adagrad + host-resident tables not implemented (SGD only)"
+            new_h = None
             new_emb, new_acc, new_cs, new_acc_cs = \
                 pemb.sharded_update_adagrad(
                     params["emb"], opt_state["emb_acc"], sparse, d_pooled,
@@ -498,6 +507,8 @@ def sharded_train_step_opt(params: dict, opt_state: dict, dense, sparse,
                   "top": new_dense["top"]}
     if "emb_cs" in params:
         new_params["emb_cs"] = new_cs
+    if "emb_h" in params:
+        new_params["emb_h"] = new_h
     return (new_params, new_opt), loss
 
 
@@ -545,6 +556,9 @@ def sharded_opt_shardings(opt_state: dict, mesh, axis: str = "d"):
 def make_sharded_train_step_opt(config: DLRMConfig, *, optimizer: str,
                                 lr, mesh, placement, axis: str = "d"
                                 ) -> Callable:
+    if placement.host_row_sharded:
+        from dlrm_tpu.parallel.host_tier import ensure_backend_primed
+        ensure_backend_primed()
     step = functools.partial(sharded_train_step_opt, config=config,
                              optimizer=optimizer, lr=lr, mesh=mesh,
                              placement=placement, axis=axis)
@@ -570,13 +584,14 @@ def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
 
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     cs = params.get("emb_cs", ())
+    emb_h = params.get("emb_h")
     dp = dense_params
     losses, d_pooled_acc = [], []
     for k in range(block):
         with jax.named_scope("lookup"):
             pooled = pemb.sharded_lookup(params["emb"], sparse[k],
                                          mesh=mesh, placement=placement,
-                                         axis=axis, cs=cs)
+                                         axis=axis, cs=cs, emb_h=emb_h)
 
         def inner(dp_, p_, k=k):
             return _loss_from_pooled(dp_, p_, dense[k], labels[k], config)
@@ -591,18 +606,24 @@ def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
 
     with jax.named_scope("coalesced_sparse_update"):
         d_stack = jnp.stack(d_pooled_acc)  # (K, B, T, D), dim 1 sharded
-        new_emb, new_cs = pemb.sharded_update_sgd(
+        new_emb, new_h, new_cs = pemb.sharded_update_sgd(
             params["emb"], sparse, d_stack, lr, mesh=mesh,
-            placement=placement, axis=axis, cs=cs, block_leading=True)
+            placement=placement, axis=axis, cs=cs, emb_h=emb_h,
+            block_leading=True)
     new_params = {"bottom": dp["bottom"], "emb": new_emb,
                   "top": dp["top"]}
     if "emb_cs" in params:
         new_params["emb_cs"] = new_cs
+    if "emb_h" in params:
+        new_params["emb_h"] = new_h
     return new_params, jnp.stack(losses)
 
 
 def make_sharded_train_block(config: DLRMConfig, lr: float, mesh, placement,
                              block: int, axis: str = "d") -> Callable:
+    if placement.host_row_sharded:
+        from dlrm_tpu.parallel.host_tier import ensure_backend_primed
+        ensure_backend_primed()
     step = functools.partial(sharded_train_block, config=config, lr=lr,
                              mesh=mesh, placement=placement, block=block,
                              axis=axis)
@@ -627,7 +648,28 @@ def make_sharded_train_step(config: DLRMConfig, lr: float, mesh, placement,
     def shardings_for(params):
         return param_shardings(mesh, params, axis)
 
-    jitted = jax.jit(step, donate_argnums=(0,))
+    if placement.host_row_sharded:
+        from dlrm_tpu.parallel.host_tier import ensure_backend_primed
+        ensure_backend_primed()
+    if not placement.host_row_sharded:
+        jitted = jax.jit(step, donate_argnums=(0,))
+    elif jax.devices()[0].platform == "tpu":
+        # pin the host stack's OUTPUT back to pinned_host so it never
+        # round-trips through HBM between steps (donated in, pinned out)
+        out_params = {
+            "bottom": None, "emb": None, "top": None,
+            "emb_h": NamedSharding(mesh, P(axis),
+                                   memory_kind="pinned_host"),
+        }
+        if placement.col_sharded:
+            out_params["emb_cs"] = None
+        jitted = jax.jit(step, donate_argnums=(0,),
+                         out_shardings=(out_params, None))
+    else:
+        # CPU backend cannot annotate output placement (see
+        # parallel/host_tier.make_tiered_train_step); skip donation so the
+        # pinned-host input is not reused for a default-memory output
+        jitted = jax.jit(step)
 
     def run(params, dense, sparse, labels):
         return jitted(params, dense, sparse, labels)

@@ -227,3 +227,20 @@ def test_train_cli_sharded_update_interval(capsys):
     assert res["steps"] == 6
     assert np.isfinite(res["final_loss"])
     assert 0.0 <= res["eval"]["accuracy"] <= 1.0
+
+
+def test_train_cli_host_sharded_tables(capsys):
+    """Config-5 composition via the CLI: host-resident row-sharded tables
+    + slot tables on the 8-device mesh, eval-after on the merged view."""
+    from dlrm_tpu.parallel import host_tier as ht
+    if not ht.host_memory_supported():
+        pytest.skip("no pinned_host memory space")
+    sizes = ",".join(str(s) for s in (64, 1000, 16, 2048, 128, 512))
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--table-sizes", sizes,
+        "--batch-size", "32", "--steps", "4", "--sharded", "true",
+        "--host-tables", "1,3", "--max-rows-per-shard", "1500",
+        "--log-every", "2", "--eval-after", "--eval-steps", "2"])
+    assert rc == 0
+    assert res["steps"] == 4 and np.isfinite(res["final_loss"])
+    assert 0.0 <= res["eval"]["accuracy"] <= 1.0

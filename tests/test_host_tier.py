@@ -199,3 +199,65 @@ def test_tiered_adagrad_matches_dense_oracle(n_hot):
             np.testing.assert_allclose(np.asarray(a["w"]),
                                        np.asarray(b["w"]),
                                        atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n_hot", [1, 2])
+def test_host_sharded_train_step_matches_single_device(n_hot):
+    """Config-5 composition (BASELINE.json): row-sharded tables whose
+    per-shard blocks live in pinned HOST memory, in the same step as
+    device row-sharded + slot tables — lookup joins the same psum_scatter,
+    updates scatter host-side.  Must equal the single-device step."""
+    import jax
+    from dlrm_tpu.ops import embedding as emb_ops
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.train import make_sharded_train_step, train_step
+
+    config, params, batch = _setup(n_hot=n_hot, seed=5)
+    sparse = np.asarray(batch["sparse"]).copy()
+    sparse[1] = sparse[0]  # duplicate ids
+    args = (jnp.asarray(batch["dense"]), jnp.asarray(sparse),
+            jnp.asarray(batch["labels"]))
+    lr = 0.4
+
+    ref_params, ref_loss = jax.jit(
+        lambda p, d, s, l: train_step(p, d, s, l, config=config, lr=lr)
+    )(jax.tree.map(jnp.copy, params), *args)
+
+    mesh = make_mesh(8)
+    # tables: (64, 1000, 16, 2048, 128, 512); host-place 3 (the biggest),
+    # row-shard 1 on device, slot-place the rest
+    p = plan_placement(config.table_sizes, 8, pack=config.pack,
+                       max_rows_per_shard=1500, host_tables=(1, 3))
+    assert set(p.host_row_sharded) == {1, 3}
+    assert set(p.row_sharded) == {1, 3}
+    emb_np = np.asarray(emb_ops.unpack_tables(
+        jax.tree.map(np.asarray, params["emb"]), config))
+    sh_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": pemb.shard_tables(emb_np, p, config),
+        "emb_h": pemb.shard_host_tables(emb_np, p, config),
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+    shardings = param_shardings(mesh, sh_params)
+    assert shardings["emb_h"].memory_kind == "pinned_host"
+    sh_params = jax.device_put(sh_params, shardings)
+    assert sh_params["emb_h"].sharding.memory_kind == "pinned_host"
+    bs = batch_sharding(mesh)
+    step = make_sharded_train_step(config, lr, mesh, p)
+    new_params, loss = step(sh_params,
+                            *(jax.device_put(a, bs) for a in args))
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-6)
+
+    got = pemb.unshard_tables(np.asarray(new_params["emb"]), p, config,
+                              host=np.asarray(new_params["emb_h"]))
+    want = np.asarray(emb_ops.unpack_tables(
+        jax.tree.map(np.asarray, ref_params["emb"]), config))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    for side in ("bottom", "top"):
+        for a, b in zip(new_params[side], ref_params[side]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]),
+                                       atol=1e-5, rtol=1e-5)
