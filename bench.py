@@ -127,6 +127,42 @@ def main():
     log(f"block K={K}: {blk_step*1e3:.2f} ms/step "
         f"-> {blk_tput:,.0f} examples/s")
 
+    # tertiary: embedding-lookup bandwidth (BASELINE.json metric).  Jitted
+    # pooled lookup (mixed engine) alone; the carry makes each call's ids
+    # data-dependent on the previous result, defeating axon's
+    # identical-args memoization.  GB/s is LOGICAL pooled-row bytes
+    # (B * T * D * 4) per second.
+    from dlrm_tpu.ops.embedding import mixed_lookup
+    params = dlrm_tpu.init_params(jax.random.key(0), config)
+    emb = params["emb"]
+    ids_base = jnp.asarray(np.stack(
+        [rng.integers(0, s - 1, size=BATCH) for s in config.table_sizes],
+        axis=1).astype(np.int32))
+
+    @jax.jit
+    def lookup_probe(emb, ids_base, c):
+        ids = ids_base + (c.astype(jnp.int32) & 1)
+        pooled = mixed_lookup(emb, ids, config)
+        return jnp.sum(pooled.astype(jnp.float32))
+
+    c = jnp.float32(0)
+    for _ in range(3):
+        c = lookup_probe(emb, ids_base, c)
+    _ = float(c)
+    totals = []
+    for iters in (5, 20):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c = lookup_probe(emb, ids_base, c)
+        _ = float(c)
+        totals.append(time.perf_counter() - t0)
+    lk_t = (totals[1] - totals[0]) / 15
+    n_tables = len(config.table_sizes)
+    lk_bytes = BATCH * n_tables * FEATURE_SIZE * 4
+    lk_gbs = lk_bytes / lk_t / 1e9
+    log(f"pooled lookup: {lk_t*1e3:.2f} ms -> {lk_gbs:.1f} GB/s logical "
+        f"({BATCH * n_tables / lk_t / 1e9:.2f} G lookups/s)")
+
     print(json.dumps({
         "metric": f"dlrm_kaggle_fs{FEATURE_SIZE}_train_b{BATCH}",
         "value": round(throughput, 1),
@@ -134,6 +170,7 @@ def main():
         "vs_baseline": round(throughput / baseline, 3),
         "block4_examples_per_s": round(blk_tput, 1),
         "block4_vs_baseline": round(blk_tput / baseline, 3),
+        "lookup_gb_s_logical": round(lk_gbs, 2),
     }))
 
 
