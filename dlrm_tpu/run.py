@@ -423,10 +423,11 @@ def cmd_train(args) -> int:
     block = max(int(getattr(args, "update_interval", 1) or 1), 1)
     blk_fn = None
     if block > 1:
-        if args.hbm_budget_gb is not None \
-                or args.optimizer != "sgd" or callable(lr):
-            raise SystemExit("--update-interval > 1 requires "
-                             "constant-lr SGD")
+        if args.hbm_budget_gb is not None or args.optimizer != "sgd":
+            raise SystemExit("--update-interval > 1 requires SGD")
+        if sharded and callable(lr):
+            raise SystemExit("--update-interval > 1 with --lr-schedule is "
+                             "single-chip only for now")
         if sharded:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from dlrm_tpu.train.train import make_sharded_train_block
@@ -465,11 +466,15 @@ def cmd_train(args) -> int:
                 print("profile written", file=sys.stderr)
         prev = step
         if blk_fn is not None and np.asarray(b["dense"]).ndim == 3:
+            if hasattr(blk_fn, "step"):
+                blk_fn.step = step  # scheduled lr: stay step-aligned
             params, blk_losses = blk_fn(params, b["dense"], b["sparse"],
                                         b["labels"])
             loss = blk_losses[-1]
             step += int(b["dense"].shape[0])
         else:
+            if blk_fn is not None and hasattr(step_fn, "step"):
+                step_fn.step = step  # remainder after scheduled blocks
             params, loss = step_fn(params, b["dense"], b["sparse"],
                                    b["labels"])
             step += 1

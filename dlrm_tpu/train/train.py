@@ -331,6 +331,10 @@ def train_block(params: dict, dense: jax.Array, sparse: jax.Array,
     emb_ops.check_storage(emb, config)
     assert config.is_packed, "train_block requires engine storage"
     emb_dtype = emb[0].dtype
+    # lr may be a scalar (constant) or a (K,) per-micro-step array (LR
+    # schedule): then each micro-step's gradient is pre-scaled by its own
+    # lr and the coalesced scatter applies with lr=1
+    lr_arr = None if jnp.ndim(lr) == 0 else lr
 
     dp = dense_params
     st = tuple(emb_ops.get_logical_table(emb, config, t) for t in small)
@@ -360,15 +364,17 @@ def train_block(params: dict, dense: jax.Array, sparse: jax.Array,
 
         loss, (dgrads, d_rows_big, d_smalls) = jax.value_and_grad(
             inner, argnums=(0, 1, 2))(dp, rows_big, st)
+        lr_k = lr if lr_arr is None else lr_arr[k]
         with jax.named_scope("dense_update"):
             dp = jax.tree.map(
-                lambda p, g: (p - lr * g).astype(p.dtype), dp, dgrads)
-            st = tuple((t - lr * g).astype(t.dtype)
+                lambda p, g: (p - lr_k * g).astype(p.dtype), dp, dgrads)
+            st = tuple((t - lr_k * g).astype(t.dtype)
                        for t, g in zip(st, d_smalls))
         losses.append(loss)
         if big:
             ids_acc.append(ids_big)
-            drows_acc.append(d_rows_big)
+            drows_acc.append(d_rows_big if lr_arr is None
+                             else lr_arr[k] * d_rows_big)
 
     new_emb = list(emb)
     if big:
@@ -376,7 +382,8 @@ def train_block(params: dict, dense: jax.Array, sparse: jax.Array,
             ids_cat = jnp.concatenate(ids_acc, axis=0)
             drows_cat = jnp.concatenate(drows_acc, axis=0)
             new_emb = list(emb_ops.apply_sgd_chunked(
-                new_emb, ids_cat, drows_cat, lr, config, big))
+                new_emb, ids_cat, drows_cat,
+                lr if lr_arr is None else 1.0, config, big))
     with jax.named_scope("small_table_writeback"):
         for j, t in enumerate(small):
             c = config.table_chunk[t]
@@ -395,13 +402,28 @@ def train_block(params: dict, dense: jax.Array, sparse: jax.Array,
             jnp.stack(losses))
 
 
-def make_jit_train_block(config: DLRMConfig, lr: float, block: int
+def make_jit_train_block(config: DLRMConfig, lr, block: int
                          ) -> Callable:
     """Jitted coalesced block step: f(params, (K,B,13), (K,B,T[,H]),
-    (K,B)) -> (params, (K,) losses)."""
-    step = functools.partial(train_block, config=config, lr=lr,
-                             block=block)
-    return jax.jit(step, donate_argnums=(0,))
+    (K,B)) -> (params, (K,) losses).  ``lr`` may be a float or a schedule
+    (callable step -> lr); schedules enter as a (K,) runtime array."""
+    if not callable(lr):
+        step = functools.partial(train_block, config=config, lr=lr,
+                                 block=block)
+        return jax.jit(step, donate_argnums=(0,))
+    jitted = jax.jit(
+        lambda p, d, s, l, lrs: train_block(p, d, s, l, config=config,
+                                            lr=lrs, block=block),
+        donate_argnums=(0,))
+
+    def run(p, d, s, l):
+        k = d.shape[0]
+        lrs = jnp.asarray([lr(run.step + i) for i in range(k)], jnp.float32)
+        run.step += k
+        return jitted(p, d, s, l, lrs)
+
+    run.step = 0  # set before resuming from a checkpoint
+    return run
 
 
 def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
@@ -585,6 +607,7 @@ def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     cs = params.get("emb_cs", ())
     emb_h = params.get("emb_h")
+    lr_arr = None if jnp.ndim(lr) == 0 else lr
     dp = dense_params
     losses, d_pooled_acc = [], []
     for k in range(block):
@@ -596,18 +619,21 @@ def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
         def inner(dp_, p_, k=k):
             return _loss_from_pooled(dp_, p_, dense[k], labels[k], config)
 
+        lr_k = lr if lr_arr is None else lr_arr[k]
         loss, (dgrads, d_pooled) = jax.value_and_grad(
             inner, argnums=(0, 1))(dp, pooled)
         with jax.named_scope("dense_update"):
             dp = jax.tree.map(
-                lambda p, g: (p - lr * g).astype(p.dtype), dp, dgrads)
+                lambda p, g: (p - lr_k * g).astype(p.dtype), dp, dgrads)
         losses.append(loss)
-        d_pooled_acc.append(d_pooled)
+        d_pooled_acc.append(d_pooled if lr_arr is None
+                            else lr_arr[k] * d_pooled)
 
     with jax.named_scope("coalesced_sparse_update"):
         d_stack = jnp.stack(d_pooled_acc)  # (K, B, T, D), dim 1 sharded
         new_emb, new_h, new_cs = pemb.sharded_update_sgd(
-            params["emb"], sparse, d_stack, lr, mesh=mesh,
+            params["emb"], sparse, d_stack,
+            lr if lr_arr is None else 1.0, mesh=mesh,
             placement=placement, axis=axis, cs=cs, emb_h=emb_h,
             block_leading=True)
     new_params = {"bottom": dp["bottom"], "emb": new_emb,
@@ -624,10 +650,25 @@ def make_sharded_train_block(config: DLRMConfig, lr: float, mesh, placement,
     if placement.host_row_sharded:
         from dlrm_tpu.parallel.host_tier import ensure_backend_primed
         ensure_backend_primed()
-    step = functools.partial(sharded_train_block, config=config, lr=lr,
-                             mesh=mesh, placement=placement, block=block,
-                             axis=axis)
-    return jax.jit(step, donate_argnums=(0,))
+    if not callable(lr):
+        step = functools.partial(sharded_train_block, config=config, lr=lr,
+                                 mesh=mesh, placement=placement,
+                                 block=block, axis=axis)
+        return jax.jit(step, donate_argnums=(0,))
+    jitted = jax.jit(
+        lambda p, d, s, l, lrs: sharded_train_block(
+            p, d, s, l, config=config, lr=lrs, mesh=mesh,
+            placement=placement, block=block, axis=axis),
+        donate_argnums=(0,))
+
+    def run(p, d, s, l):
+        k = d.shape[0]
+        lrs = jnp.asarray([lr(run.step + i) for i in range(k)], jnp.float32)
+        run.step += k
+        return jitted(p, d, s, l, lrs)
+
+    run.step = 0
+    return run
 
 
 def make_sharded_train_step(config: DLRMConfig, lr: float, mesh, placement,

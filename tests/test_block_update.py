@@ -209,3 +209,26 @@ def test_sharded_block_disjoint_ids_equals_sequential(row_sharded):
                         jax.device_put(labels, bs2))
     np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-5)
     _leaves_allclose(p_ref, p_blk, rtol=1e-5, atol=1e-6)
+
+
+def test_block_scheduled_lr_disjoint_equals_sequential():
+    """LR-schedule blocks: each micro-step's gradient is pre-scaled by its
+    own lr; with disjoint ids a K-block == K sequential scheduled steps."""
+    from dlrm_tpu.train.optim import make_schedule
+
+    config = _config()
+    params = dlrm_tpu.init_params(jax.random.key(6), config)
+    rng = np.random.default_rng(6)
+    k = 4
+    dense, sparse, labels = _batches(config, k, 32, rng, disjoint=True)
+    sched = make_schedule(0.2, schedule="warmup_poly_decay",
+                          warmup_steps=2, decay_start=2, decay_steps=10)
+
+    step = dlrm_tpu.make_jit_train_step(config, sched)
+    p_ref = jax.tree.map(jnp.copy, params)
+    for i in range(k):
+        p_ref, _ = step(p_ref, dense[i], sparse[i], labels[i])
+
+    blk = make_jit_train_block(config, sched, block=k)
+    p_blk, _ = blk(jax.tree.map(jnp.copy, params), dense, sparse, labels)
+    _leaves_allclose(p_ref, p_blk, rtol=1e-5, atol=1e-6)

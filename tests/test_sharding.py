@@ -281,3 +281,36 @@ def test_col_sharded_train_step_matches_single_device(n_hot, rng):
         rows = config.table_sizes[t]
         np.testing.assert_allclose(got_cs[k], want_emb[off:off + rows],
                                    atol=1e-5, rtol=1e-5, err_msg=f"cs t={t}")
+
+
+def test_terabyte_scale_placement_plans():
+    """The MLPerf/Terabyte scale story is pure planning math — verify the
+    placement handles 292.8M-row tables (criteo.jl:379-406) without
+    materializing anything: row-shard everything over max_rows_per_shard,
+    host-place the biggest, per-shard row counts cover every logical row."""
+    import dlrm_tpu
+    from dlrm_tpu.parallel.placement import plan_placement
+
+    config = dlrm_tpu.terabyte_config(feature_size=128)
+    assert max(config.table_sizes) == 292_775_614
+    n = 64  # a pod-slice worth of chips
+    biggest = sorted(range(config.num_tables),
+                     key=lambda t: -config.table_sizes[t])[:4]
+    p = plan_placement(config.table_sizes, n, pack=config.pack,
+                       max_rows_per_shard=8_000_000,
+                       host_tables=tuple(biggest))
+    assert set(p.host_row_sharded) == set(biggest)
+    for k, t in enumerate(p.row_sharded):
+        # every logical row of a row-sharded table is covered by the
+        # per-shard contiguous blocks
+        assert p.rs_rows_per_shard[k] * n >= config.table_sizes[t]
+    # device-stack HBM per shard stays under a v5p-class budget
+    w = config.feature_size * p.pack
+    dev_bytes = p.local_rows * w * 4
+    assert dev_bytes < 8 << 30, f"{dev_bytes/2**30:.1f} GiB per shard"
+    # host stack bounded too (host RAM budget per chip)
+    host_bytes = p.host_local_rows * w * 4
+    assert host_bytes < 16 << 30, f"{host_bytes/2**30:.1f} GiB host"
+    # unsharded slot tables all fit their assigned shard
+    for t in p.slot_table_list:
+        assert p.table_shard[t] >= 0
