@@ -540,12 +540,39 @@ def _cs_adagrad_local(cs_local, acc_local, ids_t, g, lr,
     return cs_local, acc_local
 
 
-def _update_body_adagrad(emb, acc, cs, acc_cs, ids, d_pooled, lr, meta, *,
-                         axis: str, out_column: np.ndarray, num_slots: int,
-                         pack: int, placement: "TablePlacement"):
+def _host_adagrad_local(emb_h_l, acc_h_l, key, g, lr, pack, dim, trash,
+                        eps: float = 1e-10):
+    """Exact Adagrad on one host-resident table's owned rows: dedup on
+    device, then host-side gather of accumulator rows and two host-side
+    scatter-adds (acc += g^2, table -= lr*g*rsqrt(acc'))."""
+    from dlrm_tpu.ops.embedding import dedup_sparse_grad, SparseGrad
+
+    out = dedup_sparse_grad(SparseGrad(key, g))
+    keys_u, g_u = out.ids, out.rows
+    phys_u = jnp.where(keys_u >= 0, keys_u // pack, trash)
+    lane_u = jnp.where(keys_u >= 0, keys_u % pack, 0)
+    g_u = g_u * (keys_u >= 0)[:, None]
+    acc_rows = _extract(_host_gather_rows(acc_h_l, phys_u), lane_u, pack,
+                        dim)
+    acc_new = acc_rows + g_u * g_u
+    acc_h_l = _host_scatter_add_rows(
+        acc_h_l, phys_u, _expand(g_u * g_u, lane_u, pack))
+    step_rows = g_u * jnp.where(acc_new > 0,
+                                jax.lax.rsqrt(acc_new + eps), 0.0)
+    emb_h_l = _host_scatter_add_rows(
+        emb_h_l, phys_u,
+        _expand((-lr * step_rows), lane_u, pack).astype(emb_h_l.dtype))
+    return emb_h_l, acc_h_l
+
+
+def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
+                         lr, meta, *, axis: str, out_column: np.ndarray,
+                         num_slots: int, pack: int,
+                         placement: "TablePlacement"):
     """SPMD Adagrad update: same gradient routing as _update_body, then an
     exact dedup-then-apply Adagrad on each shard's owned rows (accumulator
-    sharded like the tables; lane-sliced for column-sharded tables)."""
+    sharded like the tables; lane-sliced for column-sharded tables;
+    pinned-host slab mirroring the host-resident row-sharded stack)."""
     dim = d_pooled.shape[-1]
     b_local = d_pooled.shape[0]
     ids_all = jax.lax.all_gather(ids, axis, axis=0, tiled=True)
@@ -562,6 +589,8 @@ def _update_body_adagrad(emb, acc, cs, acc_cs, ids, d_pooled, lr, meta, *,
                                      pack, dim)
         keys_parts += kp
         g_parts += gp
+    new_h = emb_h[0]
+    new_acc_h = acc_h[0]
     if placement.row_sharded:
         my_idx = jax.lax.axis_index(axis)
         d_rs = jnp.take(d_pooled, jnp.asarray(placement.row_sharded,
@@ -576,8 +605,15 @@ def _update_body_adagrad(emb, acc, cs, acc_cs, ids, d_pooled, lr, meta, *,
             if ids_t.ndim == 2:
                 g = jnp.broadcast_to(g[:, None, :], ids_t.shape + (dim,))
             key = jnp.where(owned, phys * pack + slot, -1)
-            keys_parts.append(key.reshape(-1))
-            g_parts.append((g * owned[..., None]).reshape(-1, dim))
+            if placement.rs_host and placement.rs_host[k]:
+                new_h, new_acc_h = _host_adagrad_local(
+                    new_h, new_acc_h, key.reshape(-1),
+                    (g * owned[..., None]).reshape(-1, dim).astype(
+                        jnp.float32),
+                    lr, pack, dim, placement.host_local_rows - 1)
+            else:
+                keys_parts.append(key.reshape(-1))
+                g_parts.append((g * owned[..., None]).reshape(-1, dim))
     if keys_parts:
         keys = jnp.concatenate(keys_parts)
         g = jnp.concatenate(g_parts).astype(jnp.float32)
@@ -601,36 +637,45 @@ def _update_body_adagrad(emb, acc, cs, acc_cs, ids, d_pooled, lr, meta, *,
             cs[k][0], acc_cs[k][0], ids_t, g.astype(jnp.float32), lr)
         new_cs.append(cs_new[None])
         new_acc_cs.append(acc_new[None])
-    return (new_emb[None], new_acc[None], tuple(new_cs),
-            tuple(new_acc_cs))
+    return (new_emb[None], new_acc[None], new_h[None], new_acc_h[None],
+            tuple(new_cs), tuple(new_acc_cs))
 
 
 def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
                            d_pooled: jax.Array, lr, *, mesh: Mesh,
                            placement: TablePlacement, axis: str = "d",
-                           cs=(), acc_cs=()):
+                           cs=(), acc_cs=(), emb_h=None, acc_h=None):
     """Sparse Adagrad on the sharded tables (slot + row-sharded +
-    column-sharded).  ``acc`` is the accumulator in the same
-    (N, local_rows, W) layout; ``acc_cs`` mirrors the per-table
-    (N, R_t, D/N) column-sharded arrays (Adagrad is elementwise, so lane
-    slices accumulate independently).  Returns (new_emb, new_acc, new_cs,
-    new_acc_cs)."""
-    assert not placement.host_row_sharded, \
-        "adagrad + host-resident row-sharded tables not implemented (SGD only)"
+    host-resident + column-sharded).  ``acc`` is the accumulator in the
+    same (N, local_rows, W) layout; ``acc_h`` mirrors the pinned-host
+    stack; ``acc_cs`` mirrors the per-table (N, R_t, D/N) column-sharded
+    arrays (Adagrad is elementwise, so lane slices accumulate
+    independently).  Returns (new_emb, new_acc, new_emb_h, new_acc_h,
+    new_cs, new_acc_cs) — the host pair is None without host tables."""
     meta = placement_arrays(placement)
+    has_host = emb_h is not None
+    if not has_host:
+        emb_h = _dummy_host_stack(emb)
+        acc_h = jnp.zeros(emb_h.shape, jnp.float32)
     body = functools.partial(
         _update_body_adagrad, axis=axis, out_column=placement.out_column(),
         num_slots=placement.num_shards * placement.slots_per_shard,
         pack=placement.pack, placement=placement)
-    return jax.shard_map(
+    out = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(axis), tuple(P(axis) for _ in cs),
+        in_specs=(P(axis), P(axis), P(axis), P(axis),
+                  tuple(P(axis) for _ in cs),
                   tuple(P(axis) for _ in acc_cs), P(axis), P(axis), P(),
                   {k: P(axis) for k in meta}),
-        out_specs=(P(axis), P(axis), tuple(P(axis) for _ in cs),
+        out_specs=(P(axis), P(axis), P(axis), P(axis),
+                   tuple(P(axis) for _ in cs),
                    tuple(P(axis) for _ in acc_cs)),
-    )(emb, acc, tuple(cs), tuple(acc_cs), ids, d_pooled,
+    )(emb, acc, emb_h, acc_h, tuple(cs), tuple(acc_cs), ids, d_pooled,
       jnp.asarray(lr, jnp.float32), meta)
+    new_emb, new_acc, new_h, new_acc_h, new_cs, new_acc_cs = out
+    if not has_host:
+        new_h = new_acc_h = None
+    return new_emb, new_acc, new_h, new_acc_h, new_cs, new_acc_cs
 
 
 def _dummy_host_stack(emb: jax.Array) -> jax.Array:

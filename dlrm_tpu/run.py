@@ -210,8 +210,6 @@ def cmd_train(args) -> int:
                           ) if args.col_sharded_tables else ()
         host_tabs = tuple(int(x) for x in args.host_tables.split(",")
                           ) if getattr(args, "host_tables", None) else ()
-        if host_tabs and args.optimizer != "sgd":
-            raise SystemExit("--host-tables requires --optimizer sgd")
         mesh = make_mesh(n_dev)
         placement = plan_placement(config.table_sizes, n_dev,
                                    pack=config.pack if not cs_tables else 1,

@@ -514,17 +514,21 @@ def sharded_train_step_opt(params: dict, opt_state: dict, dense, sparse,
                 emb_h=params.get("emb_h"))
             new_opt["emb_acc"] = opt_state.get("emb_acc", ())
             new_opt["emb_acc_cs"] = opt_state.get("emb_acc_cs", ())
+            new_opt["emb_acc_h"] = opt_state.get("emb_acc_h", ())
         else:
-            assert "emb_h" not in params, \
-                "adagrad + host-resident tables not implemented (SGD only)"
-            new_h = None
-            new_emb, new_acc, new_cs, new_acc_cs = \
+            new_emb, new_acc, new_h, new_acc_h, new_cs, new_acc_cs = \
                 pemb.sharded_update_adagrad(
                     params["emb"], opt_state["emb_acc"], sparse, d_pooled,
                     lr_t, mesh=mesh, placement=placement, axis=axis,
-                    cs=cs, acc_cs=opt_state.get("emb_acc_cs", ()))
+                    cs=cs, acc_cs=opt_state.get("emb_acc_cs", ()),
+                    emb_h=params.get("emb_h"),
+                    acc_h=(None if isinstance(
+                        opt_state.get("emb_acc_h", ()), tuple)
+                        else opt_state["emb_acc_h"]))
             new_opt["emb_acc"] = new_acc
             new_opt["emb_acc_cs"] = new_acc_cs
+            new_opt["emb_acc_h"] = new_acc_h if new_acc_h is not None \
+                else ()
     new_params = {"bottom": new_dense["bottom"], "emb": new_emb,
                   "top": new_dense["top"]}
     if "emb_cs" in params:
@@ -546,7 +550,7 @@ def init_sharded_opt_state(params: dict, *, config: DLRMConfig,
     tx = optim.dense_optimizer(optimizer, lr)
     state = {"dense": tx.init(dense_params),
              "count": jnp.zeros((), jnp.int32), "emb_acc": (),
-             "emb_acc_cs": ()}
+             "emb_acc_cs": (), "emb_acc_h": ()}
     if optimizer == "adagrad":
         acc = jnp.zeros(params["emb"].shape, jnp.float32)
         state["emb_acc"] = jax.device_put(
@@ -555,6 +559,10 @@ def init_sharded_opt_state(params: dict, *, config: DLRMConfig,
             jax.device_put(jnp.zeros(a.shape, jnp.float32),
                            NamedSharding(mesh, P(axis)))
             for a in params.get("emb_cs", ()))
+        if "emb_h" in params:
+            state["emb_acc_h"] = jax.device_put(
+                jnp.zeros(params["emb_h"].shape, jnp.float32),
+                NamedSharding(mesh, P(axis), memory_kind="pinned_host"))
     return state
 
 
@@ -572,19 +580,36 @@ def sharded_opt_shardings(opt_state: dict, mesh, axis: str = "d"):
     if opt_state.get("emb_acc_cs", ()):
         sh["emb_acc_cs"] = tuple(NamedSharding(mesh, P(axis))
                                  for _ in opt_state["emb_acc_cs"])
+    if not isinstance(opt_state.get("emb_acc_h", ()), tuple):
+        sh["emb_acc_h"] = NamedSharding(mesh, P(axis),
+                                        memory_kind="pinned_host")
     return sh
 
 
 def make_sharded_train_step_opt(config: DLRMConfig, *, optimizer: str,
                                 lr, mesh, placement, axis: str = "d"
                                 ) -> Callable:
-    if placement.host_row_sharded:
-        from dlrm_tpu.parallel.host_tier import ensure_backend_primed
-        ensure_backend_primed()
     step = functools.partial(sharded_train_step_opt, config=config,
                              optimizer=optimizer, lr=lr, mesh=mesh,
                              placement=placement, axis=axis)
-    return jax.jit(step, donate_argnums=(0, 1))
+    if not placement.host_row_sharded:
+        return jax.jit(step, donate_argnums=(0, 1))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dlrm_tpu.parallel.host_tier import ensure_backend_primed
+    ensure_backend_primed()
+    if jax.devices()[0].platform != "tpu":
+        # CPU backend cannot pin outputs; skip donation so pinned-host
+        # inputs are not reused for default-memory outputs
+        return jax.jit(step)
+    pin = NamedSharding(mesh, P(axis), memory_kind="pinned_host")
+    out_params = {"bottom": None, "emb": None, "top": None, "emb_h": pin}
+    if placement.col_sharded:
+        out_params["emb_cs"] = None
+    out_opt = {"dense": None, "count": None, "emb_acc": None,
+               "emb_acc_cs": None,
+               "emb_acc_h": pin if optimizer == "adagrad" else None}
+    return jax.jit(step, donate_argnums=(0, 1),
+                   out_shardings=((out_params, out_opt), None))
 
 
 def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,

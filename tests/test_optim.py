@@ -328,3 +328,95 @@ def test_sharded_adagrad_col_sharded_matches_dense_oracle(n_hot):
             np.testing.assert_allclose(np.asarray(a["w"]),
                                        np.asarray(b["w"]),
                                        atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_hot", [1, 2])
+def test_sharded_adagrad_host_tables_matches_dense_oracle(n_hot):
+    """Adagrad on host-resident row-sharded tables (pinned-host
+    accumulator slab, dedup on device, host-side gather/scatter) plus
+    slot + device row-sharded tables, vs the dense-gradient oracle."""
+    from dlrm_tpu.models import dlrm as model_lib
+    from dlrm_tpu.ops import embedding as emb_ops
+    from dlrm_tpu.ops.loss import bce_loss
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel import host_tier as ht
+    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.optim import apply_adagrad_dense_table
+    from dlrm_tpu.train.train import (init_sharded_opt_state,
+                                      make_sharded_train_step_opt)
+    import optax
+
+    if not ht.host_memory_supported():
+        pytest.skip("no pinned_host memory space")
+    c = dlrm_tpu.tiny_config(num_tables=6, rows=64, feature_size=8,
+                             n_hot=n_hot)
+    c = dataclasses.replace(c, table_sizes=(64, 1000, 16, 2048, 128, 512))
+    params = dlrm_tpu.init_params(jax.random.key(9), c)
+    rng = np.random.default_rng(9)
+    batch = synthetic.random_batch(rng, c, 32)
+    sparse = np.asarray(batch["sparse"]).copy()
+    sparse[1] = sparse[0]
+    args = (jnp.asarray(batch["dense"]), jnp.asarray(sparse),
+            jnp.asarray(batch["labels"]))
+    lr, steps = 0.3, 2
+
+    logical = jnp.asarray(emb_ops.unpack_tables(
+        jax.tree.map(np.asarray, params["emb"]), c))
+
+    def loss_fn(p):
+        pooled = emb_ops.pool(emb_ops.gather_rows(
+            p["emb"], emb_ops.translate_ids(args[1], c.table_offsets)))
+        dp = {"bottom": p["bottom"], "top": p["top"]}
+        out = model_lib.forward_from_pooled(dp, pooled, args[0], c)
+        return bce_loss(out, args[2])
+
+    tx = optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+    dense_ref = {"bottom": jax.tree.map(jnp.copy, params["bottom"]),
+                 "top": jax.tree.map(jnp.copy, params["top"])}
+    dstate = tx.init(dense_ref)
+    emb_ref = jnp.copy(logical)
+    acc = jnp.zeros(logical.shape, jnp.float32)
+    for _ in range(steps):
+        g = jax.grad(loss_fn)({"bottom": dense_ref["bottom"],
+                               "emb": emb_ref,
+                               "top": dense_ref["top"]})
+        upd, dstate = tx.update({"bottom": g["bottom"], "top": g["top"]},
+                                dstate, dense_ref)
+        dense_ref = optax.apply_updates(dense_ref, upd)
+        emb_ref, acc = apply_adagrad_dense_table(emb_ref, acc, g["emb"],
+                                                 lr)
+
+    mesh = make_mesh(8)
+    p = plan_placement(c.table_sizes, 8, pack=c.pack,
+                       max_rows_per_shard=1500, host_tables=(1, 3))
+    assert set(p.host_row_sharded) == {1, 3}
+    emb_np = np.asarray(logical)
+    sh_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": pemb.shard_tables(emb_np, p, c),
+        "emb_h": pemb.shard_host_tables(emb_np, p, c),
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+    sh_params = jax.device_put(sh_params, param_shardings(mesh, sh_params))
+    opt = init_sharded_opt_state(sh_params, config=c, optimizer="adagrad",
+                                 lr=lr, mesh=mesh)
+    assert opt["emb_acc_h"].sharding.memory_kind == "pinned_host"
+    step = make_sharded_train_step_opt(c, optimizer="adagrad", lr=lr,
+                                       mesh=mesh, placement=p)
+    bs = batch_sharding(mesh)
+    sh_args = tuple(jax.device_put(a, bs) for a in args)
+    state = (sh_params, opt)
+    for _ in range(steps):
+        state, loss = step(state[0], state[1], *sh_args)
+
+    got = pemb.unshard_tables(np.asarray(state[0]["emb"]), p, c,
+                              host=np.asarray(state[0]["emb_h"]))
+    np.testing.assert_allclose(got, np.asarray(emb_ref),
+                               atol=1e-4, rtol=1e-4)
+    for side in ("bottom", "top"):
+        for a, b in zip(state[0][side], dense_ref[side]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]),
+                                       atol=1e-4, rtol=1e-4)
