@@ -79,17 +79,21 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
 
 def _block_iter(source, k: int):
     """Stack K consecutive batches host-side for the coalesced block step
-    (train.train_block); a sub-K remainder at stream end is passed through
-    as single batches."""
+    (train.train_block); a sub-K remainder at stream end is stacked as a
+    shorter block (the block step recompiles once for its shape)."""
     buf = []
+
+    def flush(buf):
+        return {key: np.stack([np.asarray(x[key]) for x in buf])
+                for key in buf[0]}
+
     for b in source:
         buf.append(b)
         if len(buf) == k:
-            yield {key: np.stack([np.asarray(x[key]) for x in buf])
-                   for key in buf[0]}
+            yield flush(buf)
             buf = []
-    for b in buf:
-        yield b
+    if buf:
+        yield flush(buf)
 
 
 def _crossed(prev: int, cur: int, every: Optional[int]) -> bool:
@@ -423,9 +427,6 @@ def cmd_train(args) -> int:
     if block > 1:
         if args.hbm_budget_gb is not None or args.optimizer != "sgd":
             raise SystemExit("--update-interval > 1 requires SGD")
-        if sharded and callable(lr):
-            raise SystemExit("--update-interval > 1 with --lr-schedule is "
-                             "single-chip only for now")
         if sharded:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from dlrm_tpu.train.train import make_sharded_train_block
@@ -463,7 +464,7 @@ def cmd_train(args) -> int:
                 args.profile_dir = None
                 print("profile written", file=sys.stderr)
         prev = step
-        if blk_fn is not None and np.asarray(b["dense"]).ndim == 3:
+        if blk_fn is not None:
             if hasattr(blk_fn, "step"):
                 blk_fn.step = step  # scheduled lr: stay step-aligned
             params, blk_losses = blk_fn(params, b["dense"], b["sparse"],
@@ -471,8 +472,6 @@ def cmd_train(args) -> int:
             loss = blk_losses[-1]
             step += int(b["dense"].shape[0])
         else:
-            if blk_fn is not None and hasattr(step_fn, "step"):
-                step_fn.step = step  # remainder after scheduled blocks
             params, loss = step_fn(params, b["dense"], b["sparse"],
                                    b["labels"])
             step += 1

@@ -299,7 +299,7 @@ def make_jit_train_step_opt(config: DLRMConfig, *, optimizer: str = "sgd",
 
 def train_block(params: dict, dense: jax.Array, sparse: jax.Array,
                 labels: jax.Array, *, config: DLRMConfig, lr: float,
-                block: int):
+                block: int = None):
     """``block`` SGD micro-steps fused into one jitted program, with the
     big-table scatter updates COALESCED into one scatter-add per storage
     chunk at block end.
@@ -323,8 +323,11 @@ def train_block(params: dict, dense: jax.Array, sparse: jax.Array,
       * ``block=1`` is always exactly :func:`train_step`.
 
     Args: ``dense`` (K, B, 13), ``sparse`` (K, B, T[, H]), ``labels``
-    (K, B).  Returns (new_params, losses (K,)).
+    (K, B).  Returns (new_params, losses (K,)).  ``block`` defaults to
+    the leading K of the batch (a sub-K remainder block recompiles once).
     """
+    if block is None:
+        block = dense.shape[0]
     small, big = emb_ops.partition_tables(config.table_sizes,
                                           config.small_table_threshold)
     dense_params, emb = model_lib.split_params(params)
@@ -402,18 +405,18 @@ def train_block(params: dict, dense: jax.Array, sparse: jax.Array,
             jnp.stack(losses))
 
 
-def make_jit_train_block(config: DLRMConfig, lr, block: int
+def make_jit_train_block(config: DLRMConfig, lr, block: int = None
                          ) -> Callable:
     """Jitted coalesced block step: f(params, (K,B,13), (K,B,T[,H]),
     (K,B)) -> (params, (K,) losses).  ``lr`` may be a float or a schedule
     (callable step -> lr); schedules enter as a (K,) runtime array."""
+    del block  # derived from the batch's leading dim at trace time
     if not callable(lr):
-        step = functools.partial(train_block, config=config, lr=lr,
-                                 block=block)
+        step = functools.partial(train_block, config=config, lr=lr)
         return jax.jit(step, donate_argnums=(0,))
     jitted = jax.jit(
         lambda p, d, s, l, lrs: train_block(p, d, s, l, config=config,
-                                            lr=lrs, block=block),
+                                            lr=lrs),
         donate_argnums=(0,))
 
     def run(p, d, s, l):
@@ -614,7 +617,8 @@ def make_sharded_train_step_opt(config: DLRMConfig, *, optimizer: str,
 
 def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
                         labels: jax.Array, *, config: DLRMConfig, lr: float,
-                        mesh, placement, block: int, axis: str = "d"):
+                        mesh, placement, block: int = None,
+                        axis: str = "d"):
     """Coalesced K-step block on the hybrid-parallel path (see
     :func:`train_block` for the semantics — the BatchUpdater relaxation).
 
@@ -626,7 +630,10 @@ def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
 
     Args: ``dense`` (K, B, 13), ``sparse`` (K, B, T[, H]), ``labels``
     (K, B) — batch dim sharded over ``axis``.  Returns (params, (K,)).
+    ``block`` defaults to the leading K of the batch.
     """
+    if block is None:
+        block = dense.shape[0]
     from dlrm_tpu.parallel import embedding as pemb
 
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
@@ -670,20 +677,21 @@ def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
     return new_params, jnp.stack(losses)
 
 
-def make_sharded_train_block(config: DLRMConfig, lr: float, mesh, placement,
-                             block: int, axis: str = "d") -> Callable:
+def make_sharded_train_block(config: DLRMConfig, lr, mesh, placement,
+                             block: int = None, axis: str = "d"
+                             ) -> Callable:
     if placement.host_row_sharded:
         from dlrm_tpu.parallel.host_tier import ensure_backend_primed
         ensure_backend_primed()
+    del block  # derived from the batch's leading dim at trace time
     if not callable(lr):
         step = functools.partial(sharded_train_block, config=config, lr=lr,
-                                 mesh=mesh, placement=placement,
-                                 block=block, axis=axis)
+                                 mesh=mesh, placement=placement, axis=axis)
         return jax.jit(step, donate_argnums=(0,))
     jitted = jax.jit(
         lambda p, d, s, l, lrs: sharded_train_block(
             p, d, s, l, config=config, lr=lrs, mesh=mesh,
-            placement=placement, block=block, axis=axis),
+            placement=placement, axis=axis),
         donate_argnums=(0,))
 
     def run(p, d, s, l):
