@@ -486,6 +486,11 @@ def cmd_train(args) -> int:
             periodic_eval()
         if mgr is not None and _crossed(prev, step, mgr.save_interval):
             mgr.save(step, ckpt_payload())
+    if profiling:
+        import jax as _jax
+        _jax.block_until_ready(params)
+        jax.profiler.stop_trace()
+        print("profile written (stream ended mid-capture)", file=sys.stderr)
     if mgr is not None:
         if mgr.latest_step() != step:  # maybe_save may have just saved it
             mgr.save(step, ckpt_payload(), force=True)
@@ -538,11 +543,19 @@ def cmd_eval(args) -> int:
             from dlrm_tpu.ops import embedding as emb_ops
             from dlrm_tpu.parallel import embedding as pemb
             from dlrm_tpu.parallel.placement import plan_placement
+            meta_sizes = tuple(meta.get("table_sizes",
+                                        config.table_sizes))
+            if meta_sizes != config.table_sizes:
+                raise SystemExit(
+                    f"checkpoint was trained with table sizes "
+                    f"{list(meta_sizes)} but the eval config has "
+                    f"{list(config.table_sizes)}; pass the training run's "
+                    "--table-sizes/--config to eval")
             placement = plan_placement(
-                meta.get("table_sizes", config.table_sizes),
-                meta["num_shards"], pack=meta.get("pack", 1),
+                meta_sizes, meta["num_shards"], pack=meta.get("pack", 1),
                 max_rows_per_shard=meta.get("max_rows_per_shard"),
-                col_sharded_tables=meta.get("col_sharded_tables", ()))
+                col_sharded_tables=meta.get("col_sharded_tables", ()),
+                host_tables=meta.get("host_tables", ()))
             logical = pemb.unshard_tables(
                 np.asarray(params["emb"]), placement, config,
                 host=(np.asarray(params["emb_h"])
@@ -703,7 +716,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated table indices to keep in HOST "
                     "memory, row-sharded: each shard stores its block in "
                     "its pinned-host space (tables bigger than the whole "
-                    "slice's HBM; SGD only)")
+                    "slice's HBM; sgd or adagrad)")
     tr.set_defaults(fn=cmd_train)
 
     ev = sub.add_parser("eval", help="accuracy / AUC / loss")

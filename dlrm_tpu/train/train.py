@@ -680,19 +680,32 @@ def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
 def make_sharded_train_block(config: DLRMConfig, lr, mesh, placement,
                              block: int = None, axis: str = "d"
                              ) -> Callable:
+    del block  # derived from the batch's leading dim at trace time
+    jit_kw = dict(donate_argnums=(0,))
     if placement.host_row_sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
         from dlrm_tpu.parallel.host_tier import ensure_backend_primed
         ensure_backend_primed()
-    del block  # derived from the batch's leading dim at trace time
+        if jax.devices()[0].platform != "tpu":
+            # CPU backend cannot pin outputs; skip donation so pinned-host
+            # inputs are not reused for default-memory outputs
+            jit_kw = {}
+        else:
+            out_params = {"bottom": None, "emb": None, "top": None,
+                          "emb_h": NamedSharding(
+                              mesh, P(axis), memory_kind="pinned_host")}
+            if placement.col_sharded:
+                out_params["emb_cs"] = None
+            jit_kw["out_shardings"] = (out_params, None)
     if not callable(lr):
         step = functools.partial(sharded_train_block, config=config, lr=lr,
                                  mesh=mesh, placement=placement, axis=axis)
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, **jit_kw)
     jitted = jax.jit(
         lambda p, d, s, l, lrs: sharded_train_block(
             p, d, s, l, config=config, lr=lrs, mesh=mesh,
             placement=placement, axis=axis),
-        donate_argnums=(0,))
+        **jit_kw)
 
     def run(p, d, s, l):
         k = d.shape[0]

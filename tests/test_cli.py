@@ -244,3 +244,52 @@ def test_train_cli_host_sharded_tables(capsys):
     assert rc == 0
     assert res["steps"] == 4 and np.isfinite(res["final_loss"])
     assert 0.0 <= res["eval"]["accuracy"] <= 1.0
+
+
+def test_host_tables_ckpt_eval_roundtrip(tmp_path, capsys):
+    """`eval --ckpt-dir` must rebuild host-resident placements from
+    run_meta.json (regression: host_tables was not passed to
+    plan_placement, silently unsharding with the wrong layout)."""
+    from dlrm_tpu.parallel import host_tier as ht
+    if not ht.host_memory_supported():
+        pytest.skip("no pinned_host memory space")
+    paths = _write_text_shards(tmp_path)
+    out = str(tmp_path / "data.bin")
+    _run(capsys, ["preprocess", *paths, "--out", out])
+    sizes = ",".join("1000" for _ in range(26))
+    ckpt = str(tmp_path / "ck")
+    common = ["--config", "tiny", "--table-sizes", sizes,
+              "--batch-size", "16"]
+    rc, res = _run(capsys, [
+        "train", *common, "--data", out, "--sharded", "true",
+        "--host-tables", "1,3", "--log-every", "2",
+        "--ckpt-dir", ckpt, "--save-interval", "4", "--eval-after"])
+    assert rc == 0 and res["steps"] == 7
+    rc, ev = _run(capsys, ["eval", *common, "--data", out,
+                           "--ckpt-dir", ckpt])
+    assert rc == 0
+    np.testing.assert_allclose(ev["loss"], res["eval"]["loss"],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(ev["auc"], res["eval"]["auc"], atol=1e-9)
+
+    # mismatched table sizes must fail fast, not corrupt silently
+    with pytest.raises(SystemExit, match="table sizes"):
+        _run(capsys, ["eval", "--config", "tiny", "--data", out,
+                      "--batch-size", "16", "--ckpt-dir", ckpt])
+
+
+def test_host_tables_block_mode_cli(capsys):
+    """--update-interval composes with --host-tables (block maker pins /
+    skips donation for the pinned-host stack)."""
+    from dlrm_tpu.parallel import host_tier as ht
+    if not ht.host_memory_supported():
+        pytest.skip("no pinned_host memory space")
+    sizes = ",".join(str(s) for s in (64, 1000, 16, 2048, 128, 512))
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--table-sizes", sizes,
+        "--batch-size", "32", "--steps", "5", "--sharded", "true",
+        "--host-tables", "1,3", "--max-rows-per-shard", "1500",
+        "--update-interval", "2", "--log-every", "2", "--eval-after",
+        "--eval-steps", "2"])
+    assert rc == 0
+    assert res["steps"] == 5 and np.isfinite(res["final_loss"])
