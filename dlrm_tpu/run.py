@@ -369,29 +369,19 @@ def cmd_train(args) -> int:
 
     eval_record: List[dict] = []
 
+    def run_eval(eval_iter):
+        """Evaluate with whatever layout the training path uses: the
+        sharded path evals ON the mesh (the tables are never gathered to
+        one host — metrics.sharded_evaluate), the others through the
+        standard storage view."""
+        if sharded:
+            from dlrm_tpu.train.metrics import sharded_evaluate
+            return sharded_evaluate(params, eval_iter, config, mesh=mesh,
+                                    placement=placement)
+        return evaluate(eval_view(), eval_iter, config)
+
     def eval_view():
         """params in the standard storage layout for metrics.evaluate."""
-        if sharded:
-            # gather the table shards to host and rebuild the single-chip
-            # storage layout (eval cadence is low; single-process only)
-            from dlrm_tpu.ops import embedding as emb_ops
-            from dlrm_tpu.parallel import embedding as pemb
-            logical = pemb.unshard_tables(
-                np.asarray(params["emb"]), placement, config,
-                host=(np.asarray(params["emb_h"])
-                      if "emb_h" in params else None))
-            if placement.col_sharded:
-                cs_tabs = pemb.unshard_col_tables(
-                    [np.asarray(a) for a in params["emb_cs"]], placement)
-                for k, t in enumerate(placement.col_sharded):
-                    off = config.table_offsets[t]
-                    logical[off:off + config.table_sizes[t]] = cs_tabs[k]
-            host = {
-                "bottom": jax.tree.map(np.asarray, params["bottom"]),
-                "emb": emb_ops.pack_tables(logical, config),
-                "top": jax.tree.map(np.asarray, params["top"]),
-            }
-            return jax.tree.map(jnp.asarray, host)
         if args.hbm_budget_gb is not None:
             from dlrm_tpu.ops import embedding as emb_ops
             from dlrm_tpu.parallel import host_tier as ht
@@ -416,7 +406,7 @@ def cmd_train(args) -> int:
                                synthetic=getattr(args, "synthetic",
                                                  "uniform")),
             config, steps=eval_steps, seed=10_000)
-        m = evaluate(eval_view(), eval_iter, config)
+        m = run_eval(eval_iter)
         m["step"] = step
         eval_record.append(m)
         print(f"eval @ step {step}: acc={m['accuracy']:.4f} "
@@ -510,7 +500,7 @@ def cmd_train(args) -> int:
                                                  "uniform")),
             config, steps=args.eval_steps or (None if args.data else 10),
             seed=10_000)
-        result["eval"] = evaluate(eval_view(), eval_iter, config)
+        result["eval"] = run_eval(eval_iter)
     print(json.dumps(result))
     return 0
 

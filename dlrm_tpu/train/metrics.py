@@ -133,3 +133,49 @@ def evaluate(params: dict, data: Iterable, config, *,
         record.append(acc)  # reference: push!(record, accuracy)
     return {"accuracy": acc, "auc": auc.compute(),
             "loss": loss_sum / max(total, 1), "examples": total}
+
+
+def sharded_evaluate(params: dict, data: Iterable, config, *, mesh,
+                     placement, axis: str = "d",
+                     record: Optional[List[float]] = None,
+                     auc_buckets: int = 1 << 14) -> Dict[str, float]:
+    """Eval directly on the sharded parameters — the forward runs on the
+    mesh (sharded lookup + data-parallel MLPs) and only the (B,) prediction
+    vector comes to host per batch, so the tables are never gathered (they
+    may not fit one host for Terabyte-scale configs)."""
+    from dlrm_tpu.models.dlrm import forward_from_pooled
+    from dlrm_tpu.ops.loss import bce_loss
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import batch_sharding
+
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+
+    @jax.jit
+    def fwd(dp, emb, emb_h, cs, dense, sparse):
+        pooled = pemb.sharded_lookup(
+            emb, sparse, mesh=mesh, placement=placement, axis=axis,
+            cs=cs, emb_h=emb_h)
+        return forward_from_pooled(dp, pooled, dense, config)
+
+    bs = batch_sharding(mesh, axis)
+    auc = StreamingAUC(auc_buckets)
+    correct = 0
+    total = 0
+    loss_sum = 0.0
+    for batch in data:
+        dense = jax.device_put(jnp.asarray(batch["dense"]), bs)
+        sparse = jax.device_put(jnp.asarray(batch["sparse"]), bs)
+        preds = fwd(dense_params, params["emb"], params.get("emb_h"),
+                    params.get("emb_cs", ()), dense, sparse)
+        labels = jnp.asarray(batch["labels"])
+        auc.update(np.asarray(preds), labels)
+        loss_sum += float(bce_loss(preds, labels)) * labels.shape[0]
+        p = np.asarray(preds)
+        l = np.asarray(labels)
+        correct += int(((p >= 0.5) == (l >= 0.5)).sum())
+        total += l.shape[0]
+    acc = correct / max(total, 1)
+    if record is not None:
+        record.append(acc)
+    return {"accuracy": acc, "auc": auc.compute(),
+            "loss": loss_sum / max(total, 1), "examples": total}
