@@ -52,6 +52,11 @@ def _build_config(args) -> "DLRMConfig":
     if args.bf16:
         import jax.numpy as jnp
         over["compute_dtype"] = jnp.bfloat16
+    if getattr(args, "bf16_tables", False):
+        # the reference's BF16-embeddings experiment (@setup builds bf16
+        # tables on the slow tier, src/DLRM.jl:44-110, cachedarrays.jl:6-19)
+        import jax.numpy as jnp
+        over["embedding_dtype"] = jnp.bfloat16
     if args.pad_to is not None:
         over["interaction_pad_to"] = args.pad_to
     if args.table_sizes:
@@ -71,6 +76,9 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
                    help="multi-hot lookups per table (default preset)")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute dtype for MLPs/interaction")
+    p.add_argument("--bf16-tables", action="store_true",
+                   help="bfloat16 embedding-table storage (halves table "
+                   "HBM; the reference's BF16-embeddings experiment)")
     p.add_argument("--pad-to", type=int, default=None,
                    help="pad interaction output width to a multiple")
     p.add_argument("--table-sizes", default=None,

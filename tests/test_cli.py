@@ -293,3 +293,15 @@ def test_host_tables_block_mode_cli(capsys):
         "--eval-steps", "2"])
     assert rc == 0
     assert res["steps"] == 5 and np.isfinite(res["final_loss"])
+
+
+def test_train_cli_bf16_tables(capsys):
+    """--bf16-tables trains with bfloat16 embedding storage end-to-end
+    (single-chip and sharded)."""
+    for extra in (["--sharded", "false"], ["--sharded", "true"]):
+        rc, res = _run(capsys, [
+            "train", "--config", "tiny", "--batch-size", "32",
+            "--steps", "3", "--bf16-tables", "--log-every", "1",
+            "--eval-after", "--eval-steps", "2", *extra])
+        assert rc == 0
+        assert res["steps"] == 3 and np.isfinite(res["final_loss"])
