@@ -314,3 +314,77 @@ def test_terabyte_scale_placement_plans():
     # unsharded slot tables all fit their assigned shard
     for t in p.slot_table_list:
         assert p.table_shard[t] >= 0
+
+
+@pytest.mark.parametrize("n_hot", [1, 2])
+def test_all_placement_kinds_in_one_step(n_hot, rng):
+    """Capstone: slot + device row-sharded + HOST-resident row-sharded +
+    column-sharded tables in a single hybrid-parallel SGD step, equal to
+    the single-device step (and the on-mesh sharded_evaluate forward
+    equals the single-device forward)."""
+    import dataclasses
+    from dlrm_tpu.parallel import host_tier as ht
+    from dlrm_tpu.train.metrics import evaluate, sharded_evaluate
+
+    if not ht.host_memory_supported():
+        pytest.skip("no pinned_host memory space")
+    config = dlrm_tpu.tiny_config(num_tables=7, rows=64, feature_size=8,
+                                  n_hot=n_hot)
+    config = dataclasses.replace(
+        config, table_sizes=(64, 400, 12, 300, 64, 50, 500),
+        packed_tables=False)  # column sharding requires pack == 1
+    params = dlrm_tpu.init_params(jax.random.key(11), config)
+    dense, sparse, labels = _random_batch(rng, config, 32)
+    sparse[1] = sparse[0]  # duplicate ids
+    lr = 0.5
+
+    ref_params, ref_loss = jax.jit(
+        lambda p, d, s, l: train_step(p, d, s, l, config=config, lr=lr)
+    )(jax.tree.map(jnp.copy, params), jnp.asarray(dense),
+      jnp.asarray(sparse), jnp.asarray(labels))
+
+    mesh = make_mesh(8)
+    # 1 -> device row-sharded (rows > 350), 6 -> host-resident,
+    # 3, 5 -> column-sharded, rest slot-placed
+    p = plan_placement(config.table_sizes, 8, pack=1,
+                       max_rows_per_shard=350,
+                       col_sharded_tables=(3, 5), host_tables=(6,))
+    assert p.row_sharded == (1, 6) and p.host_row_sharded == (6,)
+    assert p.col_sharded == (3, 5)
+    emb_np = np.asarray(params["emb"])
+    sh_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": pemb.shard_tables(emb_np, p, config),
+        "emb_h": pemb.shard_host_tables(emb_np, p, config),
+        "emb_cs": pemb.shard_col_tables(emb_np, p, config),
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+    sh_params = jax.device_put(sh_params, param_shardings(mesh, sh_params))
+    bs = batch_sharding(mesh)
+    step = make_sharded_train_step(config, lr, mesh, p)
+    new_params, loss = step(sh_params,
+                            jax.device_put(jnp.asarray(dense), bs),
+                            jax.device_put(jnp.asarray(sparse), bs),
+                            jax.device_put(jnp.asarray(labels), bs))
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-6)
+
+    got = pemb.unshard_tables(np.asarray(new_params["emb"]), p, config,
+                              host=np.asarray(new_params["emb_h"]))
+    cs_tabs = pemb.unshard_col_tables(
+        [np.asarray(a) for a in new_params["emb_cs"]], p)
+    for k, t in enumerate(p.col_sharded):
+        off = config.table_offsets[t]
+        got[off:off + config.table_sizes[t]] = cs_tabs[k]
+    np.testing.assert_allclose(got, np.asarray(ref_params["emb"]),
+                               atol=1e-5, rtol=1e-5)
+
+    # on-mesh eval forward == single-device eval on the updated model
+    batch = {"dense": dense, "sparse": sparse, "labels": labels}
+    m_sh = sharded_evaluate(new_params, [batch], config, mesh=mesh,
+                            placement=p)
+    host_params = {"bottom": jax.tree.map(jnp.asarray, new_params["bottom"]),
+                   "emb": jnp.asarray(got),
+                   "top": jax.tree.map(jnp.asarray, new_params["top"])}
+    m_ref = evaluate(host_params, [batch], config)
+    np.testing.assert_allclose(m_sh["loss"], m_ref["loss"], rtol=1e-5)
+    np.testing.assert_allclose(m_sh["auc"], m_ref["auc"], atol=1e-6)
