@@ -7,6 +7,7 @@ The reference configures experiments with Julia keyword args and an
   preprocess   Criteo text -> binarized + vocab-reindexed dataset
   train        train a DLRM (synthetic or Criteo data), checkpoints + eval
   eval         accuracy / ROC-AUC / loss over a dataset
+  predict      batch CTR scoring -> .npy (the serving surface)
   validate     PyTorch-fixture parity harness (validation.py)
   instrument   per-phase step-time breakdown (telemetry.InstrumentedTrainer)
   bench        quick synthetic-throughput benchmark
@@ -513,14 +514,14 @@ def cmd_train(args) -> int:
     return 0
 
 
-def cmd_eval(args) -> int:
+def _load_eval_params(args, config):
+    """Load params in the standard storage layout from --ckpt-dir (any
+    training run's layout, rebuilt via run_meta.json) or --hdf5 (PyTorch
+    interop format).  Returns (params, config)."""
     import jax
     import jax.numpy as jnp
-    import dlrm_tpu
     from dlrm_tpu.io.checkpoint import restore_checkpoint
-    from dlrm_tpu.train.metrics import evaluate
 
-    config = _build_config(args)
     if args.ckpt_dir:
         import os
         meta = {}
@@ -573,11 +574,51 @@ def cmd_eval(args) -> int:
         params, config = h5io.load_params(args.hdf5)
         params = jax.tree.map(jnp.asarray, params)
     else:
-        raise SystemExit("eval needs --ckpt-dir or --hdf5")
+        raise SystemExit("need --ckpt-dir or --hdf5")
+    return params, config
+
+
+def cmd_eval(args) -> int:
+    from dlrm_tpu.train.metrics import evaluate
+
+    config = _build_config(args)
+    params, config = _load_eval_params(args, config)
     # synthetic fallback needs a bound or evaluate() would never terminate
     eval_steps = args.eval_steps or (None if args.data else 10)
     data = _data_iter(args, config, steps=eval_steps)
     print(json.dumps(evaluate(params, data, config)))
+    return 0
+
+
+def cmd_predict(args) -> int:
+    """Batch serving: write CTR scores for a dataset to a .npy file.
+
+    The reference has no serving path (scores only appear inside test(),
+    train/utils.jl:31-46); this is the production inference surface: one
+    jitted forward, streaming batches, scores written in input order."""
+    import jax
+    import jax.numpy as jnp
+    from dlrm_tpu.models.dlrm import forward
+
+    config = _build_config(args)
+    params, config = _load_eval_params(args, config)
+    fwd = jax.jit(lambda p, d, s: forward(p, d, s, config))
+    if args.data is None:
+        raise SystemExit("predict needs --data")
+    data = _data_iter(args, config, steps=None)
+    scores = []
+    t0 = time.time()
+    n = 0
+    for batch in data:
+        preds = fwd(params, jnp.asarray(batch["dense"]),
+                    jnp.asarray(batch["sparse"]))
+        scores.append(np.asarray(preds))
+        n += scores[-1].shape[0]
+    out = np.concatenate(scores) if scores else np.zeros((0,), np.float32)
+    np.save(args.out, out)
+    print(json.dumps({"examples": int(n), "out": args.out,
+                      "seconds": round(time.time() - t0, 2),
+                      "mean_score": float(out.mean()) if n else None}))
     return 0
 
 
@@ -725,6 +766,15 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--batch-size", type=int, default=16384)
     ev.add_argument("--eval-steps", type=int, default=None)
     ev.set_defaults(fn=cmd_eval)
+
+    pr = sub.add_parser("predict", help="batch CTR scoring -> .npy")
+    _add_config_flags(pr)
+    pr.add_argument("--data", default=None, help="binarized dataset")
+    pr.add_argument("--ckpt-dir", default=None)
+    pr.add_argument("--hdf5", default=None)
+    pr.add_argument("--batch-size", type=int, default=16384)
+    pr.add_argument("--out", required=True, help="output .npy path")
+    pr.set_defaults(fn=cmd_predict)
 
     va = sub.add_parser("validate", help="PyTorch-fixture parity")
     va.add_argument("fixtures", nargs="+")
