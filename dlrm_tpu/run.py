@@ -116,9 +116,11 @@ def _data_iter(args, config, *, steps: Optional[int], seed: int = 0):
     from dlrm_tpu.data.criteo import DACLoader, load
 
     if args.data:
-        loader = DACLoader(load(args.data), args.batch_size,
-                           shuffle=getattr(args, "shuffle", False),
-                           seed=getattr(args, "seed", 0))
+        loader = DACLoader(
+            load(args.data), args.batch_size,
+            drop_remainder=not getattr(args, "keep_remainder", False),
+            shuffle=getattr(args, "shuffle", False),
+            seed=getattr(args, "seed", 0))
         if len(loader) == 0:
             raise SystemExit(
                 f"dataset {args.data} has fewer records than one batch "
@@ -210,6 +212,7 @@ def cmd_train(args) -> int:
                 "wrapped_opt": bool(args.optimizer != "sgd"
                                     or (sharded and callable(lr))),
                 "table_sizes": list(config.table_sizes),
+                "bf16_tables": bool(getattr(args, "bf16_tables", False)),
             }, f)
 
     if sharded:
@@ -377,6 +380,7 @@ def cmd_train(args) -> int:
         return params
 
     eval_record: List[dict] = []
+    eval_cache: dict = {}
 
     def run_eval(eval_iter):
         """Evaluate with whatever layout the training path uses: the
@@ -384,9 +388,14 @@ def cmd_train(args) -> int:
         one host — metrics.sharded_evaluate), the others through the
         standard storage view."""
         if sharded:
-            from dlrm_tpu.train.metrics import sharded_evaluate
+            from dlrm_tpu.train.metrics import (make_sharded_eval_forward,
+                                                sharded_evaluate)
+            if "fwd" not in eval_cache:  # compile the mesh forward once
+                eval_cache["fwd"] = make_sharded_eval_forward(
+                    config, mesh, placement)
             return sharded_evaluate(params, eval_iter, config, mesh=mesh,
-                                    placement=placement)
+                                    placement=placement,
+                                    fwd=eval_cache["fwd"])
         return evaluate(eval_view(), eval_iter, config)
 
     def eval_view():
@@ -530,6 +539,12 @@ def _load_eval_params(args, config):
         if os.path.exists(meta_path):
             with open(meta_path) as f:
                 meta = json.load(f)
+        if meta.get("bf16_tables") and not getattr(args, "bf16_tables",
+                                                   False):
+            # storage dtype changes the chunk geometry (config.py
+            # chunk_budget math) — apply the training run's choice
+            config = dataclasses.replace(config,
+                                         embedding_dtype=jnp.bfloat16)
         # template-less restore is topology-independent (metadata-driven
         # abstract template in io/checkpoint.py); optimizer-state runs wrap
         # the params as {"params": ..., "opt": ...}
@@ -600,11 +615,12 @@ def cmd_predict(args) -> int:
     import jax.numpy as jnp
     from dlrm_tpu.models.dlrm import forward
 
+    if args.data is None:
+        raise SystemExit("predict needs --data")
     config = _build_config(args)
     params, config = _load_eval_params(args, config)
     fwd = jax.jit(lambda p, d, s: forward(p, d, s, config))
-    if args.data is None:
-        raise SystemExit("predict needs --data")
+    args.keep_remainder = True  # serving must score EVERY row
     data = _data_iter(args, config, steps=None)
     scores = []
     t0 = time.time()

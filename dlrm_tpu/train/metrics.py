@@ -103,26 +103,21 @@ class Every:
             self.fn()
 
 
-def evaluate(params: dict, data: Iterable, config, *,
-             record: Optional[List[float]] = None,
-             auc_buckets: int = 1 << 14) -> Dict[str, float]:
-    """Full-dataset eval: accuracy + streaming AUC + mean loss.
-
-    The reference's test() computes accuracy only and appends to a record
-    vector (utils.jl:31-46); AUC is the Criteo benchmark target (BASELINE)."""
-    from dlrm_tpu.models.dlrm import forward
+def _accumulate(data: Iterable, predict_batch: Callable, *,
+                record: Optional[List[float]], auc_buckets: int
+                ) -> Dict[str, float]:
+    """Shared metric loop: accuracy + streaming AUC + mean loss over
+    batches scored by ``predict_batch(batch) -> preds``."""
     from dlrm_tpu.ops.loss import bce_loss
 
-    fwd = jax.jit(lambda p, d, s: forward(p, d, s, config))
     auc = StreamingAUC(auc_buckets)
     correct = 0
     total = 0
     loss_sum = 0.0
     for batch in data:
-        preds = fwd(params, jnp.asarray(batch["dense"]),
-                    jnp.asarray(batch["sparse"]))
+        preds = predict_batch(batch)
         labels = jnp.asarray(batch["labels"])
-        auc.update(preds, labels)
+        auc.update(np.asarray(preds), labels)
         loss_sum += float(bce_loss(preds, labels)) * labels.shape[0]
         p = np.asarray(preds)
         l = np.asarray(labels)
@@ -135,20 +130,29 @@ def evaluate(params: dict, data: Iterable, config, *,
             "loss": loss_sum / max(total, 1), "examples": total}
 
 
-def sharded_evaluate(params: dict, data: Iterable, config, *, mesh,
-                     placement, axis: str = "d",
-                     record: Optional[List[float]] = None,
-                     auc_buckets: int = 1 << 14) -> Dict[str, float]:
-    """Eval directly on the sharded parameters — the forward runs on the
-    mesh (sharded lookup + data-parallel MLPs) and only the (B,) prediction
-    vector comes to host per batch, so the tables are never gathered (they
-    may not fit one host for Terabyte-scale configs)."""
-    from dlrm_tpu.models.dlrm import forward_from_pooled
-    from dlrm_tpu.ops.loss import bce_loss
-    from dlrm_tpu.parallel import embedding as pemb
-    from dlrm_tpu.parallel.mesh import batch_sharding
+def evaluate(params: dict, data: Iterable, config, *,
+             record: Optional[List[float]] = None,
+             auc_buckets: int = 1 << 14) -> Dict[str, float]:
+    """Full-dataset eval: accuracy + streaming AUC + mean loss.
 
-    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    The reference's test() computes accuracy only and appends to a record
+    vector (utils.jl:31-46); AUC is the Criteo benchmark target (BASELINE)."""
+    from dlrm_tpu.models.dlrm import forward
+
+    fwd = jax.jit(lambda p, d, s: forward(p, d, s, config))
+    return _accumulate(
+        data,
+        lambda b: fwd(params, jnp.asarray(b["dense"]),
+                      jnp.asarray(b["sparse"])),
+        record=record, auc_buckets=auc_buckets)
+
+
+def make_sharded_eval_forward(config, mesh, placement, axis: str = "d"):
+    """Jitted on-mesh eval forward; build ONCE per (config, mesh,
+    placement) and pass to :func:`sharded_evaluate` — a fresh jit per eval
+    would recompile the whole mesh program every time."""
+    from dlrm_tpu.models.dlrm import forward_from_pooled
+    from dlrm_tpu.parallel import embedding as pemb
 
     @jax.jit
     def fwd(dp, emb, emb_h, cs, dense, sparse):
@@ -157,25 +161,31 @@ def sharded_evaluate(params: dict, data: Iterable, config, *, mesh,
             cs=cs, emb_h=emb_h)
         return forward_from_pooled(dp, pooled, dense, config)
 
+    return fwd
+
+
+def sharded_evaluate(params: dict, data: Iterable, config, *, mesh,
+                     placement, axis: str = "d", fwd=None,
+                     record: Optional[List[float]] = None,
+                     auc_buckets: int = 1 << 14) -> Dict[str, float]:
+    """Eval directly on the sharded parameters — the forward runs on the
+    mesh (sharded lookup + data-parallel MLPs) and only the (B,) prediction
+    vector comes to host per batch, so the tables are never gathered (they
+    may not fit one host for Terabyte-scale configs).  Pass ``fwd`` from
+    :func:`make_sharded_eval_forward` to reuse the compiled program across
+    periodic evals."""
+    from dlrm_tpu.parallel.mesh import batch_sharding
+
+    if fwd is None:
+        fwd = make_sharded_eval_forward(config, mesh, placement, axis)
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
     bs = batch_sharding(mesh, axis)
-    auc = StreamingAUC(auc_buckets)
-    correct = 0
-    total = 0
-    loss_sum = 0.0
-    for batch in data:
+
+    def predict_batch(batch):
         dense = jax.device_put(jnp.asarray(batch["dense"]), bs)
         sparse = jax.device_put(jnp.asarray(batch["sparse"]), bs)
-        preds = fwd(dense_params, params["emb"], params.get("emb_h"),
-                    params.get("emb_cs", ()), dense, sparse)
-        labels = jnp.asarray(batch["labels"])
-        auc.update(np.asarray(preds), labels)
-        loss_sum += float(bce_loss(preds, labels)) * labels.shape[0]
-        p = np.asarray(preds)
-        l = np.asarray(labels)
-        correct += int(((p >= 0.5) == (l >= 0.5)).sum())
-        total += l.shape[0]
-    acc = correct / max(total, 1)
-    if record is not None:
-        record.append(acc)
-    return {"accuracy": acc, "auc": auc.compute(),
-            "loss": loss_sum / max(total, 1), "examples": total}
+        return fwd(dense_params, params["emb"], params.get("emb_h"),
+                   params.get("emb_cs", ()), dense, sparse)
+
+    return _accumulate(data, predict_batch, record=record,
+                       auc_buckets=auc_buckets)

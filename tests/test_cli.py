@@ -323,14 +323,29 @@ def test_predict_cli(tmp_path, capsys):
     scores_path = str(tmp_path / "scores.npy")
     rc, res = _run(capsys, ["predict", *common, "--data", out,
                             "--ckpt-dir", ckpt, "--out", scores_path])
-    assert rc == 0 and res["examples"] == 112  # 7 full batches of 16
+    assert rc == 0 and res["examples"] == 120  # every row scored
     scores = np.load(scores_path)
-    assert scores.shape == (112,)
+    assert scores.shape == (120,)
     assert np.all((scores >= 0) & (scores <= 1))
-    # consistent with eval's forward on the same model/data: eval's mean
-    # loss implies the same scores; spot-check via accuracy bounds
-    rc, ev = _run(capsys, ["eval", *common, "--data", out,
-                           "--ckpt-dir", ckpt])
-    assert rc == 0 and 0.0 <= ev["accuracy"] <= 1.0
     np.testing.assert_allclose(res["mean_score"], float(scores.mean()),
                                rtol=1e-6)
+    # oracle: the library forward on the restored checkpoint over the
+    # same loader must reproduce the scores exactly, in order
+    import dataclasses as _dc
+    import jax, jax.numpy as jnp
+    import dlrm_tpu
+    from dlrm_tpu.data.criteo import DACLoader, load as dac_load
+    from dlrm_tpu.io.checkpoint import restore_checkpoint
+    config = _dc.replace(dlrm_tpu.tiny_config(),
+                         table_sizes=tuple([1000] * 26))
+    template = jax.eval_shape(
+        lambda: dlrm_tpu.init_params(jax.random.key(0), config))
+    params, _ = restore_checkpoint(ckpt, template=template)
+    params = jax.tree.map(jnp.asarray, params)
+    want = []
+    for b in DACLoader(dac_load(out), 16, drop_remainder=False):
+        want.append(np.asarray(dlrm_tpu.forward(
+            params, jnp.asarray(b["dense"]), jnp.asarray(b["sparse"]),
+            config)))
+    np.testing.assert_allclose(scores, np.concatenate(want),
+                               rtol=1e-6, atol=1e-7)

@@ -387,4 +387,7 @@ def test_all_placement_kinds_in_one_step(n_hot, rng):
                    "top": jax.tree.map(jnp.asarray, new_params["top"])}
     m_ref = evaluate(host_params, [batch], config)
     np.testing.assert_allclose(m_sh["loss"], m_ref["loss"], rtol=1e-5)
-    np.testing.assert_allclose(m_sh["auc"], m_ref["auc"], atol=1e-6)
+    # AUC is bucketed (StreamingAUC): 1-ulp prediction differences can
+    # cross a bucket edge, moving AUC by ~1/(pos*neg) — compare loosely
+    np.testing.assert_allclose(m_sh["auc"], m_ref["auc"], atol=2e-2)
+    assert m_sh["accuracy"] == m_ref["accuracy"]
