@@ -171,6 +171,16 @@ def cmd_train(args) -> int:
     config = _build_config(args)
     if args.data is None and args.steps is None:
         raise SystemExit("synthetic training needs --steps")
+    if getattr(args, "epochs", None):
+        if args.data is None:
+            raise SystemExit("--epochs needs --data")
+        if args.steps is not None:
+            raise SystemExit("pass --steps or --epochs, not both")
+        from dlrm_tpu.data.criteo import load as _dac_load
+        per_epoch = len(_dac_load(args.data)) // args.batch_size
+        if per_epoch == 0:
+            raise SystemExit("dataset smaller than one batch")
+        args.steps = args.epochs * per_epoch
     lr = args.lr
     if getattr(args, "lr_schedule", "constant") != "constant":
         from dlrm_tpu.train.optim import make_schedule
@@ -739,6 +749,9 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--decay-start", type=int, default=0)
     tr.add_argument("--decay-steps", type=int, default=0)
     tr.add_argument("--steps", type=int, default=None)
+    tr.add_argument("--epochs", type=int, default=None,
+                    help="train for N epochs over --data (alternative "
+                    "to --steps)")
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--log-every", type=int, default=100)
     tr.add_argument("--prefetch", type=int, default=2,

@@ -349,3 +349,17 @@ def test_predict_cli(tmp_path, capsys):
             config)))
     np.testing.assert_allclose(scores, np.concatenate(want),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_train_cli_epochs(tmp_path, capsys):
+    """--epochs N trains N full passes over the dataset."""
+    paths = _write_text_shards(tmp_path)
+    out = str(tmp_path / "data.bin")
+    _run(capsys, ["preprocess", *paths, "--out", out])
+    sizes = ",".join("1000" for _ in range(26))
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--table-sizes", sizes,
+        "--batch-size", "16", "--data", out, "--epochs", "2",
+        "--sharded", "false", "--shuffle", "--log-every", "5"])
+    assert rc == 0
+    assert res["steps"] == 2 * (120 // 16)
