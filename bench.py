@@ -101,7 +101,7 @@ def main():
     # reference BatchUpdater relaxation; train.train_block) — one scatter
     # per chunk per K steps, bounded staleness < K
     from dlrm_tpu.train.train import make_jit_train_block
-    K = 4
+    K = 8  # measured knee of the staleness/compile tradeoff (PERFORMANCE.md)
     kd = jnp.broadcast_to(dense, (K,) + dense.shape)
     ks = jnp.asarray(np.stack(
         [np.stack([rng.integers(0, s, size=BATCH)
@@ -168,8 +168,8 @@ def main():
         "value": round(throughput, 1),
         "unit": "examples/s/chip",
         "vs_baseline": round(throughput / baseline, 3),
-        "block4_examples_per_s": round(blk_tput, 1),
-        "block4_vs_baseline": round(blk_tput / baseline, 3),
+        f"block{K}_examples_per_s": round(blk_tput, 1),
+        f"block{K}_vs_baseline": round(blk_tput / baseline, 3),
         "lookup_gb_s_logical": round(lk_gbs, 2),
     }))
 
