@@ -188,6 +188,10 @@ def cmd_train(args) -> int:
                            warmup_steps=args.warmup_steps,
                            decay_start=args.decay_start,
                            decay_steps=args.decay_steps)
+    # coalesced K-step block mode: the block step consumes schedules
+    # directly (as a (K,) lr array per block), so the schedule-wrapping
+    # opt-state path below is only for block == 1
+    block = max(int(getattr(args, "update_interval", 1) or 1), 1)
     n_dev = len(jax.devices())
     sharded = args.sharded if args.sharded is not None else (n_dev > 1)
     print(f"devices: {n_dev} ({jax.devices()[0].platform}), "
@@ -220,7 +224,8 @@ def cmd_train(args) -> int:
                                 else []),
                 "optimizer": args.optimizer,
                 "wrapped_opt": bool(args.optimizer != "sgd"
-                                    or (sharded and callable(lr))),
+                                    or (sharded and callable(lr)
+                                        and block == 1)),
                 "table_sizes": list(config.table_sizes),
                 "bf16_tables": bool(getattr(args, "bf16_tables", False)),
             }, f)
@@ -264,7 +269,7 @@ def cmd_train(args) -> int:
             sh_params["emb_h"] = pemb.shard_host_tables(
                 params["emb"], placement, config)
         shardings = param_shardings(mesh, sh_params)
-        if args.optimizer == "sgd" and not callable(lr):
+        if args.optimizer == "sgd" and (not callable(lr) or block > 1):
             if mgr is not None:
                 restored = mgr.restore_latest(template=sh_params,
                                               shardings=shardings)
@@ -384,7 +389,7 @@ def cmd_train(args) -> int:
 
     def ckpt_payload():
         uses_opt_state = (args.optimizer != "sgd"
-                          or (sharded and callable(lr)))
+                          or (sharded and callable(lr) and block == 1))
         if args.hbm_budget_gb is None and uses_opt_state:
             return {"params": params, "opt": state_box["opt"]}
         return params
@@ -440,7 +445,6 @@ def cmd_train(args) -> int:
         print(f"eval @ step {step}: acc={m['accuracy']:.4f} "
               f"auc={m['auc']:.4f} loss={m['loss']:.5f}", file=sys.stderr)
 
-    block = max(int(getattr(args, "update_interval", 1) or 1), 1)
     blk_fn = None
     if block > 1:
         if args.hbm_budget_gb is not None or args.optimizer != "sgd":
@@ -448,7 +452,7 @@ def cmd_train(args) -> int:
         if sharded:
             from jax.sharding import NamedSharding, PartitionSpec as P
             from dlrm_tpu.train.train import make_sharded_train_block
-            blk_fn = make_sharded_train_block(config, args.lr, mesh,
+            blk_fn = make_sharded_train_block(config, lr, mesh,
                                               placement, block)
             single_place = batch_place
             stacked_place = NamedSharding(mesh, P(None, "d"))
@@ -457,7 +461,7 @@ def cmd_train(args) -> int:
                            else single_place)
         else:
             from dlrm_tpu.train.train import make_jit_train_block
-            blk_fn = make_jit_train_block(config, args.lr, block)
+            blk_fn = make_jit_train_block(config, lr, block)
 
     losses: List[float] = []
     t_start = time.time()
@@ -742,7 +746,8 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--batch-size", type=int, default=2048)
     tr.add_argument("--lr", type=float, default=0.1)
     tr.add_argument("--optimizer", default="sgd",
-                    help="sgd | adagrad (single-chip path)")
+                    help="sgd | adagrad (all paths: single-chip, sharded, "
+                    "two-tier)")
     tr.add_argument("--lr-schedule", default="constant",
                     help="constant | warmup_poly_decay (MLPerf-style)")
     tr.add_argument("--warmup-steps", type=int, default=0)

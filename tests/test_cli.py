@@ -217,6 +217,32 @@ def test_train_cli_update_interval(capsys):
     assert 0.0 <= res["eval"]["accuracy"] <= 1.0
 
 
+def test_train_cli_update_interval_with_schedule(capsys):
+    """--update-interval + --lr-schedule: the schedule must reach the block
+    step (regression: both block makers were handed the constant args.lr,
+    silently training at base lr).  Covers single-chip and sharded."""
+    from unittest import mock
+    from dlrm_tpu.train import train as train_lib
+
+    for shard in ("false", "true"):
+        maker = (train_lib.make_jit_train_block if shard == "false"
+                 else train_lib.make_sharded_train_block)
+        name = maker.__name__
+        with mock.patch.object(train_lib, name, wraps=maker) as spy:
+            rc, res = _run(capsys, [
+                "train", "--config", "tiny", "--batch-size", "32",
+                "--steps", "4", "--sharded", shard,
+                "--update-interval", "2", "--log-every", "2",
+                "--lr-schedule", "warmup_poly_decay",
+                "--warmup-steps", "2", "--decay-start", "2",
+                "--decay-steps", "4"])
+        assert rc == 0 and res["steps"] == 4
+        assert np.isfinite(res["final_loss"])
+        (args_, _), = [(c.args, c.kwargs) for c in spy.call_args_list]
+        assert callable(args_[1]), \
+            f"block maker got a constant lr on sharded={shard}"
+
+
 def test_train_cli_sharded_update_interval(capsys):
     """Coalesced block mode on the hybrid-parallel path via the CLI."""
     rc, res = _run(capsys, [
