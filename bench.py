@@ -102,12 +102,14 @@ def main():
     # per chunk per K steps, bounded staleness < K
     from dlrm_tpu.train.train import make_jit_train_block
     K = 8  # measured knee of the staleness/compile tradeoff (PERFORMANCE.md)
-    kd = jnp.broadcast_to(dense, (K,) + dense.shape)
+    # every micro-step gets fully distinct dense/ids/labels so no
+    # broadcast-shared operand can be memoized anywhere in the block
+    kd = jnp.asarray(rng.normal(size=(K, BATCH, 13)).astype(np.float32))
     ks = jnp.asarray(np.stack(
         [np.stack([rng.integers(0, s, size=BATCH)
                    for s in config.table_sizes], axis=1)
          for _ in range(K)]).astype(np.int32))
-    kl = jnp.broadcast_to(labels, (K, BATCH))
+    kl = jnp.asarray((rng.random((K, BATCH)) > 0.5).astype(np.float32))
     blk = make_jit_train_block(config, lr=0.1, block=K)
     params = dlrm_tpu.init_params(jax.random.key(0), config)
     t0 = time.perf_counter()
