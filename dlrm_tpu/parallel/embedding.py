@@ -199,6 +199,44 @@ def placement_arrays(placement: TablePlacement):
     }
 
 
+def _dcn_axis(mesh: Mesh, axis: str):
+    from dlrm_tpu.parallel.mesh import dcn_axis_of
+    return dcn_axis_of(mesh, axis)
+
+
+def _batch_spec(mesh: Mesh, axis: str, leading: bool = False):
+    """shard_map PartitionSpec for batch operands: the batch dim spans
+    EVERY mesh axis on a hybrid (dcn, ici) mesh; ``leading`` adds the
+    replicated micro-step dim of stacked (K, B, ...) block batches."""
+    dcn = _dcn_axis(mesh, axis)
+    b = (dcn, axis) if dcn is not None else axis
+    return P(None, b) if leading else P(b)
+
+
+def _dcn_fold(ids, d_pooled, dcn_axis):
+    """Fold the DCN data-parallel axis into the local batch for the update:
+    all-gather ids + compressed pooled gradients over ``dcn_axis`` so every
+    DCN replica applies the IDENTICAL global sparse update — the tables
+    stay bit-replicated across the DCN axis without ever materializing a
+    dense table gradient (per-device DCN traffic is B*T*D/ici bytes, the
+    compressed gradient, vs the full table a dense psum would move)."""
+    with jax.named_scope("dcn_grad_allgather"):
+        ids = jax.lax.all_gather(ids, dcn_axis, axis=0, tiled=True)
+        d_pooled = jax.lax.all_gather(d_pooled, dcn_axis, axis=0,
+                                      tiled=True)
+    return ids, d_pooled
+
+
+def _update_check_kw(dcn_axis):
+    """shard_map kwargs for the update bodies.  With a DCN axis the tables'
+    out_specs claim replication over it; that replication is REAL (every
+    DCN replica applies the identical folded update — the all_gather makes
+    its operands DCN-invariant) but the static VMA checker cannot infer it
+    through the scatter chain, so the check is disabled for these bodies
+    only.  tests/test_hybrid_mesh.py asserts replica equality numerically."""
+    return {} if dcn_axis is None else {"check_vma": False}
+
+
 # -- shard_map bodies ----------------------------------------------------------
 
 def _local_rows_for_slots(ids_all, meta, pack: int):
@@ -373,7 +411,8 @@ def _lookup_body(emb, emb_h, cs, ids, meta, *, axis: str,
 
 def _update_body(emb, emb_h, cs, ids, d_pooled, lr, meta, *, axis: str,
                  out_column: np.ndarray, num_slots: int, pack: int,
-                 placement: "TablePlacement", block_leading: bool = False):
+                 placement: "TablePlacement", block_leading: bool = False,
+                 dcn_axis=None):
     """SPMD body of the sparse SGD update.
 
     emb (1, R, D*pack), ids (B/N, T[,H]), d_pooled (B/N, T, D) -> new emb.
@@ -385,10 +424,16 @@ def _update_body(emb, emb_h, cs, ids, d_pooled, lr, meta, *, axis: str,
     (K, B/N, ...) from the coalesced block step — folded into the local
     batch here (scatter-add order is irrelevant), so K steps' updates
     cost ONE scatter pass.
+
+    ``dcn_axis``: hybrid (dcn, ici) mesh — the DCN replicas' gradients are
+    folded into the batch first (:func:`_dcn_fold`) so the replicated
+    tables apply one identical global update.
     """
     if block_leading:
         ids = ids.reshape((-1,) + ids.shape[2:])
         d_pooled = d_pooled.reshape((-1,) + d_pooled.shape[2:])
+    if dcn_axis is not None:
+        ids, d_pooled = _dcn_fold(ids, d_pooled, dcn_axis)
     dim = d_pooled.shape[-1]
     b_local = d_pooled.shape[0]
     ids_all = jax.lax.all_gather(ids, axis, axis=0, tiled=True)
@@ -469,11 +514,15 @@ def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
                              pack=placement.pack,
                              dim=emb.shape[-1] // placement.pack,
                              placement=placement)
+    # hybrid (dcn, ici) mesh: the lookup needs NO dcn communication at all
+    # — each dcn replica holds full tables (sharded over `axis` only) and
+    # serves its own batch slice; only the batch spec spans both axes
+    bspec = _batch_spec(mesh, axis)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(axis), tuple(P(axis) for _ in cs), P(axis),
+        in_specs=(P(axis), P(axis), tuple(P(axis) for _ in cs), bspec,
                   {k: P(axis) for k in meta}),
-        out_specs=P(axis),
+        out_specs=bspec,
     )(emb, emb_h, tuple(cs), ids, meta)
 
 
@@ -568,11 +617,21 @@ def _host_adagrad_local(emb_h_l, acc_h_l, key, g, lr, pack, dim, trash,
 def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
                          lr, meta, *, axis: str, out_column: np.ndarray,
                          num_slots: int, pack: int,
-                         placement: "TablePlacement"):
+                         placement: "TablePlacement", dcn_axis=None,
+                         block_leading: bool = False):
     """SPMD Adagrad update: same gradient routing as _update_body, then an
     exact dedup-then-apply Adagrad on each shard's owned rows (accumulator
     sharded like the tables; lane-sliced for column-sharded tables;
-    pinned-host slab mirroring the host-resident row-sharded stack)."""
+    pinned-host slab mirroring the host-resident row-sharded stack).
+    ``block_leading``/``dcn_axis`` fold extra gradient sources into the
+    batch exactly as in :func:`_update_body`; the dedup then sums a key's
+    contributions across micro-steps / DCN replicas before the nonlinear
+    accumulator update, preserving the dedup-then-apply contract."""
+    if block_leading:
+        ids = ids.reshape((-1,) + ids.shape[2:])
+        d_pooled = d_pooled.reshape((-1,) + d_pooled.shape[2:])
+    if dcn_axis is not None:
+        ids, d_pooled = _dcn_fold(ids, d_pooled, dcn_axis)
     dim = d_pooled.shape[-1]
     b_local = d_pooled.shape[0]
     ids_all = jax.lax.all_gather(ids, axis, axis=0, tiled=True)
@@ -644,7 +703,8 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
 def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
                            d_pooled: jax.Array, lr, *, mesh: Mesh,
                            placement: TablePlacement, axis: str = "d",
-                           cs=(), acc_cs=(), emb_h=None, acc_h=None):
+                           cs=(), acc_cs=(), emb_h=None, acc_h=None,
+                           block_leading: bool = False):
     """Sparse Adagrad on the sharded tables (slot + row-sharded +
     host-resident + column-sharded).  ``acc`` is the accumulator in the
     same (N, local_rows, W) layout; ``acc_h`` mirrors the pinned-host
@@ -660,16 +720,19 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
     body = functools.partial(
         _update_body_adagrad, axis=axis, out_column=placement.out_column(),
         num_slots=placement.num_shards * placement.slots_per_shard,
-        pack=placement.pack, placement=placement)
+        pack=placement.pack, placement=placement,
+        dcn_axis=_dcn_axis(mesh, axis), block_leading=block_leading)
+    bspec = _batch_spec(mesh, axis, leading=block_leading)
     out = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis),
                   tuple(P(axis) for _ in cs),
-                  tuple(P(axis) for _ in acc_cs), P(axis), P(axis), P(),
+                  tuple(P(axis) for _ in acc_cs), bspec, bspec, P(),
                   {k: P(axis) for k in meta}),
         out_specs=(P(axis), P(axis), P(axis), P(axis),
                    tuple(P(axis) for _ in cs),
                    tuple(P(axis) for _ in acc_cs)),
+        **_update_check_kw(_dcn_axis(mesh, axis)),
     )(emb, acc, emb_h, acc_h, tuple(cs), tuple(acc_cs), ids, d_pooled,
       jnp.asarray(lr, jnp.float32), meta)
     new_emb, new_acc, new_h, new_acc_h, new_cs, new_acc_cs = out
@@ -703,13 +766,14 @@ def sharded_update_sgd(emb: jax.Array, ids: jax.Array, d_pooled: jax.Array,
         _update_body, axis=axis, out_column=placement.out_column(),
         num_slots=placement.num_shards * placement.slots_per_shard,
         pack=placement.pack, placement=placement,
-        block_leading=block_leading)
-    batch_spec = P(None, axis) if block_leading else P(axis)
+        block_leading=block_leading, dcn_axis=_dcn_axis(mesh, axis))
+    batch_spec = _batch_spec(mesh, axis, leading=block_leading)
     new_emb, new_h, new_cs = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis), tuple(P(axis) for _ in cs), batch_spec,
                   batch_spec, P(), {k: P(axis) for k in meta}),
         out_specs=(P(axis), P(axis), tuple(P(axis) for _ in cs)),
+        **_update_check_kw(_dcn_axis(mesh, axis)),
     )(emb, emb_h, tuple(cs), ids, d_pooled, jnp.asarray(lr, jnp.float32),
       meta)
     return new_emb, (new_h if has_host else None), new_cs

@@ -4,8 +4,18 @@ The reference has no distributed layer (single-process shared memory,
 SURVEY.md §2.4); here the mesh is a first-class component.  Default topology
 for DLRM is a 1-D mesh whose single axis serves double duty — batch
 data-parallelism for the MLPs AND model-parallel table sharding for the
-embeddings (the classic hybrid).  Multi-host extends the same mesh over DCN
-via ``jax.distributed`` (same code path; JAX orders devices host-major).
+embeddings (the classic hybrid).
+
+Multi-host has two shapes:
+  * a 1-D mesh spanning every device of a pod slice (all-to-all rides ICI
+    end to end) — ``init_distributed`` + ``make_mesh``;
+  * a 2-D hybrid ``(h, d)`` mesh for multi-SLICE (DCN-connected) scale:
+    tables shard over the ICI axis ``d`` only, batch data-parallelism
+    spans both axes, and the sparse updates are all-gathered over ``h``
+    in compressed (ids, grad-rows) form so the tables stay replicated
+    across slices without a dense-table psum (parallel/embedding._dcn_fold).
+    Every sharded entry point (train steps, block step, adagrad, eval)
+    detects the extra axis via ``dcn_axis_of`` and routes automatically.
 """
 
 from __future__ import annotations
@@ -81,8 +91,49 @@ def make_hybrid_mesh(ici_axis: str = "d", dcn_axis: str = "h") -> Mesh:
     return Mesh(devices.reshape(n_hosts, n_local), (dcn_axis, ici_axis))
 
 
+def make_mesh_2d(dcn: int, ici: int, dcn_axis: str = "h",
+                 ici_axis: str = "d") -> Mesh:
+    """Explicit (dcn, ici)-shaped 2-D mesh over the first dcn*ici devices.
+    For real pods prefer :func:`make_hybrid_mesh` (ICI-neighbor-aware device
+    order); this builder serves virtual CPU meshes and tests where device
+    order is synthetic anyway."""
+    devs = jax.devices()
+    if len(devs) < dcn * ici:
+        raise ValueError(f"requested a {dcn}x{ici} mesh but only "
+                         f"{len(devs)} device(s) are visible")
+    return Mesh(np.asarray(devs[:dcn * ici]).reshape(dcn, ici),
+                (dcn_axis, ici_axis))
+
+
+def dcn_axis_of(mesh: Mesh, axis: str = "d") -> Optional[str]:
+    """The mesh's data-only (DCN) axis name, or None on a 1-D mesh.  The
+    convention throughout: ``axis`` is the table-sharding/ICI axis; any
+    OTHER mesh axis carries pure batch data-parallelism (tables replicated
+    over it, updates all-gathered over it)."""
+    others = [a for a in mesh.axis_names if a != axis]
+    if not others:
+        return None
+    if len(others) > 1:
+        raise ValueError(f"mesh has axes {mesh.axis_names}; expected at "
+                         f"most one besides the table axis {axis!r}")
+    return others[0]
+
+
 def batch_sharding(mesh: Mesh, axis: str = "d") -> NamedSharding:
+    """Batch-dim sharding: over ``axis`` on a 1-D mesh, over EVERY mesh
+    axis (dcn-major) on a hybrid mesh — batch data-parallelism spans the
+    full device set while the tables span only ``axis``."""
+    if len(mesh.axis_names) > 1:
+        return NamedSharding(mesh, P(tuple(mesh.axis_names)))
     return NamedSharding(mesh, P(axis))
+
+
+def block_batch_sharding(mesh: Mesh, axis: str = "d") -> NamedSharding:
+    """(K, B, ...) stacked-block batches: micro-step dim replicated, batch
+    dim sharded like :func:`batch_sharding`."""
+    if len(mesh.axis_names) > 1:
+        return NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
+    return NamedSharding(mesh, P(None, axis))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -194,8 +194,27 @@ def cmd_train(args) -> int:
     block = max(int(getattr(args, "update_interval", 1) or 1), 1)
     n_dev = len(jax.devices())
     sharded = args.sharded if args.sharded is not None else (n_dev > 1)
+    # hybrid (dcn, ici) mesh: tables shard over the ICI axis only, batch
+    # data-parallelism spans both axes (SURVEY.md §2.4 multi-host mapping)
+    mesh_shape = getattr(args, "mesh_shape", None)
+    dcn_n = ici_n = None
+    if mesh_shape:
+        if not sharded:
+            raise SystemExit("--mesh-shape requires the sharded path")
+        try:
+            dcn_n, ici_n = (int(x) for x in
+                            mesh_shape.lower().split("x"))
+        except ValueError:
+            raise SystemExit(f"--mesh-shape {mesh_shape!r}: want DCNxICI, "
+                             "e.g. 2x4")
+        if dcn_n * ici_n > n_dev:
+            raise SystemExit(f"--mesh-shape {mesh_shape} needs "
+                             f"{dcn_n * ici_n} devices, have {n_dev}")
+    n_shards = ici_n if ici_n else n_dev  # table-sharding axis size
     print(f"devices: {n_dev} ({jax.devices()[0].platform}), "
-          f"sharded={sharded}", file=sys.stderr)
+          f"sharded={sharded}"
+          + (f", mesh={dcn_n}x{ici_n} (dcn x ici)" if ici_n else ""),
+          file=sys.stderr)
     params = dlrm_tpu.init_params(jax.random.key(config.seed), config)
 
     mgr = None
@@ -214,7 +233,10 @@ def cmd_train(args) -> int:
         with open(meta_path, "w") as f:
             json.dump({
                 "sharded": bool(sharded),
-                "num_shards": n_dev,
+                # the table-sharding (ICI) axis size — what placement and
+                # unshard need; the DCN axis only replicates
+                "num_shards": n_shards,
+                "mesh_shape": ([dcn_n, ici_n] if ici_n else None),
                 "pack": config.pack if not cs_meta else 1,
                 "max_rows_per_shard": args.max_rows_per_shard,
                 "col_sharded_tables": cs_meta,
@@ -241,8 +263,12 @@ def cmd_train(args) -> int:
                           ) if args.col_sharded_tables else ()
         host_tabs = tuple(int(x) for x in args.host_tables.split(",")
                           ) if getattr(args, "host_tables", None) else ()
-        mesh = make_mesh(n_dev)
-        placement = plan_placement(config.table_sizes, n_dev,
+        if ici_n:
+            from dlrm_tpu.parallel.mesh import make_mesh_2d
+            mesh = make_mesh_2d(dcn_n, ici_n)
+        else:
+            mesh = make_mesh(n_dev)
+        placement = plan_placement(config.table_sizes, n_shards,
                                    pack=config.pack if not cs_tables else 1,
                                    max_rows_per_shard=args.max_rows_per_shard,
                                    col_sharded_tables=cs_tables,
@@ -450,12 +476,12 @@ def cmd_train(args) -> int:
         if args.hbm_budget_gb is not None or args.optimizer != "sgd":
             raise SystemExit("--update-interval > 1 requires SGD")
         if sharded:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from dlrm_tpu.parallel.mesh import block_batch_sharding
             from dlrm_tpu.train.train import make_sharded_train_block
             blk_fn = make_sharded_train_block(config, lr, mesh,
                                               placement, block)
             single_place = batch_place
-            stacked_place = NamedSharding(mesh, P(None, "d"))
+            stacked_place = block_batch_sharding(mesh)
             batch_place = (lambda b: stacked_place
                            if np.asarray(b["dense"]).ndim == 3
                            else single_place)
@@ -779,6 +805,11 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--sharded", type=lambda s: s.lower() == "true",
                     default=None, help="force hybrid-parallel path "
                     "(default: auto if >1 device)")
+    tr.add_argument("--mesh-shape", default=None,
+                    help="DCNxICI hybrid mesh, e.g. 2x4: tables shard over "
+                    "the ICI axis only (all-to-all stays on-slice), batch "
+                    "data-parallelism spans both axes; sparse updates are "
+                    "all-gathered over DCN compressed (multi-host scaling)")
     tr.add_argument("--max-rows-per-shard", type=int, default=None,
                     help="row-shard tables bigger than this across the "
                     "mesh (for tables larger than one device's HBM)")
