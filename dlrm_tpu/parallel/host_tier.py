@@ -531,3 +531,36 @@ def init_tiered_params(params: dict, plan: TierPlan, config: DLRMConfig,
     return {"bottom": jax.device_put(params["bottom"], device),
             "top": jax.device_put(params["top"], device),
             "emb_dev": emb_dev, "emb_host": emb_host}
+
+
+def _host_sharding(device):
+    if host_memory_supported(device):
+        return jax.sharding.SingleDeviceSharding(device,
+                                                 memory_kind="pinned_host")
+    return device  # CPU tests: no pinned space, default memory
+
+
+def place_tiered(restored: dict, device=None) -> dict:
+    """Checkpoint-restored (host numpy) tiered params -> placed: device
+    tier + MLPs in HBM, host tier back in pinned_host.  The checkpoint
+    itself is memory-space-agnostic (orbax fetches to host on save)."""
+    device = device or jax.devices()[0]
+    return {
+        "bottom": jax.device_put(restored["bottom"], device),
+        "top": jax.device_put(restored["top"], device),
+        "emb_dev": jax.device_put(restored["emb_dev"], device),
+        "emb_host": jax.device_put(restored["emb_host"],
+                                   _host_sharding(device)),
+    }
+
+
+def place_tiered_opt(restored: dict, device=None) -> dict:
+    """Placed tiered optimizer state: the host-tier Adagrad accumulator
+    slab returns to pinned_host, everything else to device memory."""
+    device = device or jax.devices()[0]
+    out = {k: jax.device_put(v, device) for k, v in restored.items()
+           if k != "host_acc"}
+    ha = restored.get("host_acc", ())
+    out["host_acc"] = (jax.device_put(ha, _host_sharding(device))
+                       if not isinstance(ha, tuple) else ha)
+    return out

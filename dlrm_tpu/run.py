@@ -245,9 +245,13 @@ def cmd_train(args) -> int:
                                 if getattr(args, "host_tables", None)
                                 else []),
                 "optimizer": args.optimizer,
+                "two_tier": bool(args.hbm_budget_gb is not None),
+                "hbm_budget_gb": args.hbm_budget_gb,
                 "wrapped_opt": bool(args.optimizer != "sgd"
                                     or (sharded and callable(lr)
-                                        and block == 1)),
+                                        and block == 1)
+                                    or (args.hbm_budget_gb is not None
+                                        and callable(lr))),
                 "table_sizes": list(config.table_sizes),
                 "bf16_tables": bool(getattr(args, "bf16_tables", False)),
             }, f)
@@ -343,14 +347,28 @@ def cmd_train(args) -> int:
         # src/DLRM.jl:47-53): spill the biggest tables to host memory
         from dlrm_tpu.parallel import host_tier as ht
 
-        if mgr is not None:
-            raise SystemExit("--hbm-budget-gb with --ckpt-dir not wired yet")
         plan = ht.plan_tiers(config,
                              int(args.hbm_budget_gb * (1 << 30)))
         print(f"host-tier tables: {list(plan.host_tables)} "
               f"({plan.host_rows:,} rows)", file=sys.stderr)
+        if mgr is not None and 0 in (plan.device_rows, plan.host_rows):
+            # orbax cannot serialize zero-size arrays; an empty tier only
+            # happens at degenerate budgets (nothing fits / nothing spills)
+            raise SystemExit(
+                "--ckpt-dir with --hbm-budget-gb needs both tiers "
+                "non-empty (adjust the budget so at least one table stays "
+                "on device and one spills)")
         tiered = ht.init_tiered_params(params, plan, config)
         if args.optimizer == "sgd" and not callable(lr):
+            if mgr is not None:
+                # checkpoints are memory-space-agnostic; restore re-pins
+                # the host tier (and its accumulator) to pinned_host
+                restored = mgr.restore_latest(template=tiered)
+                if restored is not None:
+                    raw, start_step = restored
+                    tiered = ht.place_tiered(raw)
+                    print(f"resumed from step {start_step}",
+                          file=sys.stderr)
             tiered_step = ht.make_tiered_train_step(config, args.lr, plan)
             state_box = {"tiered": tiered}
 
@@ -360,11 +378,20 @@ def cmd_train(args) -> int:
                     state_box["tiered"], d, s, l)
                 return state_box["tiered"], loss
         else:
-            opt_step = ht.make_tiered_train_step_opt(
-                config, optimizer=args.optimizer, lr=lr, plan=plan)
             opt_state = ht.init_tiered_opt_state(
                 tiered, config=config, optimizer=args.optimizer, lr=lr,
                 plan=plan)
+            if mgr is not None:
+                restored = mgr.restore_latest(
+                    template={"params": tiered, "opt": opt_state})
+                if restored is not None:
+                    full, start_step = restored
+                    tiered = ht.place_tiered(full["params"])
+                    opt_state = ht.place_tiered_opt(full["opt"])
+                    print(f"resumed from step {start_step}",
+                          file=sys.stderr)
+            opt_step = ht.make_tiered_train_step_opt(
+                config, optimizer=args.optimizer, lr=lr, plan=plan)
             state_box = {"tiered": tiered, "opt": opt_state}
 
             def step_fn(p, d, s, l):
@@ -414,9 +441,14 @@ def cmd_train(args) -> int:
     from dlrm_tpu.data.prefetch import device_prefetch
 
     def ckpt_payload():
+        if args.hbm_budget_gb is not None:
+            if args.optimizer != "sgd" or callable(lr):
+                return {"params": state_box["tiered"],
+                        "opt": state_box["opt"]}
+            return state_box["tiered"]
         uses_opt_state = (args.optimizer != "sgd"
                           or (sharded and callable(lr) and block == 1))
-        if args.hbm_budget_gb is None and uses_opt_state:
+        if uses_opt_state:
             return {"params": params, "opt": state_box["opt"]}
         return params
 
@@ -473,18 +505,48 @@ def cmd_train(args) -> int:
 
     blk_fn = None
     if block > 1:
-        if args.hbm_budget_gb is not None or args.optimizer != "sgd":
-            raise SystemExit("--update-interval > 1 requires SGD")
+        if args.hbm_budget_gb is not None:
+            raise SystemExit(
+                "--update-interval > 1 is not supported on the two-tier "
+                "path (the host-tier writeback is already coalesced)")
+        if args.optimizer not in ("sgd", "adagrad"):
+            raise SystemExit("--update-interval > 1 requires sgd or "
+                             "adagrad")
         if sharded:
             from dlrm_tpu.parallel.mesh import block_batch_sharding
-            from dlrm_tpu.train.train import make_sharded_train_block
-            blk_fn = make_sharded_train_block(config, lr, mesh,
-                                              placement, block)
+            if args.optimizer == "adagrad":
+                if callable(lr):
+                    raise SystemExit(
+                        "sharded adagrad blocks support constant --lr "
+                        "only (drop --lr-schedule or --update-interval)")
+                from dlrm_tpu.train.train import (
+                    make_sharded_train_block_opt)
+                blk_opt = make_sharded_train_block_opt(
+                    config, optimizer="adagrad", lr=args.lr, mesh=mesh,
+                    placement=placement, block=block)
+
+                def blk_fn(p, d, s, l):
+                    (p2, state_box["opt"]), losses = blk_opt(
+                        p, state_box["opt"], d, s, l)
+                    return p2, losses
+            else:
+                from dlrm_tpu.train.train import make_sharded_train_block
+                blk_fn = make_sharded_train_block(config, lr, mesh,
+                                                  placement, block)
             single_place = batch_place
             stacked_place = block_batch_sharding(mesh)
             batch_place = (lambda b: stacked_place
                            if np.asarray(b["dense"]).ndim == 3
                            else single_place)
+        elif args.optimizer == "adagrad":
+            from dlrm_tpu.train.train import make_jit_train_block_opt
+            blk_opt = make_jit_train_block_opt(config, optimizer="adagrad",
+                                               lr=lr, block=block)
+
+            def blk_fn(p, d, s, l):
+                (p2, state_box["opt"]), losses = blk_opt(
+                    p, state_box["opt"], d, s, l)
+                return p2, losses
         else:
             from dlrm_tpu.train.train import make_jit_train_block
             blk_fn = make_jit_train_block(config, lr, block)
@@ -563,6 +625,66 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _read_run_meta(ckpt_dir) -> dict:
+    import os
+    meta_path = os.path.join(os.path.abspath(ckpt_dir), "run_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
+def _check_meta_sizes(meta, config):
+    meta_sizes = tuple(meta.get("table_sizes", config.table_sizes))
+    if meta_sizes != config.table_sizes:
+        raise SystemExit(
+            f"checkpoint was trained with table sizes {list(meta_sizes)} "
+            f"but the eval config has {list(config.table_sizes)}; pass "
+            "the training run's --table-sizes/--config to eval")
+    return meta_sizes
+
+
+def _try_load_sharded_ctx(args, config):
+    """Restore a SHARDED checkpoint directly onto a mesh, placement and
+    all — the tables are never gathered to one host (a Terabyte-scale
+    sharded checkpoint cannot be unsharded; the reference has no serving
+    path at all, train/utils.jl:31-46).  Returns (params, mesh,
+    placement) or None when the checkpoint isn't sharded / not enough
+    devices are visible (callers then fall back to the unshard path)."""
+    import jax
+    from dlrm_tpu.io.checkpoint import restore_checkpoint
+    from dlrm_tpu.parallel.mesh import make_mesh, param_shardings
+    from dlrm_tpu.parallel.placement import plan_placement
+
+    if not args.ckpt_dir:
+        return None
+    meta = _read_run_meta(args.ckpt_dir)
+    if not meta.get("sharded"):
+        return None
+    n = int(meta["num_shards"])
+    if len(jax.devices()) < n:
+        print(f"sharded checkpoint needs {n} devices, have "
+              f"{len(jax.devices())}; falling back to unshard",
+              file=sys.stderr)
+        return None
+    _check_meta_sizes(meta, config)
+    if meta.get("host_tables"):
+        from dlrm_tpu.parallel.host_tier import host_memory_supported
+        if not host_memory_supported():
+            return None
+    payload, _ = restore_checkpoint(args.ckpt_dir)
+    if isinstance(payload, dict) and "opt" in payload:
+        payload = payload["params"]
+    placement = plan_placement(
+        tuple(meta["table_sizes"]), n, pack=meta.get("pack", 1),
+        max_rows_per_shard=meta.get("max_rows_per_shard"),
+        col_sharded_tables=meta.get("col_sharded_tables", ()),
+        host_tables=meta.get("host_tables", ()))
+    mesh = make_mesh(n)
+    params = jax.device_put(payload, param_shardings(mesh, payload))
+    return params, mesh, placement
+
+
 def _load_eval_params(args, config):
     """Load params in the standard storage layout from --ckpt-dir (any
     training run's layout, rebuilt via run_meta.json) or --hdf5 (PyTorch
@@ -572,13 +694,7 @@ def _load_eval_params(args, config):
     from dlrm_tpu.io.checkpoint import restore_checkpoint
 
     if args.ckpt_dir:
-        import os
-        meta = {}
-        meta_path = os.path.join(os.path.abspath(args.ckpt_dir),
-                                 "run_meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
+        meta = _read_run_meta(args.ckpt_dir)
         if meta.get("bf16_tables") and not getattr(args, "bf16_tables",
                                                    False):
             # storage dtype changes the chunk geometry (config.py
@@ -591,20 +707,27 @@ def _load_eval_params(args, config):
         params, step = restore_checkpoint(args.ckpt_dir)
         if isinstance(params, dict) and "opt" in params:
             params = params["params"]
+        if meta.get("two_tier"):
+            # reassemble the tier split (device + pinned-host stacks) into
+            # the standard engine storage for host-side eval/predict
+            from dlrm_tpu.ops import embedding as emb_ops
+            from dlrm_tpu.parallel import host_tier as ht
+            _check_meta_sizes(meta, config)
+            plan = ht.plan_tiers(config,
+                                 int(meta["hbm_budget_gb"] * (1 << 30)))
+            logical = ht.merge_tiers(np.asarray(params["emb_dev"]),
+                                     np.asarray(params["emb_host"]),
+                                     plan, config)
+            params = {"bottom": params["bottom"],
+                      "emb": emb_ops.pack_tables(logical, config),
+                      "top": params["top"]}
         if meta.get("sharded"):
             # rebuild the training run's placement and undo the sharded
             # (N, local_rows, W) layout into the standard storage
             from dlrm_tpu.ops import embedding as emb_ops
             from dlrm_tpu.parallel import embedding as pemb
             from dlrm_tpu.parallel.placement import plan_placement
-            meta_sizes = tuple(meta.get("table_sizes",
-                                        config.table_sizes))
-            if meta_sizes != config.table_sizes:
-                raise SystemExit(
-                    f"checkpoint was trained with table sizes "
-                    f"{list(meta_sizes)} but the eval config has "
-                    f"{list(config.table_sizes)}; pass the training run's "
-                    "--table-sizes/--config to eval")
+            meta_sizes = _check_meta_sizes(meta, config)
             placement = plan_placement(
                 meta_sizes, meta["num_shards"], pack=meta.get("pack", 1),
                 max_rows_per_shard=meta.get("max_rows_per_shard"),
@@ -634,12 +757,24 @@ def _load_eval_params(args, config):
 
 
 def cmd_eval(args) -> int:
-    from dlrm_tpu.train.metrics import evaluate
+    from dlrm_tpu.train.metrics import evaluate, sharded_evaluate
 
     config = _build_config(args)
-    params, config = _load_eval_params(args, config)
     # synthetic fallback needs a bound or evaluate() would never terminate
     eval_steps = args.eval_steps or (None if args.data else 10)
+    meta = _read_run_meta(args.ckpt_dir) if args.ckpt_dir else {}
+    ctx = (_try_load_sharded_ctx(args, config)
+           if meta.get("sharded")
+           and args.batch_size % int(meta["num_shards"]) == 0 else None)
+    if ctx is not None:
+        # on-mesh eval: the tables stay sharded (mandatory at scales where
+        # the logical stack doesn't fit one host)
+        params, mesh, placement = ctx
+        data = _data_iter(args, config, steps=eval_steps)
+        print(json.dumps(sharded_evaluate(params, data, config, mesh=mesh,
+                                          placement=placement)))
+        return 0
+    params, config = _load_eval_params(args, config)
     data = _data_iter(args, config, steps=eval_steps)
     print(json.dumps(evaluate(params, data, config)))
     return 0
@@ -658,17 +793,48 @@ def cmd_predict(args) -> int:
     if args.data is None:
         raise SystemExit("predict needs --data")
     config = _build_config(args)
-    params, config = _load_eval_params(args, config)
-    fwd = jax.jit(lambda p, d, s: forward(p, d, s, config))
+    ctx = _try_load_sharded_ctx(args, config)
     args.keep_remainder = True  # serving must score EVERY row
+    t0 = time.time()
+    if ctx is not None:
+        # score ON the mesh: sharded checkpoints (possibly bigger than one
+        # host's memory) serve without ever materializing the logical stack;
+        # ragged tails are padded to a mesh multiple and trimmed after
+        from dlrm_tpu.parallel.mesh import batch_sharding
+        from dlrm_tpu.train.metrics import make_sharded_eval_forward
+
+        params, mesh, placement = ctx
+        sfwd = make_sharded_eval_forward(config, mesh, placement)
+        dense_params = {"bottom": params["bottom"], "top": params["top"]}
+        bs = batch_sharding(mesh)
+        nd = mesh.devices.size
+
+        def score(batch):
+            d = np.asarray(batch["dense"])
+            s = np.asarray(batch["sparse"])
+            b = d.shape[0]
+            pad = (-b) % nd
+            if pad:  # repeat the last row; trimmed below
+                d = np.concatenate([d, np.repeat(d[-1:], pad, 0)])
+                s = np.concatenate([s, np.repeat(s[-1:], pad, 0)])
+            preds = sfwd(dense_params, params["emb"],
+                         params.get("emb_h"), params.get("emb_cs", ()),
+                         jax.device_put(jnp.asarray(d), bs),
+                         jax.device_put(jnp.asarray(s), bs))
+            return np.asarray(preds)[:b]
+    else:
+        params, config = _load_eval_params(args, config)
+        fwd = jax.jit(lambda p, d, s: forward(p, d, s, config))
+
+        def score(batch):
+            return np.asarray(fwd(params, jnp.asarray(batch["dense"]),
+                                  jnp.asarray(batch["sparse"])))
+
     data = _data_iter(args, config, steps=None)
     scores = []
-    t0 = time.time()
     n = 0
     for batch in data:
-        preds = fwd(params, jnp.asarray(batch["dense"]),
-                    jnp.asarray(batch["sparse"]))
-        scores.append(np.asarray(preds))
+        scores.append(score(batch))
         n += scores[-1].shape[0]
     out = np.concatenate(scores) if scores else np.zeros((0,), np.float32)
     np.save(args.out, out)
@@ -789,10 +955,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="batches transferred to device ahead of compute")
     tr.add_argument("--update-interval", type=int, default=1,
                     help="coalesce the big-table embedding updates of K "
-                    "consecutive steps into one scatter per chunk "
+                    "consecutive steps into one scatter (sgd) or one "
+                    "dedup-then-apply (adagrad) per chunk per block "
                     "(bounded staleness < K steps, the reference's "
-                    "BatchUpdater relaxation; measured +39%% throughput "
-                    "at K=8 on v5e)")
+                    "BatchUpdater relaxation; measured +39%% sgd "
+                    "throughput at K=8 on v5e)")
     tr.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of a few steps")
     tr.add_argument("--hbm-budget-gb", type=float, default=None,

@@ -106,12 +106,20 @@ def _dedup_rows(ids: jax.Array, rows: jax.Array):
 
 def apply_adagrad_chunked(emb, state: EmbAdagradState, ids: jax.Array,
                           d_rows: jax.Array, lr, config: DLRMConfig,
-                          tables=None, eps: float = 1e-10):
+                          tables=None, eps: float = 1e-10,
+                          d_rows_scaled=None):
     """Exact sparse Adagrad on the chunked stack.
 
     Per unique hit row r (duplicates pre-summed): ``acc[r] += g^2`` then
     ``w[r] -= lr * g / (sqrt(acc[r]) + eps)`` — elementwise, matching
     optax.adagrad on a dense gradient restricted to hit rows.
+
+    ``d_rows_scaled``: optional pre-lr-scaled gradient rows for the
+    COALESCED BLOCK path with a per-micro-step lr schedule: the dedup then
+    sums (g, lr_k*g) jointly per key, the accumulator folds in
+    ``(sum g)^2`` and the weight step applies ``sum(lr_k*g) * rsqrt(...)``
+    — for a row hit in exactly one micro-step this is that step's exact
+    update.  ``lr`` is ignored for the row update when given.
     """
     if tables is None:
         tables = tuple(range(config.num_tables))
@@ -126,7 +134,15 @@ def apply_adagrad_chunked(emb, state: EmbAdagradState, ids: jax.Array,
         pack = config.pack
         key = (phys * pack + slot).reshape(-1)
         g = d_g.reshape(-1, d).astype(jnp.float32)
+        if d_rows_scaled is not None:
+            s_g = (d_rows_scaled[:, pos] if d_rows_scaled.ndim == 3
+                   else d_rows_scaled[:, pos, :, :])
+            # twin payload through ONE dedup: per-key sums of g and lr*g
+            g = jnp.concatenate(
+                [g, s_g.reshape(-1, d).astype(jnp.float32)], axis=-1)
         key_u, g_u = _dedup_rows(key, g)
+        if d_rows_scaled is not None:
+            g_u, gs_u = g_u[:, :d], g_u[:, d:]
         phys_u = jnp.where(key_u >= 0, key_u // pack, -1)
         slot_u = jnp.where(key_u >= 0, key_u % pack, 0)
         # gather current accumulator rows, fold in g^2
@@ -137,11 +153,14 @@ def apply_adagrad_chunked(emb, state: EmbAdagradState, ids: jax.Array,
             new_acc[c] = emb_ops.chunk_apply_sgd(
                 new_acc[c], phys_u, slot_u, delta_acc, -1.0, config)
         # matches optax.scale_by_rss: g * rsqrt(acc + eps), 0 where acc == 0
-        step_rows = g_u * jnp.where(acc_new > 0,
-                                    jax.lax.rsqrt(acc_new + eps), 0.0)
+        rs = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
         with jax.named_scope("adagrad_row_update"):
-            new_emb[c] = emb_ops.chunk_apply_sgd(
-                new_emb[c], phys_u, slot_u, step_rows, lr, config)
+            if d_rows_scaled is not None:
+                new_emb[c] = emb_ops.chunk_apply_sgd(
+                    new_emb[c], phys_u, slot_u, gs_u * rs, 1.0, config)
+            else:
+                new_emb[c] = emb_ops.chunk_apply_sgd(
+                    new_emb[c], phys_u, slot_u, g_u * rs, lr, config)
     return tuple(new_emb), EmbAdagradState(acc=tuple(new_acc))
 
 

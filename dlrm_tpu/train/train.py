@@ -267,13 +267,17 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
                     new_tab, new_acc_tab = optim.apply_adagrad_dense_table(
                         tab, acc_view, grad, lr_t)
                     if pad:
+                        # pad slots are never read but must round-trip
+                        # unchanged (as on every other update path)
+                        orig = new_emb[c][po:po + pn].reshape(
+                            -1, config.feature_size)
                         new_tab = jnp.concatenate(
-                            [new_tab, jnp.zeros((pad, new_tab.shape[1]),
-                                                new_tab.dtype)])
+                            [new_tab, orig[config.table_sizes[t]:]])
+                        orig_acc = new_acc[c][po:po + pn].reshape(
+                            -1, config.feature_size)
                         new_acc_tab = jnp.concatenate(
                             [new_acc_tab,
-                             jnp.zeros((pad, new_acc_tab.shape[1]),
-                                       new_acc_tab.dtype)])
+                             orig_acc[config.table_sizes[t]:]])
                     new_emb[c] = new_emb[c].at[po:po + pn].set(
                         new_tab.reshape(pn, config.row_width))
                     new_acc[c] = new_acc[c].at[po:po + pn].set(
@@ -427,6 +431,149 @@ def make_jit_train_block(config: DLRMConfig, lr, block: int = None
 
     run.step = 0  # set before resuming from a checkpoint
     return run
+
+
+def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
+                    sparse: jax.Array, labels: jax.Array, *,
+                    config: DLRMConfig, lr, block: int = None):
+    """Coalesced K-step block with sparse ADAGRAD (see :func:`train_block`
+    for the staleness contract — SGD blocks route there).
+
+    Exactness: dense params and small tables get a true per-micro-step
+    Adagrad (carried, never stale); big-table gradients are computed
+    w.r.t. block-entry rows, accumulated compressed, and applied at block
+    end with ONE dedup-then-apply Adagrad per chunk — one argsort + one
+    accumulator gather + two scatters per chunk per K steps instead of
+    per step (the dominant Adagrad overhead, PERFORMANCE.md).  When no id
+    repeats across micro-batches the block equals K sequential
+    :func:`train_step_opt` calls up to mul-reorder ulps; otherwise a
+    repeated row gets one accumulator update with the SUMMED gradient
+    (bounded staleness < K, the BatchUpdater relaxation).
+
+    ``lr``: float or a traceable schedule step -> lr (evaluated at
+    ``opt_state['count'] + k``; the big-table step then dedups the twin
+    payload (g, lr_k*g) so each row's weight step uses its own step's lr).
+    """
+    from dlrm_tpu.train import optim
+    import optax
+
+    if block is None:
+        block = dense.shape[0]
+    small, big = emb_ops.partition_tables(config.table_sizes,
+                                          config.small_table_threshold)
+    dense_params, emb = model_lib.split_params(params)
+    emb_ops.check_storage(emb, config)
+    assert config.is_packed, "train_block_opt requires engine storage"
+    emb_dtype = emb[0].dtype
+    scheduled = callable(lr)
+    count = opt_state.get("count", jnp.zeros((), jnp.int32))
+    tx = optim.dense_optimizer("adagrad", lr)
+
+    dp = dense_params
+    dense_state = opt_state["dense"]
+    emb_state = opt_state["emb"]
+    # small tables + their accumulator slices, carried per micro-step
+    st = []
+    for t in small:
+        c = config.table_chunk[t]
+        po = config.chunk_table_offsets[t]
+        pn = config.packed_table_rows[t]
+        acc_view = emb_state.acc[c][po:po + pn].reshape(
+            -1, config.feature_size)[:config.table_sizes[t]]
+        st.append((emb_ops.get_logical_table(emb, config, t), acc_view))
+
+    losses, ids_acc, drows_acc, scaled_acc = [], [], [], []
+    for k in range(block):
+        d, s, l = dense[k], sparse[k], labels[k]
+        ids_big = None
+        if big:
+            ids_big = s[:, big] if s.ndim == 2 else s[:, big, :]
+            with jax.named_scope("lookup_gather"):
+                rows_big = emb_ops.gather_tables(emb, ids_big, config, big)
+        else:
+            rows_big = jnp.zeros((d.shape[0], 0, config.feature_size),
+                                 emb_dtype)
+
+        def inner(dp_, rows_big_, st_tabs, s=s, d=d, l=l):
+            parts = [emb_ops.pool(rows_big_)]
+            with jax.named_scope("lookup_onehot"):
+                for j, t in enumerate(small):
+                    idt = s[:, t] if s.ndim == 2 else s[:, t, :]
+                    parts.append(emb_ops.onehot_lookup(
+                        st_tabs[j], idt, config.compute_dtype)[:, None, :])
+            pooled = jnp.concatenate(parts, axis=1).astype(emb_dtype)
+            pooled = pooled[:, emb_ops.table_order_permutation(small, big),
+                            :]
+            return _loss_from_pooled(dp_, pooled, d, l, config)
+
+        loss, (dgrads, d_rows_big, d_smalls) = jax.value_and_grad(
+            inner, argnums=(0, 1, 2))(dp, rows_big,
+                                      tuple(tab for tab, _ in st))
+        lr_k = lr(count + k) if scheduled else lr
+        with jax.named_scope("dense_update"):
+            updates, dense_state = tx.update(dgrads, dense_state, dp)
+            dp = jax.tree.map(lambda p, q: q.astype(p.dtype), dp,
+                              optax.apply_updates(dp, updates))
+        with jax.named_scope("small_table_update"):
+            st = [optim.apply_adagrad_dense_table(tab, acc, d_smalls[j],
+                                                  lr_k)
+                  for j, (tab, acc) in enumerate(st)]
+        losses.append(loss)
+        if big:
+            ids_acc.append(ids_big)
+            drows_acc.append(d_rows_big)
+            if scheduled:
+                scaled_acc.append(lr_k * d_rows_big)
+
+    new_emb = list(emb)
+    if big:
+        with jax.named_scope("coalesced_adagrad_update"):
+            new_emb, emb_state = optim.apply_adagrad_chunked(
+                new_emb, emb_state, jnp.concatenate(ids_acc, axis=0),
+                jnp.concatenate(drows_acc, axis=0),
+                1.0 if scheduled else lr, config, big,
+                d_rows_scaled=(jnp.concatenate(scaled_acc, axis=0)
+                               if scheduled else None))
+            new_emb = list(new_emb)
+    with jax.named_scope("small_table_writeback"):
+        new_acc = list(emb_state.acc)
+        for j, t in enumerate(small):
+            c = config.table_chunk[t]
+            po = config.chunk_table_offsets[t]
+            pn = config.packed_table_rows[t]
+            pad = pn * config.pack - config.table_sizes[t]
+            tab, acc = st[j]
+            if pad:
+                # pad slots are never read but must round-trip unchanged
+                orig = emb[c][po:po + pn].reshape(-1, config.feature_size)
+                tab = jnp.concatenate([tab, orig[config.table_sizes[t]:]])
+                orig_acc = emb_state.acc[c][po:po + pn].reshape(
+                    -1, config.feature_size)
+                acc = jnp.concatenate([acc,
+                                       orig_acc[config.table_sizes[t]:]])
+            new_emb[c] = new_emb[c].at[po:po + pn].set(
+                tab.reshape(pn, config.row_width))
+            new_acc[c] = new_acc[c].at[po:po + pn].set(
+                acc.reshape(pn, config.row_width))
+        from dlrm_tpu.train.optim import EmbAdagradState
+        emb_state = EmbAdagradState(acc=tuple(new_acc))
+
+    new_params = model_lib.merge_params(dp, tuple(new_emb))
+    new_opt = {"dense": dense_state, "emb": emb_state,
+               "count": count + block}
+    return (new_params, new_opt), jnp.stack(losses)
+
+
+def make_jit_train_block_opt(config: DLRMConfig, *, optimizer: str,
+                             lr, block: int = None) -> Callable:
+    """Jitted Adagrad block step: f(params, opt_state, (K,B,13),
+    (K,B,T[,H]), (K,B)) -> ((params, opt_state), (K,) losses).  The
+    schedule count lives in opt_state, so no host-side wrapper is needed
+    (unlike the SGD block makers)."""
+    del block  # derived from the batch's leading dim at trace time
+    assert optimizer == "adagrad", "SGD blocks use make_jit_train_block"
+    step = functools.partial(train_block_opt, config=config, lr=lr)
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
@@ -715,6 +862,101 @@ def make_sharded_train_block(config: DLRMConfig, lr, mesh, placement,
 
     run.step = 0
     return run
+
+
+def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
+                            labels, *, config: DLRMConfig, lr, mesh,
+                            placement, block: int = None, axis: str = "d"):
+    """Coalesced K-step ADAGRAD block on the hybrid-parallel path: per
+    micro-step sharded lookup (tables as of block entry) + per-micro-step
+    dense Adagrad; the K compressed pooled gradients are stacked and
+    applied at block end with ONE dedup-then-apply Adagrad per shard
+    (:func:`dlrm_tpu.parallel.embedding.sharded_update_adagrad` with
+    ``block_leading`` — the dedup sums a key's gradient across micro-steps
+    AND DCN replicas before the nonlinear accumulator update).
+
+    Constant lr only: the sharded twin-payload (per-micro-step lr) routing
+    is not implemented — run.py rejects the combination up front.
+    """
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.train import optim
+    import optax
+
+    assert not callable(lr), "sharded adagrad blocks need a constant lr"
+    if block is None:
+        block = dense.shape[0]
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    cs = params.get("emb_cs", ())
+    emb_h = params.get("emb_h")
+    count = opt_state.get("count", jnp.zeros((), jnp.int32))
+    tx = optim.dense_optimizer("adagrad", lr)
+    dp = dense_params
+    dense_state = opt_state["dense"]
+    losses, d_pooled_acc = [], []
+    for k in range(block):
+        with jax.named_scope("lookup"):
+            pooled = pemb.sharded_lookup(params["emb"], sparse[k],
+                                         mesh=mesh, placement=placement,
+                                         axis=axis, cs=cs, emb_h=emb_h)
+
+        def inner(dp_, p_, k=k):
+            return _loss_from_pooled(dp_, p_, dense[k], labels[k], config)
+
+        loss, (dgrads, d_pooled) = jax.value_and_grad(
+            inner, argnums=(0, 1))(dp, pooled)
+        with jax.named_scope("dense_update"):
+            updates, dense_state = tx.update(dgrads, dense_state, dp)
+            dp = jax.tree.map(lambda p, q: q.astype(p.dtype), dp,
+                              optax.apply_updates(dp, updates))
+        losses.append(loss)
+        d_pooled_acc.append(d_pooled)
+
+    with jax.named_scope("coalesced_adagrad_update"):
+        d_stack = jnp.stack(d_pooled_acc)  # (K, B, T, D), dim 1 sharded
+        new_emb, new_acc, new_h, new_acc_h, new_cs, new_acc_cs = \
+            pemb.sharded_update_adagrad(
+                params["emb"], opt_state["emb_acc"], sparse, d_stack, lr,
+                mesh=mesh, placement=placement, axis=axis, cs=cs,
+                acc_cs=opt_state.get("emb_acc_cs", ()), emb_h=emb_h,
+                acc_h=(None if isinstance(opt_state.get("emb_acc_h", ()),
+                                          tuple)
+                       else opt_state["emb_acc_h"]),
+                block_leading=True)
+    new_opt = {"dense": dense_state, "count": count + block,
+               "emb_acc": new_acc, "emb_acc_cs": new_acc_cs,
+               "emb_acc_h": new_acc_h if new_acc_h is not None else ()}
+    new_params = {"bottom": dp["bottom"], "emb": new_emb, "top": dp["top"]}
+    if "emb_cs" in params:
+        new_params["emb_cs"] = new_cs
+    if "emb_h" in params:
+        new_params["emb_h"] = new_h
+    return (new_params, new_opt), jnp.stack(losses)
+
+
+def make_sharded_train_block_opt(config: DLRMConfig, *, optimizer: str,
+                                 lr, mesh, placement, block: int = None,
+                                 axis: str = "d") -> Callable:
+    del block  # derived from the batch's leading dim at trace time
+    assert optimizer == "adagrad", "SGD blocks use make_sharded_train_block"
+    step = functools.partial(sharded_train_block_opt, config=config, lr=lr,
+                             mesh=mesh, placement=placement, axis=axis)
+    if not placement.host_row_sharded:
+        return jax.jit(step, donate_argnums=(0, 1))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dlrm_tpu.parallel.host_tier import ensure_backend_primed
+    ensure_backend_primed()
+    if jax.devices()[0].platform != "tpu":
+        # CPU backend cannot pin outputs; skip donation so pinned-host
+        # inputs are not reused for default-memory outputs
+        return jax.jit(step)
+    pin = NamedSharding(mesh, P(axis), memory_kind="pinned_host")
+    out_params = {"bottom": None, "emb": None, "top": None, "emb_h": pin}
+    if placement.col_sharded:
+        out_params["emb_cs"] = None
+    out_opt = {"dense": None, "count": None, "emb_acc": None,
+               "emb_acc_cs": None, "emb_acc_h": pin}
+    return jax.jit(step, donate_argnums=(0, 1),
+                   out_shardings=((out_params, out_opt), None))
 
 
 def make_sharded_train_step(config: DLRMConfig, lr: float, mesh, placement,

@@ -211,6 +211,140 @@ def test_sharded_block_disjoint_ids_equals_sequential(row_sharded):
     _leaves_allclose(p_ref, p_blk, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("scheduled", [False, True])
+def test_adagrad_block_disjoint_equals_sequential(scheduled):
+    """Adagrad blocks (train_block_opt): with no id repeats across
+    micro-batches, a K-block == K sequential train_step_opt calls (the
+    one accumulator update per unique row uses exactly that row's single
+    gradient and, under a schedule, its own micro-step's lr via the twin
+    (g, lr_k*g) dedup payload)."""
+    from dlrm_tpu.train.optim import make_schedule
+    from dlrm_tpu.train.train import (init_opt_state,
+                                      make_jit_train_block_opt,
+                                      make_jit_train_step_opt)
+
+    config = _config()
+    params = dlrm_tpu.init_params(jax.random.key(8), config)
+    rng = np.random.default_rng(8)
+    k = 3
+    dense, sparse, labels = _batches(config, k, 32, rng, disjoint=True)
+    lr = (make_schedule(0.2, schedule="warmup_poly_decay", warmup_steps=2,
+                        decay_start=2, decay_steps=10)
+          if scheduled else 0.1)
+
+    step = make_jit_train_step_opt(config, optimizer="adagrad", lr=lr)
+    p_ref = jax.tree.map(jnp.copy, params)
+    o_ref = init_opt_state(p_ref, config=config, optimizer="adagrad",
+                           lr=lr)
+    ref_losses = []
+    for i in range(k):
+        (p_ref, o_ref), loss = step(p_ref, o_ref, dense[i], sparse[i],
+                                    labels[i])
+        ref_losses.append(float(loss))
+
+    blk = make_jit_train_block_opt(config, optimizer="adagrad", lr=lr,
+                                   block=k)
+    p_blk = jax.tree.map(jnp.copy, params)
+    o_blk = init_opt_state(p_blk, config=config, optimizer="adagrad",
+                           lr=lr)
+    (p_blk, o_blk), losses = blk(p_blk, o_blk, dense, sparse, labels)
+    np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-5)
+    _leaves_allclose(p_ref, p_blk, rtol=1e-5, atol=1e-6)
+    assert int(o_blk["count"]) == k
+    # the Adagrad accumulator trajectories must agree too
+    _leaves_allclose(o_ref["emb"], o_blk["emb"], rtol=1e-5, atol=1e-6)
+
+
+def test_adagrad_block_repeated_ids_dedups_before_accumulator():
+    """A row hit twice in one coalesced gradient gets ONE accumulator
+    update with the SUMMED gradient — acc == (g1+g2)^2, not g1^2+g2^2 —
+    and the weight step uses the summed gradient once (the dedup-then-
+    apply contract the block relies on, tested at the optim layer)."""
+    from dlrm_tpu.train.optim import EmbAdagradState, apply_adagrad_chunked
+
+    config = dlrm_tpu.tiny_config(num_tables=1, rows=64, feature_size=8)
+    emb = tuple(jnp.zeros(s, jnp.float32) for s in config.emb_shapes)
+    state = EmbAdagradState(acc=tuple(
+        jnp.zeros(s, jnp.float32) for s in config.emb_shapes))
+    ids = jnp.asarray([[3], [3], [7]], jnp.int32)          # row 3 twice
+    g1, g2, g3 = 0.5, -0.2, 1.5
+    d_rows = jnp.asarray([[[g1] * 8], [[g2] * 8], [[g3] * 8]], jnp.float32)
+    lr = 0.1
+    new_emb, new_state = jax.jit(lambda e, s: apply_adagrad_chunked(
+        e, s, ids, d_rows, lr, config))(emb, state)
+    acc = np.asarray(new_state.acc[0]).reshape(-1, 8)
+    w = np.asarray(new_emb[0]).reshape(-1, 8)
+    gs = g1 + g2
+    np.testing.assert_allclose(acc[3], gs * gs, rtol=1e-6)     # (g1+g2)^2
+    np.testing.assert_allclose(acc[7], g3 * g3, rtol=1e-6)
+    np.testing.assert_allclose(
+        w[3], -lr * gs / np.sqrt(gs * gs + 1e-10), rtol=1e-5)
+    np.testing.assert_allclose(
+        w[7], -lr * g3 / np.sqrt(g3 * g3 + 1e-10), rtol=1e-5)
+    assert np.all(w[[0, 1, 2, 4, 5, 6]] == 0)  # untouched rows
+
+
+@pytest.mark.parametrize("row_sharded", [False, True])
+def test_sharded_adagrad_block_disjoint_equals_sequential(row_sharded):
+    """Hybrid-parallel Adagrad block == K sequential sharded adagrad
+    steps when ids are disjoint across micro-batches."""
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding,
+                                        block_batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.train import (init_sharded_opt_state,
+                                      make_sharded_train_block_opt,
+                                      make_sharded_train_step_opt)
+
+    config = dlrm_tpu.tiny_config(num_tables=4, rows=256, feature_size=8)
+    params = dlrm_tpu.init_params(jax.random.key(10), config)
+    rng = np.random.default_rng(10)
+    k, b = 2, 32
+    dense, sparse, labels = _batches(config, k, b, rng, disjoint=True)
+
+    mesh = make_mesh(8)
+    p = plan_placement(config.table_sizes, 8, pack=config.pack,
+                       max_rows_per_shard=200 if row_sharded else None)
+    sh_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": jnp.asarray(pemb.shard_tables(params["emb"], p, config)),
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+    shardings = param_shardings(mesh, sh_params)
+    sh_params = jax.device_put(sh_params, shardings)
+    bs = batch_sharding(mesh)
+    bs2 = block_batch_sharding(mesh)
+
+    step = make_sharded_train_step_opt(config, optimizer="adagrad",
+                                       lr=0.1, mesh=mesh, placement=p)
+    p_ref = jax.device_put(jax.tree.map(jnp.copy, sh_params), shardings)
+    o_ref = init_sharded_opt_state(p_ref, config=config,
+                                   optimizer="adagrad", lr=0.1, mesh=mesh)
+    ref_losses = []
+    for i in range(k):
+        (p_ref, o_ref), loss = step(p_ref, o_ref,
+                                    jax.device_put(dense[i], bs),
+                                    jax.device_put(sparse[i], bs),
+                                    jax.device_put(labels[i], bs))
+        ref_losses.append(float(loss))
+
+    blk = make_sharded_train_block_opt(config, optimizer="adagrad",
+                                       lr=0.1, mesh=mesh, placement=p,
+                                       block=k)
+    p_blk = jax.device_put(jax.tree.map(jnp.copy, sh_params), shardings)
+    o_blk = init_sharded_opt_state(p_blk, config=config,
+                                   optimizer="adagrad", lr=0.1, mesh=mesh)
+    (p_blk, o_blk), losses = blk(p_blk, o_blk,
+                                 jax.device_put(dense, bs2),
+                                 jax.device_put(sparse, bs2),
+                                 jax.device_put(labels, bs2))
+    np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-5)
+    _leaves_allclose(p_ref, p_blk, rtol=1e-5, atol=1e-6)
+    _leaves_allclose(o_ref["emb_acc"], o_blk["emb_acc"], rtol=1e-5,
+                     atol=1e-6)
+
+
 def test_block_scheduled_lr_disjoint_equals_sequential():
     """LR-schedule blocks: each micro-step's gradient is pre-scaled by its
     own lr; with disjoint ids a K-block == K sequential scheduled steps."""

@@ -255,6 +255,36 @@ def test_train_cli_sharded_update_interval(capsys):
     assert 0.0 <= res["eval"]["accuracy"] <= 1.0
 
 
+def test_train_cli_adagrad_update_interval(capsys):
+    """Adagrad block mode via the CLI: single-chip (with a schedule) and
+    sharded (constant lr); scheduled sharded adagrad blocks must be
+    rejected up front, not silently dropped."""
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "7",
+        "--sharded", "false", "--optimizer", "adagrad",
+        "--update-interval", "4", "--lr-schedule", "warmup_poly_decay",
+        "--warmup-steps", "2", "--decay-start", "2", "--decay-steps", "8",
+        "--log-every", "2", "--eval-after", "--eval-steps", "2"])
+    assert rc == 0 and res["steps"] == 7
+    assert np.isfinite(res["final_loss"])
+
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "4",
+        "--sharded", "true", "--optimizer", "adagrad",
+        "--update-interval", "2", "--log-every", "2", "--eval-after",
+        "--eval-steps", "2"])
+    assert rc == 0 and res["steps"] == 4
+    assert np.isfinite(res["final_loss"])
+
+    with pytest.raises(SystemExit, match="constant"):
+        cli.main([
+            "train", "--config", "tiny", "--batch-size", "32",
+            "--steps", "4", "--sharded", "true", "--optimizer", "adagrad",
+            "--update-interval", "2", "--lr-schedule",
+            "warmup_poly_decay", "--warmup-steps", "2",
+            "--decay-start", "2", "--decay-steps", "8"])
+
+
 def test_train_cli_host_sharded_tables(capsys):
     """Config-5 composition via the CLI: host-resident row-sharded tables
     + slot tables on the 8-device mesh, eval-after on the merged view."""
@@ -321,6 +351,46 @@ def test_host_tables_block_mode_cli(capsys):
     assert res["steps"] == 5 and np.isfinite(res["final_loss"])
 
 
+@pytest.mark.parametrize("optimizer", ["sgd", "adagrad"])
+def test_two_tier_ckpt_resume_eval(tmp_path, capsys, optimizer):
+    """Two-tier (--hbm-budget-gb) runs checkpoint and resume — the host
+    tier (and its Adagrad accumulator) re-pins to pinned_host on restore —
+    and `eval --ckpt-dir` reassembles the tier split via run_meta.json."""
+    from dlrm_tpu.parallel import host_tier as ht
+    if not ht.host_memory_supported():
+        pytest.skip("no pinned_host memory space")
+    paths = _write_text_shards(tmp_path)
+    out = str(tmp_path / "data.bin")
+    _run(capsys, ["preprocess", *paths, "--out", out])
+    sizes = ",".join("1000" for _ in range(26))
+    ckpt = str(tmp_path / "ck")
+    common = ["--config", "tiny", "--table-sizes", sizes,
+              "--batch-size", "16"]
+    # 0.0001 GiB ~= 107 KB: 3 of the 26 32KB tables stay on device, the
+    # rest spill to pinned host — both tiers non-empty (a checkpoint
+    # requirement: orbax cannot serialize zero-size arrays)
+    targs = ["train", *common, "--data", out, "--sharded", "false",
+             "--hbm-budget-gb", "0.0001", "--optimizer", optimizer,
+             "--lr", "0.05", "--log-every", "2", "--ckpt-dir", ckpt,
+             "--save-interval", "4"]
+    rc, res = _run(capsys, [*targs, "--eval-after"])
+    assert rc == 0 and res["steps"] == 7
+    meta = json.load(open(os.path.join(ckpt, "run_meta.json")))
+    assert meta["two_tier"] and meta["hbm_budget_gb"] == 0.0001
+
+    # resume continues from the saved step (host tier + accumulator kept)
+    rc, res2 = _run(capsys, [*targs, "--eval-after"])
+    assert rc == 0 and res2["steps"] == 7
+
+    # eval from the checkpoint == the resumed run's own --eval-after
+    rc, ev = _run(capsys, ["eval", *common, "--data", out,
+                           "--ckpt-dir", ckpt])
+    assert rc == 0
+    np.testing.assert_allclose(ev["loss"], res2["eval"]["loss"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ev["auc"], res2["eval"]["auc"], atol=1e-9)
+
+
 def test_train_cli_bf16_tables(capsys):
     """--bf16-tables trains with bfloat16 embedding storage end-to-end
     (single-chip and sharded)."""
@@ -375,6 +445,72 @@ def test_predict_cli(tmp_path, capsys):
             config)))
     np.testing.assert_allclose(scores, np.concatenate(want),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_predict_cli_sharded_on_mesh(tmp_path, capsys):
+    """predict from a SHARDED checkpoint scores ON the mesh (tables never
+    unsharded — the Terabyte serving path), including a ragged tail padded
+    to a mesh multiple; scores must equal the unshard-based forward."""
+    paths = _write_text_shards(tmp_path)
+    out = str(tmp_path / "data.bin")
+    _run(capsys, ["preprocess", *paths, "--out", out])
+    sizes = ",".join("1000" for _ in range(26))
+    ckpt = str(tmp_path / "ck")
+    common = ["--config", "tiny", "--table-sizes", sizes,
+              "--batch-size", "16"]
+    _run(capsys, ["train", *common, "--data", out, "--sharded", "true",
+                  "--host-tables", "1", "--log-every", "5",
+                  "--ckpt-dir", ckpt, "--save-interval", "100"])
+    scores_path = str(tmp_path / "scores.npy")
+    rc, res = _run(capsys, ["predict", *common, "--data", out,
+                            "--ckpt-dir", ckpt, "--out", scores_path])
+    assert rc == 0 and res["examples"] == 120  # 120 % 16 => ragged tail
+    scores = np.load(scores_path)
+    assert scores.shape == (120,)
+
+    # oracle: unshard via _load_eval_params (the old path) and score with
+    # the library forward — identical predictions, in order
+    import argparse, dataclasses as _dc
+    import jax, jax.numpy as jnp
+    import dlrm_tpu
+    config = _dc.replace(dlrm_tpu.tiny_config(),
+                         table_sizes=tuple([1000] * 26))
+    params, config2 = cli._load_eval_params(
+        argparse.Namespace(ckpt_dir=ckpt, hdf5=None), config)
+    want = []
+    for b in DACLoader(load(out), 16, drop_remainder=False):
+        want.append(np.asarray(dlrm_tpu.forward(
+            params, jnp.asarray(b["dense"]), jnp.asarray(b["sparse"]),
+            config2)))
+    np.testing.assert_allclose(scores, np.concatenate(want),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_eval_cli_sharded_on_mesh(tmp_path, capsys):
+    """eval --ckpt-dir on a sharded checkpoint runs on the mesh and
+    matches the unshard-based eval (loss/accuracy)."""
+    paths = _write_text_shards(tmp_path)
+    out = str(tmp_path / "data.bin")
+    _run(capsys, ["preprocess", *paths, "--out", out])
+    sizes = ",".join("1000" for _ in range(26))
+    ckpt = str(tmp_path / "ck")
+    common = ["--config", "tiny", "--table-sizes", sizes,
+              "--batch-size", "16"]
+    _run(capsys, ["train", *common, "--data", out, "--sharded", "true",
+                  "--log-every", "5", "--ckpt-dir", ckpt,
+                  "--save-interval", "100"])
+    rc, ev_mesh = _run(capsys, ["eval", *common, "--data", out,
+                                "--ckpt-dir", ckpt])
+    assert rc == 0
+    # batch size not divisible by the mesh -> falls back to unshard path
+    rc, ev_host = _run(capsys, ["eval", "--config", "tiny",
+                                "--table-sizes", sizes,
+                                "--batch-size", "12", "--data", out,
+                                "--ckpt-dir", ckpt])
+    assert rc == 0
+    np.testing.assert_allclose(ev_mesh["loss"], ev_host["loss"],
+                               rtol=1e-4)
+    assert abs(ev_mesh["accuracy"] - ev_host["accuracy"]) < 0.05
 
 
 def test_train_cli_epochs(tmp_path, capsys):
