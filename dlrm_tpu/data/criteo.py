@@ -261,6 +261,16 @@ class DACLoader:
             n += 1
         return n
 
+    def _use_native(self) -> bool:
+        """The C++ marshal reads the packed 160 B records directly; it
+        needs the base array contiguous in DAC layout (memmap or ndarray,
+        not a strided view)."""
+        from dlrm_tpu.data import native
+
+        d = self.dataset
+        return (native.available() and d.dtype == DAC_DTYPE
+                and d.flags["C_CONTIGUOUS"])
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         b = self.batch_size
         order = None
@@ -271,9 +281,20 @@ class DACLoader:
             rng = np.random.default_rng((self.seed, self._epoch))
             order = rng.permutation(len(self))
             self._epoch += 1
+        use_native = self._use_native()
+        if use_native:
+            from dlrm_tpu.data import native
         for i in range(len(self)):
             j = int(order[i]) if order is not None else i
-            window = self.dataset[j * b:(j + 1) * b]
+            count = min(b, len(self.dataset) - j * b)
+            if use_native:
+                # one C++ pass per batch: label/dense/sparse marshal with
+                # the id shift fused (the reference's 8-thread Polyester
+                # loop, criteo.jl:324-344)
+                yield native.marshal_batch(self.dataset, j * b, count,
+                                           self._shift)
+                continue
+            window = self.dataset[j * b:j * b + count]
             yield {
                 "labels": window["label"].astype(np.float32),
                 "dense": np.ascontiguousarray(window["dense"]),

@@ -164,6 +164,65 @@ def apply_adagrad_chunked(emb, state: EmbAdagradState, ids: jax.Array,
     return tuple(new_emb), EmbAdagradState(acc=tuple(new_acc))
 
 
+def apply_adagrad_dense_g(emb, state: EmbAdagradState, ids: jax.Array,
+                          d_rows: jax.Array, lr, config: DLRMConfig,
+                          tables=None, eps: float = 1e-10,
+                          d_rows_scaled=None):
+    """Exact sparse Adagrad via a DENSE per-chunk gradient buffer — the
+    fast path for COALESCED BLOCKS.
+
+    Per chunk: scatter-add the raw gradient rows into a zeros buffer G
+    (duplicates sum exactly — the dedup-then-apply contract for free),
+    then one elementwise pass ``acc += G^2; w -= lr * G * rsqrt(acc+eps)``
+    over the whole chunk.  Untouched rows have G == 0 and round-trip
+    unchanged, so the result is bit-equivalent to
+    :func:`apply_adagrad_chunked` without its argsort, accumulator gather,
+    or second scatter.  Cost: ONE scatter (same as SGD) + ~5 chunk-sized
+    HBM passes + a chunk-sized f32 transient — which AMORTIZES over a
+    K-step block while the argsort grows with K*B.  Measured (v5e, Kaggle
+    fs=16 B=32k, K=8): 24.4 ms/step vs 46.0 for the sort-based block and
+    54.9 for the exact per-step Adagrad.
+
+    ``d_rows_scaled``: see :func:`apply_adagrad_chunked` (per-micro-step
+    lr schedules); adds a second dense buffer.
+    """
+    if tables is None:
+        tables = tuple(range(config.num_tables))
+    new_emb = list(emb)
+    new_acc = list(state.acc)
+    for c, pos, ts in emb_ops.chunk_groups(config, tuple(tables)):
+        ids_g = ids[:, pos] if ids.ndim == 2 else ids[:, pos, :]
+        d_g = d_rows[:, pos] if d_rows.ndim == 3 else d_rows[:, pos, :, :]
+        phys, slot = emb_ops.chunk_translate(ids_g, config, ts)
+        w = new_emb[c].shape[1]
+
+        def densify(rows):
+            g = rows.astype(jnp.float32)
+            if config.pack > 1:
+                g = emb_ops.expand_slots(g, slot, config)
+            return jnp.zeros((new_emb[c].shape[0], w), jnp.float32).at[
+                phys.reshape(-1)].add(g.reshape(-1, w), mode="drop")
+
+        with jax.named_scope("adagrad_densify_g"):
+            G = densify(d_g)
+        acc_new = new_acc[c] + G * G
+        rs = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+        step = d_rows_scaled
+        if step is not None:
+            s_g = (step[:, pos] if step.ndim == 3 else step[:, pos, :, :])
+            with jax.named_scope("adagrad_densify_scaled"):
+                Gs = densify(s_g)
+            upd = Gs * rs
+        else:
+            upd = (lr * G) * rs
+        with jax.named_scope("adagrad_dense_apply"):
+            new_emb[c] = (new_emb[c]
+                          - upd.astype(new_emb[c].dtype)).astype(
+                              new_emb[c].dtype)
+        new_acc[c] = acc_new
+    return tuple(new_emb), EmbAdagradState(acc=tuple(new_acc))
+
+
 def apply_adagrad_dense_table(table: jax.Array, acc: jax.Array,
                               grad: jax.Array, lr, eps: float = 1e-10):
     """Adagrad on a whole (small) table with a dense gradient (same

@@ -211,8 +211,10 @@ def test_sharded_block_disjoint_ids_equals_sequential(row_sharded):
     _leaves_allclose(p_ref, p_blk, rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("scheduled", [False, True])
-def test_adagrad_block_disjoint_equals_sequential(scheduled):
+@pytest.mark.parametrize("scheduled,impl",
+                         [(False, "dense_g"), (True, "dense_g"),
+                          (False, "dedup"), (True, "dedup")])
+def test_adagrad_block_disjoint_equals_sequential(scheduled, impl):
     """Adagrad blocks (train_block_opt): with no id repeats across
     micro-batches, a K-block == K sequential train_step_opt calls (the
     one accumulator update per unique row uses exactly that row's single
@@ -243,7 +245,7 @@ def test_adagrad_block_disjoint_equals_sequential(scheduled):
         ref_losses.append(float(loss))
 
     blk = make_jit_train_block_opt(config, optimizer="adagrad", lr=lr,
-                                   block=k)
+                                   block=k, adagrad_impl=impl)
     p_blk = jax.tree.map(jnp.copy, params)
     o_blk = init_opt_state(p_blk, config=config, optimizer="adagrad",
                            lr=lr)
@@ -255,13 +257,18 @@ def test_adagrad_block_disjoint_equals_sequential(scheduled):
     _leaves_allclose(o_ref["emb"], o_blk["emb"], rtol=1e-5, atol=1e-6)
 
 
-def test_adagrad_block_repeated_ids_dedups_before_accumulator():
+@pytest.mark.parametrize("impl", ["dedup", "dense_g"])
+def test_adagrad_block_repeated_ids_dedups_before_accumulator(impl):
     """A row hit twice in one coalesced gradient gets ONE accumulator
     update with the SUMMED gradient — acc == (g1+g2)^2, not g1^2+g2^2 —
     and the weight step uses the summed gradient once (the dedup-then-
-    apply contract the block relies on, tested at the optim layer)."""
-    from dlrm_tpu.train.optim import EmbAdagradState, apply_adagrad_chunked
+    apply contract the block relies on, tested at the optim layer for
+    both the sort-based and dense-G implementations)."""
+    from dlrm_tpu.train import optim as optim_lib
+    from dlrm_tpu.train.optim import EmbAdagradState
 
+    apply = {"dedup": optim_lib.apply_adagrad_chunked,
+             "dense_g": optim_lib.apply_adagrad_dense_g}[impl]
     config = dlrm_tpu.tiny_config(num_tables=1, rows=64, feature_size=8)
     emb = tuple(jnp.zeros(s, jnp.float32) for s in config.emb_shapes)
     state = EmbAdagradState(acc=tuple(
@@ -270,7 +277,7 @@ def test_adagrad_block_repeated_ids_dedups_before_accumulator():
     g1, g2, g3 = 0.5, -0.2, 1.5
     d_rows = jnp.asarray([[[g1] * 8], [[g2] * 8], [[g3] * 8]], jnp.float32)
     lr = 0.1
-    new_emb, new_state = jax.jit(lambda e, s: apply_adagrad_chunked(
+    new_emb, new_state = jax.jit(lambda e, s: apply(
         e, s, ids, d_rows, lr, config))(emb, state)
     acc = np.asarray(new_state.acc[0]).reshape(-1, 8)
     w = np.asarray(new_emb[0]).reshape(-1, 8)
