@@ -129,6 +129,60 @@ def main():
     log(f"block K={K}: {blk_step*1e3:.2f} ms/step "
         f"-> {blk_tput:,.0f} examples/s")
 
+    # adagrad: the optimizer DLRM actually trains with (the reference is
+    # SGD-only).  Exact per-step dedup-then-apply; the coalesced dense-G
+    # block reaches 24.4 ms/step at K=8 (see PERFORMANCE.md) but its
+    # first compile is ~8 min, too slow for this driver-run bench.
+    from dlrm_tpu.train.train import init_opt_state, make_jit_train_step_opt
+    params = dlrm_tpu.init_params(jax.random.key(0), config)
+    opt = init_opt_state(params, config=config, optimizer="adagrad",
+                         lr=0.01)
+    astep = make_jit_train_step_opt(config, optimizer="adagrad", lr=0.01)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        (params, opt), loss = astep(params, opt, dense, sparse, labels)
+    _ = float(loss)
+    log(f"adagrad compile+warmup: {time.perf_counter() - t0:.1f}s")
+    totals = []
+    for iters in (4, 12):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            (params, opt), loss = astep(params, opt, dense, sparse, labels)
+        _ = float(loss)
+        totals.append(time.perf_counter() - t0)
+    ada_step = (totals[1] - totals[0]) / 8
+    ada_tput = BATCH / ada_step
+    log(f"adagrad exact: {ada_step*1e3:.2f} ms/step "
+        f"-> {ada_tput:,.0f} examples/s")
+
+    # adagrad coalesced block (dense-G): the production adagrad config.
+    # unroll=False (lax.scan over micro-steps) compiles in ~55 s vs ~8 min
+    # unrolled at a ~5% steady-state cost — the right tradeoff for this
+    # driver-run bench; the unrolled variant measures 24.4 ms/step.
+    from dlrm_tpu.train.train import make_jit_train_block_opt
+    params = dlrm_tpu.init_params(jax.random.key(0), config)
+    opt = init_opt_state(params, config=config, optimizer="adagrad",
+                         lr=0.01)
+    ablk = make_jit_train_block_opt(config, optimizer="adagrad", lr=0.01,
+                                    block=K, unroll=False)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        (params, opt), bl = ablk(params, opt, kd, ks, kl)
+    _ = float(bl[-1])
+    log(f"adagrad block K={K} compile+warmup: "
+        f"{time.perf_counter() - t0:.1f}s")
+    totals = []
+    for iters in (3, 9):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            (params, opt), bl = ablk(params, opt, kd, ks, kl)
+        _ = float(bl[-1])
+        totals.append(time.perf_counter() - t0)
+    ablk_step = (totals[1] - totals[0]) / 6 / K
+    ablk_tput = BATCH / ablk_step
+    log(f"adagrad block K={K}: {ablk_step*1e3:.2f} ms/step "
+        f"-> {ablk_tput:,.0f} examples/s")
+
     # tertiary: embedding-lookup bandwidth (BASELINE.json metric).  Jitted
     # pooled lookup (mixed engine) alone; the carry makes each call's ids
     # data-dependent on the previous result, defeating axon's
@@ -172,6 +226,8 @@ def main():
         "vs_baseline": round(throughput / baseline, 3),
         f"block{K}_examples_per_s": round(blk_tput, 1),
         f"block{K}_vs_baseline": round(blk_tput / baseline, 3),
+        "adagrad_examples_per_s": round(ada_tput, 1),
+        f"adagrad_block{K}_examples_per_s": round(ablk_tput, 1),
         "lookup_gb_s_logical": round(lk_gbs, 2),
     }))
 

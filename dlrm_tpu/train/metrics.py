@@ -130,6 +130,21 @@ def _accumulate(data: Iterable, predict_batch: Callable, *,
             "loss": loss_sum / max(total, 1), "examples": total}
 
 
+_EVAL_FWD_CACHE: dict = {}
+
+
+def _eval_forward(config):
+    """Jitted eval forward, cached per config — periodic evals must reuse
+    one compiled program, not retrace a fresh lambda every call."""
+    fwd = _EVAL_FWD_CACHE.get(config)
+    if fwd is None:
+        from dlrm_tpu.models.dlrm import forward
+
+        fwd = jax.jit(lambda p, d, s: forward(p, d, s, config))
+        _EVAL_FWD_CACHE[config] = fwd
+    return fwd
+
+
 def evaluate(params: dict, data: Iterable, config, *,
              record: Optional[List[float]] = None,
              auc_buckets: int = 1 << 14) -> Dict[str, float]:
@@ -137,9 +152,7 @@ def evaluate(params: dict, data: Iterable, config, *,
 
     The reference's test() computes accuracy only and appends to a record
     vector (utils.jl:31-46); AUC is the Criteo benchmark target (BASELINE)."""
-    from dlrm_tpu.models.dlrm import forward
-
-    fwd = jax.jit(lambda p, d, s: forward(p, d, s, config))
+    fwd = _eval_forward(config)
     return _accumulate(
         data,
         lambda b: fwd(params, jnp.asarray(b["dense"]),

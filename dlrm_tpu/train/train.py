@@ -436,7 +436,7 @@ def make_jit_train_block(config: DLRMConfig, lr, block: int = None
 def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
                     sparse: jax.Array, labels: jax.Array, *,
                     config: DLRMConfig, lr, block: int = None,
-                    adagrad_impl: str = "dense_g"):
+                    adagrad_impl: str = "dense_g", unroll: bool = True):
     """Coalesced K-step block with sparse ADAGRAD (see :func:`train_block`
     for the staleness contract — SGD blocks route there).
 
@@ -483,9 +483,9 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
             -1, config.feature_size)[:config.table_sizes[t]]
         st.append((emb_ops.get_logical_table(emb, config, t), acc_view))
 
-    losses, ids_acc, drows_acc, scaled_acc = [], [], [], []
-    for k in range(block):
-        d, s, l = dense[k], sparse[k], labels[k]
+    st = tuple(st)
+
+    def micro_step(dp, dense_state, st, d, s, l, lr_k):
         ids_big = None
         if big:
             ids_big = s[:, big] if s.ndim == 2 else s[:, big, :]
@@ -495,7 +495,7 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
             rows_big = jnp.zeros((d.shape[0], 0, config.feature_size),
                                  emb_dtype)
 
-        def inner(dp_, rows_big_, st_tabs, s=s, d=d, l=l):
+        def inner(dp_, rows_big_, st_tabs):
             parts = [emb_ops.pool(rows_big_)]
             with jax.named_scope("lookup_onehot"):
                 for j, t in enumerate(small):
@@ -510,21 +510,57 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
         loss, (dgrads, d_rows_big, d_smalls) = jax.value_and_grad(
             inner, argnums=(0, 1, 2))(dp, rows_big,
                                       tuple(tab for tab, _ in st))
-        lr_k = lr(count + k) if scheduled else lr
         with jax.named_scope("dense_update"):
             updates, dense_state = tx.update(dgrads, dense_state, dp)
             dp = jax.tree.map(lambda p, q: q.astype(p.dtype), dp,
                               optax.apply_updates(dp, updates))
         with jax.named_scope("small_table_update"):
-            st = [optim.apply_adagrad_dense_table(tab, acc, d_smalls[j],
-                                                  lr_k)
-                  for j, (tab, acc) in enumerate(st)]
-        losses.append(loss)
+            st = tuple(optim.apply_adagrad_dense_table(
+                tab, acc, d_smalls[j], lr_k)
+                for j, (tab, acc) in enumerate(st))
+        return dp, dense_state, st, loss, ids_big, d_rows_big
+
+    ids_cat = drows_cat = scaled_cat = None
+    if big and not unroll:
+        # lax.scan over micro-steps: ~8x faster compile, ~5% slower
+        # steady-state than the unrolled loop (no cross-step overlap) —
+        # measured 54.9 s / 25.7 ms vs 467 s / 24.4 ms at K=8 Kaggle
+        def body(carry, xs):
+            dp, dense_state, st = carry
+            d, s, l, k = xs
+            lr_k = lr(count + k) if scheduled else lr
+            dp, dense_state, st, loss, ids_big, drb = micro_step(
+                dp, dense_state, st, d, s, l, lr_k)
+            ys = (loss, ids_big, drb) + (
+                ((lr_k * drb),) if scheduled else ())
+            return (dp, dense_state, st), ys
+
+        (dp, dense_state, st), ys = jax.lax.scan(
+            body, (dp, dense_state, st),
+            (dense, sparse, labels, jnp.arange(block)))
+        losses, ids_ys, drb_ys = ys[0], ys[1], ys[2]
+        ids_cat = ids_ys.reshape((-1,) + ids_ys.shape[2:])
+        drows_cat = drb_ys.reshape((-1,) + drb_ys.shape[2:])
+        if scheduled:
+            scaled_cat = ys[3].reshape((-1,) + ys[3].shape[2:])
+    else:
+        losses, ids_acc, drows_acc, scaled_acc = [], [], [], []
+        for k in range(block):
+            lr_k = lr(count + k) if scheduled else lr
+            dp, dense_state, st, loss, ids_big, drb = micro_step(
+                dp, dense_state, st, dense[k], sparse[k], labels[k], lr_k)
+            losses.append(loss)
+            if big:
+                ids_acc.append(ids_big)
+                drows_acc.append(drb)
+                if scheduled:
+                    scaled_acc.append(lr_k * drb)
+        losses = jnp.stack(losses)
         if big:
-            ids_acc.append(ids_big)
-            drows_acc.append(d_rows_big)
+            ids_cat = jnp.concatenate(ids_acc, axis=0)
+            drows_cat = jnp.concatenate(drows_acc, axis=0)
             if scheduled:
-                scaled_acc.append(lr_k * d_rows_big)
+                scaled_cat = jnp.concatenate(scaled_acc, axis=0)
 
     new_emb = list(emb)
     if big:
@@ -536,11 +572,9 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
                  "dedup": optim.apply_adagrad_chunked}[adagrad_impl]
         with jax.named_scope("coalesced_adagrad_update"):
             new_emb, emb_state = apply(
-                new_emb, emb_state, jnp.concatenate(ids_acc, axis=0),
-                jnp.concatenate(drows_acc, axis=0),
+                new_emb, emb_state, ids_cat, drows_cat,
                 1.0 if scheduled else lr, config, big,
-                d_rows_scaled=(jnp.concatenate(scaled_acc, axis=0)
-                               if scheduled else None))
+                d_rows_scaled=scaled_cat)
             new_emb = list(new_emb)
     with jax.named_scope("small_table_writeback"):
         new_acc = list(emb_state.acc)
@@ -568,20 +602,22 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
     new_params = model_lib.merge_params(dp, tuple(new_emb))
     new_opt = {"dense": dense_state, "emb": emb_state,
                "count": count + block}
-    return (new_params, new_opt), jnp.stack(losses)
+    return (new_params, new_opt), losses
 
 
 def make_jit_train_block_opt(config: DLRMConfig, *, optimizer: str,
                              lr, block: int = None,
-                             adagrad_impl: str = "dense_g") -> Callable:
+                             adagrad_impl: str = "dense_g",
+                             unroll: bool = True) -> Callable:
     """Jitted Adagrad block step: f(params, opt_state, (K,B,13),
     (K,B,T[,H]), (K,B)) -> ((params, opt_state), (K,) losses).  The
     schedule count lives in opt_state, so no host-side wrapper is needed
-    (unlike the SGD block makers)."""
+    (unlike the SGD block makers).  ``unroll=False`` scans over
+    micro-steps: much faster compile, slightly slower steady-state."""
     del block  # derived from the batch's leading dim at trace time
     assert optimizer == "adagrad", "SGD blocks use make_jit_train_block"
     step = functools.partial(train_block_opt, config=config, lr=lr,
-                             adagrad_impl=adagrad_impl)
+                             adagrad_impl=adagrad_impl, unroll=unroll)
     return jax.jit(step, donate_argnums=(0, 1))
 
 

@@ -211,10 +211,12 @@ def test_sharded_block_disjoint_ids_equals_sequential(row_sharded):
     _leaves_allclose(p_ref, p_blk, rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("scheduled,impl",
-                         [(False, "dense_g"), (True, "dense_g"),
-                          (False, "dedup"), (True, "dedup")])
-def test_adagrad_block_disjoint_equals_sequential(scheduled, impl):
+@pytest.mark.parametrize("scheduled,impl,unroll",
+                         [(False, "dense_g", True), (True, "dense_g", True),
+                          (False, "dedup", True), (True, "dedup", True),
+                          (False, "dense_g", False),
+                          (True, "dense_g", False)])
+def test_adagrad_block_disjoint_equals_sequential(scheduled, impl, unroll):
     """Adagrad blocks (train_block_opt): with no id repeats across
     micro-batches, a K-block == K sequential train_step_opt calls (the
     one accumulator update per unique row uses exactly that row's single
@@ -245,7 +247,8 @@ def test_adagrad_block_disjoint_equals_sequential(scheduled, impl):
         ref_losses.append(float(loss))
 
     blk = make_jit_train_block_opt(config, optimizer="adagrad", lr=lr,
-                                   block=k, adagrad_impl=impl)
+                                   block=k, adagrad_impl=impl,
+                                   unroll=unroll)
     p_blk = jax.tree.map(jnp.copy, params)
     o_blk = init_opt_state(p_blk, config=config, optimizer="adagrad",
                            lr=lr)
