@@ -312,6 +312,43 @@ def test_hybrid_block_step_matches_sequential(rng):
                     atol=1e-5, rtol=1e-5, err_msg=f"{side}[{i}].{k}")
 
 
+def test_hybrid_mesh_ckpt_eval_roundtrip(tmp_path, capsys):
+    """A --mesh-shape run's checkpoint records num_shards = the ICI axis
+    size, so eval/predict rebuild the placement correctly (the DCN axis
+    only replicated — the checkpointed emb stack is (ici, local, W))."""
+    import json as _json
+    import os
+    from dlrm_tpu import run as cli
+    from dlrm_tpu.data import synthetic
+    from dlrm_tpu.data.criteo import DAC_DTYPE
+    import numpy as _np
+
+    lines = synthetic.criteo_text_lines(120, seed=7)
+    src = tmp_path / "day.txt"
+    src.write_text("".join(lines))
+    out = str(tmp_path / "data.bin")
+    rc = cli.main(["preprocess", str(src), "--out", out])
+    capsys.readouterr()
+    sizes = ",".join("1000" for _ in range(26))
+    ckpt = str(tmp_path / "ck")
+    common = ["--config", "tiny", "--table-sizes", sizes,
+              "--batch-size", "16"]
+    rc = cli.main([
+        "train", *common, "--data", out, "--sharded", "true",
+        "--mesh-shape", "2x4", "--log-every", "2", "--ckpt-dir", ckpt,
+        "--save-interval", "100", "--eval-after"])
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and res["steps"] == 7
+    meta = _json.load(open(os.path.join(ckpt, "run_meta.json")))
+    assert meta["num_shards"] == 4 and meta["mesh_shape"] == [2, 4]
+
+    rc = cli.main(["eval", *common, "--data", out, "--ckpt-dir", ckpt])
+    ev = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    np.testing.assert_allclose(ev["loss"], res["eval"]["loss"],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_train_cli_hybrid_mesh(capsys):
     """--mesh-shape 2x4 end-to-end via the CLI (train + eval-after +
     block mode on the hybrid mesh)."""
