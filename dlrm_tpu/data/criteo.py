@@ -246,7 +246,8 @@ class DACLoader:
 
     def __init__(self, dataset: np.ndarray, batch_size: int, *,
                  drop_remainder: bool = True, zero_based_file: bool = False,
-                 shuffle: bool = False, seed: int = 0):
+                 shuffle: bool = False, seed: int = 0,
+                 use_native: Optional[bool] = None):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.drop_remainder = drop_remainder
@@ -254,6 +255,9 @@ class DACLoader:
         self.seed = seed
         self._epoch = 0
         self._shift = 0 if zero_based_file else 1
+        # None = auto (C++ marshal when the library is loadable);
+        # False forces the numpy fallback (tests oracle it against C++)
+        self.use_native = use_native
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.batch_size
@@ -267,6 +271,8 @@ class DACLoader:
         not a strided view)."""
         from dlrm_tpu.data import native
 
+        if self.use_native is False:
+            return False
         d = self.dataset
         return (native.available() and d.dtype == DAC_DTYPE
                 and d.flags["C_CONTIGUOUS"])

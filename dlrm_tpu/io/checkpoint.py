@@ -76,6 +76,24 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
+def checkpoint_metadata(ckpt_dir: str, *, step: Optional[int] = None):
+    """Abstract (ShapeDtypeStruct) pytree of a checkpoint's payload —
+    lets callers build per-leaf shardings BEFORE restoring, so shards
+    stream straight to their devices instead of materializing on one
+    host (mandatory for table stacks larger than host RAM)."""
+    _require_ocp()
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    path = os.path.join(os.path.abspath(ckpt_dir), str(int(step)))
+    if os.path.isdir(os.path.join(path, "default")):
+        path = os.path.join(path, "default")
+    with ocp.StandardCheckpointer() as ckptr:
+        md = ckptr.metadata(path).item_metadata.tree
+    return _abstract_from_metadata(md)["params"]
+
+
 def restore_checkpoint(ckpt_dir: str, *, step: Optional[int] = None,
                        template: Any = None, shardings: Any = None):
     """Restore (params, step) from ``ckpt_dir``.

@@ -207,9 +207,16 @@ def cmd_train(args) -> int:
         except ValueError:
             raise SystemExit(f"--mesh-shape {mesh_shape!r}: want DCNxICI, "
                              "e.g. 2x4")
+        if dcn_n < 1 or ici_n < 1:
+            raise SystemExit(f"--mesh-shape {mesh_shape}: both dimensions "
+                             "must be >= 1")
         if dcn_n * ici_n > n_dev:
             raise SystemExit(f"--mesh-shape {mesh_shape} needs "
                              f"{dcn_n * ici_n} devices, have {n_dev}")
+        if args.batch_size % (dcn_n * ici_n):
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must divide evenly over "
+                f"the {dcn_n * ici_n}-device hybrid mesh")
     n_shards = ici_n if ici_n else n_dev  # table-sharding axis size
     print(f"devices: {n_dev} ({jax.devices()[0].platform}), "
           f"sharded={sharded}"
@@ -523,7 +530,8 @@ def cmd_train(args) -> int:
                     make_sharded_train_block_opt)
                 blk_opt = make_sharded_train_block_opt(
                     config, optimizer="adagrad", lr=args.lr, mesh=mesh,
-                    placement=placement, block=block)
+                    placement=placement, block=block,
+                    unroll=not getattr(args, "block_scan", False))
 
                 def blk_fn(p, d, s, l):
                     (p2, state_box["opt"]), losses = blk_opt(
@@ -645,21 +653,26 @@ def _check_meta_sizes(meta, config):
     return meta_sizes
 
 
-def _try_load_sharded_ctx(args, config):
+def _try_load_sharded_ctx(args, config, meta=None):
     """Restore a SHARDED checkpoint directly onto a mesh, placement and
     all — the tables are never gathered to one host (a Terabyte-scale
     sharded checkpoint cannot be unsharded; the reference has no serving
-    path at all, train/utils.jl:31-46).  Returns (params, mesh,
-    placement) or None when the checkpoint isn't sharded / not enough
-    devices are visible (callers then fall back to the unshard path)."""
+    path at all, train/utils.jl:31-46): shardings are built from the
+    checkpoint METADATA so every shard streams straight to its device.
+    Returns (params, mesh, placement) or None when the checkpoint isn't
+    sharded / not enough devices are visible (callers then fall back to
+    the unshard path)."""
     import jax
-    from dlrm_tpu.io.checkpoint import restore_checkpoint
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dlrm_tpu.io.checkpoint import (checkpoint_metadata,
+                                        restore_checkpoint)
     from dlrm_tpu.parallel.mesh import make_mesh, param_shardings
     from dlrm_tpu.parallel.placement import plan_placement
 
     if not args.ckpt_dir:
         return None
-    meta = _read_run_meta(args.ckpt_dir)
+    if meta is None:
+        meta = _read_run_meta(args.ckpt_dir)
     if not meta.get("sharded"):
         return None
     n = int(meta["num_shards"])
@@ -673,17 +686,43 @@ def _try_load_sharded_ctx(args, config):
         from dlrm_tpu.parallel.host_tier import host_memory_supported
         if not host_memory_supported():
             return None
-    payload, _ = restore_checkpoint(args.ckpt_dir)
-    if isinstance(payload, dict) and "opt" in payload:
+    mesh = make_mesh(n)
+    abstract = checkpoint_metadata(args.ckpt_dir)
+    wrapped = isinstance(abstract, dict) and "opt" in abstract
+    params_abs = abstract["params"] if wrapped else abstract
+    shardings = param_shardings(mesh, params_abs)
+    if wrapped:
+        # the optimizer state restores sharded too (the Adagrad
+        # accumulator mirrors the table stack — it must not gather to
+        # one host either), then drops: eval/serve don't need it
+        opt_abs = abstract["opt"]
+        repl = NamedSharding(mesh, P())
+        opt_sh = jax.tree.map(lambda _: repl, opt_abs)
+        if "emb_acc" in opt_abs and not isinstance(
+                opt_abs["emb_acc"], (tuple, list)):
+            opt_sh["emb_acc"] = NamedSharding(mesh, P("d"))
+        if opt_abs.get("emb_acc_cs"):
+            opt_sh["emb_acc_cs"] = jax.tree.map(
+                lambda _: NamedSharding(mesh, P("d")),
+                opt_abs["emb_acc_cs"])
+        if "emb_acc_h" in opt_abs and not isinstance(
+                opt_abs["emb_acc_h"], (tuple, list)):
+            opt_sh["emb_acc_h"] = NamedSharding(
+                mesh, P("d"), memory_kind="pinned_host")
+        template = {"params": params_abs, "opt": opt_abs}
+        full_sh = {"params": shardings, "opt": opt_sh}
+    else:
+        template, full_sh = params_abs, shardings
+    payload, _ = restore_checkpoint(args.ckpt_dir, template=template,
+                                    shardings=full_sh)
+    if wrapped:
         payload = payload["params"]
     placement = plan_placement(
         tuple(meta["table_sizes"]), n, pack=meta.get("pack", 1),
         max_rows_per_shard=meta.get("max_rows_per_shard"),
         col_sharded_tables=meta.get("col_sharded_tables", ()),
         host_tables=meta.get("host_tables", ()))
-    mesh = make_mesh(n)
-    params = jax.device_put(payload, param_shardings(mesh, payload))
-    return params, mesh, placement
+    return payload, mesh, placement
 
 
 def _load_eval_params(args, config):
@@ -764,7 +803,7 @@ def cmd_eval(args) -> int:
     # synthetic fallback needs a bound or evaluate() would never terminate
     eval_steps = args.eval_steps or (None if args.data else 10)
     meta = _read_run_meta(args.ckpt_dir) if args.ckpt_dir else {}
-    ctx = (_try_load_sharded_ctx(args, config)
+    ctx = (_try_load_sharded_ctx(args, config, meta=meta)
            if meta.get("sharded")
            and args.batch_size % int(meta["num_shards"]) == 0 else None)
     if ctx is not None:

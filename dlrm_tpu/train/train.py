@@ -911,7 +911,8 @@ def make_sharded_train_block(config: DLRMConfig, lr, mesh, placement,
 
 def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
                             labels, *, config: DLRMConfig, lr, mesh,
-                            placement, block: int = None, axis: str = "d"):
+                            placement, block: int = None, axis: str = "d",
+                            unroll: bool = True):
     """Coalesced K-step ADAGRAD block on the hybrid-parallel path: per
     micro-step sharded lookup (tables as of block entry) + per-micro-step
     dense Adagrad; the K compressed pooled gradients are stacked and
@@ -937,27 +938,47 @@ def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
     tx = optim.dense_optimizer("adagrad", lr)
     dp = dense_params
     dense_state = opt_state["dense"]
-    losses, d_pooled_acc = [], []
-    for k in range(block):
-        with jax.named_scope("lookup"):
-            pooled = pemb.sharded_lookup(params["emb"], sparse[k],
-                                         mesh=mesh, placement=placement,
-                                         axis=axis, cs=cs, emb_h=emb_h)
 
-        def inner(dp_, p_, k=k):
-            return _loss_from_pooled(dp_, p_, dense[k], labels[k], config)
+    def micro_step(dp, dense_state, d, s, l):
+        with jax.named_scope("lookup"):
+            pooled = pemb.sharded_lookup(params["emb"], s, mesh=mesh,
+                                         placement=placement, axis=axis,
+                                         cs=cs, emb_h=emb_h)
+
+        def inner(dp_, p_):
+            return _loss_from_pooled(dp_, p_, d, l, config)
 
         loss, (dgrads, d_pooled) = jax.value_and_grad(
             inner, argnums=(0, 1))(dp, pooled)
         with jax.named_scope("dense_update"):
-            updates, dense_state = tx.update(dgrads, dense_state, dp)
+            updates, new_dense_state = tx.update(dgrads, dense_state, dp)
             dp = jax.tree.map(lambda p, q: q.astype(p.dtype), dp,
                               optax.apply_updates(dp, updates))
-        losses.append(loss)
-        d_pooled_acc.append(d_pooled)
+        return dp, new_dense_state, loss, d_pooled
+
+    if unroll:
+        losses, d_pooled_acc = [], []
+        for k in range(block):
+            dp, dense_state, loss, d_pooled = micro_step(
+                dp, dense_state, dense[k], sparse[k], labels[k])
+            losses.append(loss)
+            d_pooled_acc.append(d_pooled)
+        losses = jnp.stack(losses)
+        d_stack = jnp.stack(d_pooled_acc)  # (K, B, T, D), dim 1 sharded
+    else:
+        # lax.scan over micro-steps (shard_map composes under scan):
+        # much faster first compile, slightly slower steady-state
+        def body(carry, xs):
+            dp, dense_state = carry
+            d, s, l = xs
+            dp, dense_state, loss, d_pooled = micro_step(
+                dp, dense_state, d, s, l)
+            return (dp, dense_state), (loss, d_pooled)
+
+        (dp, dense_state), (losses, d_stack) = jax.lax.scan(
+            body, (dp, dense_state), (dense, sparse, labels))
 
     with jax.named_scope("coalesced_adagrad_update"):
-        d_stack = jnp.stack(d_pooled_acc)  # (K, B, T, D), dim 1 sharded
         new_emb, new_acc, new_h, new_acc_h, new_cs, new_acc_cs = \
             pemb.sharded_update_adagrad(
                 params["emb"], opt_state["emb_acc"], sparse, d_stack, lr,
@@ -975,16 +996,18 @@ def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
         new_params["emb_cs"] = new_cs
     if "emb_h" in params:
         new_params["emb_h"] = new_h
-    return (new_params, new_opt), jnp.stack(losses)
+    return (new_params, new_opt), losses
 
 
 def make_sharded_train_block_opt(config: DLRMConfig, *, optimizer: str,
                                  lr, mesh, placement, block: int = None,
-                                 axis: str = "d") -> Callable:
+                                 axis: str = "d",
+                                 unroll: bool = True) -> Callable:
     del block  # derived from the batch's leading dim at trace time
     assert optimizer == "adagrad", "SGD blocks use make_sharded_train_block"
     step = functools.partial(sharded_train_block_opt, config=config, lr=lr,
-                             mesh=mesh, placement=placement, axis=axis)
+                             mesh=mesh, placement=placement, axis=axis,
+                             unroll=unroll)
     if not placement.host_row_sharded:
         return jax.jit(step, donate_argnums=(0, 1))
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -294,8 +294,10 @@ def test_adagrad_block_repeated_ids_dedups_before_accumulator(impl):
     assert np.all(w[[0, 1, 2, 4, 5, 6]] == 0)  # untouched rows
 
 
-@pytest.mark.parametrize("row_sharded", [False, True])
-def test_sharded_adagrad_block_disjoint_equals_sequential(row_sharded):
+@pytest.mark.parametrize("row_sharded,unroll",
+                         [(False, True), (True, True), (False, False)])
+def test_sharded_adagrad_block_disjoint_equals_sequential(row_sharded,
+                                                          unroll):
     """Hybrid-parallel Adagrad block == K sequential sharded adagrad
     steps when ids are disjoint across micro-batches."""
     from dlrm_tpu.parallel import embedding as pemb
@@ -341,7 +343,7 @@ def test_sharded_adagrad_block_disjoint_equals_sequential(row_sharded):
 
     blk = make_sharded_train_block_opt(config, optimizer="adagrad",
                                        lr=0.1, mesh=mesh, placement=p,
-                                       block=k)
+                                       block=k, unroll=unroll)
     p_blk = jax.device_put(jax.tree.map(jnp.copy, sh_params), shardings)
     o_blk = init_sharded_opt_state(p_blk, config=config,
                                    optimizer="adagrad", lr=0.1, mesh=mesh)

@@ -121,16 +121,27 @@ def test_native_parser_matches_python(text_lines):
 
 
 def test_native_marshal_matches_loader(text_lines):
+    """C++ marshal vs the PURE-PYTHON loader path: use_native=False pins
+    the oracle side to numpy (the default loader routes through the same
+    C++ code when the library is present, which would make this test
+    native-vs-native and vacuous)."""
     if not native.available():
         pytest.skip("native library unavailable")
     data = criteo.parse_lines(text_lines)
     vocab = criteo.build_vocabulary([data])
     criteo.reindex(data, vocab)
-    loader = criteo.DACLoader(data, batch_size=50)
+    loader = criteo.DACLoader(data, batch_size=50, use_native=False)
+    assert not loader._use_native()
     py_batch = next(iter(loader))
     c_batch = native.marshal_batch(np.ascontiguousarray(data), 0, 50)
     for k in ("labels", "dense", "sparse"):
         np.testing.assert_array_equal(py_batch[k], c_batch[k])
+    # and the auto loader (native path) agrees with both
+    auto = criteo.DACLoader(np.ascontiguousarray(data), batch_size=50)
+    assert auto._use_native()
+    n_batch = next(iter(auto))
+    for k in ("labels", "dense", "sparse"):
+        np.testing.assert_array_equal(py_batch[k], n_batch[k])
 
 
 def test_native_parser_rejects_malformed():
