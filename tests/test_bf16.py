@@ -61,6 +61,50 @@ def test_bf16_storage_trains_and_tracks_f32():
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
 
+def test_bf16_adagrad_block_matches_sequential():
+    """dense-G adagrad blocks with bf16 TABLE storage: the accumulator is
+    f32, updates cast once at the write — with disjoint ids the block
+    tracks K sequential bf16 adagrad steps within bf16 resolution."""
+    import pytest
+    from dlrm_tpu.train.train import (init_opt_state,
+                                      make_jit_train_block_opt,
+                                      make_jit_train_step_opt)
+
+    cb = _config(embedding_dtype=jnp.bfloat16)
+    params = dlrm_tpu.init_params(jax.random.key(2), cb)
+    rng = np.random.default_rng(2)
+    k, b = 2, 16
+    dense = jnp.asarray(rng.normal(size=(k, b, 13)).astype(np.float32))
+    sparse = jnp.asarray(np.stack([np.stack(
+        [rng.integers(i * (s // k), (i + 1) * (s // k), size=b)
+         for s in cb.table_sizes], axis=1)
+        for i in range(k)]).astype(np.int32))
+    labels = jnp.asarray((rng.random((k, b)) > 0.5).astype(np.float32))
+
+    step = make_jit_train_step_opt(cb, optimizer="adagrad", lr=0.1)
+    p_ref = jax.tree.map(jnp.copy, params)
+    o_ref = init_opt_state(p_ref, config=cb, optimizer="adagrad", lr=0.1)
+    for i in range(k):
+        (p_ref, o_ref), _ = step(p_ref, o_ref, dense[i], sparse[i],
+                                 labels[i])
+
+    blk = make_jit_train_block_opt(cb, optimizer="adagrad", lr=0.1,
+                                   block=k)
+    p_blk = jax.tree.map(jnp.copy, params)
+    o_blk = init_opt_state(p_blk, config=cb, optimizer="adagrad", lr=0.1)
+    (p_blk, o_blk), losses = blk(p_blk, o_blk, dense, sparse, labels)
+    assert all(c.dtype == jnp.bfloat16 for c in p_blk["emb"])
+    got = emb_ops.unpack_tables(
+        tuple(np.asarray(c, np.float32) for c in p_blk["emb"]), cb)
+    want = emb_ops.unpack_tables(
+        tuple(np.asarray(c, np.float32) for c in p_ref["emb"]), cb)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+    # accumulators are f32 and must agree tightly
+    for a, b_ in zip(o_ref["emb"].acc, o_blk["emb"].acc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-5, rtol=1e-4)
+
+
 def test_bf16_storage_multi_step_finite():
     cb = _config(embedding_dtype=jnp.bfloat16, n_hot=2)
     params = dlrm_tpu.init_params(jax.random.key(1), cb)
