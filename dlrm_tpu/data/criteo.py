@@ -188,6 +188,18 @@ class Vocabulary:
         v.ranks = [z[f"r{j}"] for j in range(NUM_SPARSE)]
         return v
 
+    @classmethod
+    def from_appearance(cls, appear: Sequence[np.ndarray]) -> "Vocabulary":
+        """Build from per-column values in first-appearance order (the
+        C++ vocab builder's export format, native.build_vocab_and_reindex)."""
+        v = cls()
+        for j, a in enumerate(appear):
+            a = np.asarray(a, np.uint32)
+            srt = np.argsort(a, kind="stable")
+            v.sorted_values[j] = a[srt]
+            v.ranks[j] = srt.astype(np.uint32)
+        return v
+
 
 def _is_member(a: np.ndarray, sorted_b: np.ndarray) -> np.ndarray:
     pos = np.searchsorted(sorted_b, a)
@@ -213,13 +225,21 @@ def reindex(data: np.ndarray, vocab: Vocabulary) -> None:
 
 
 def process(paths, binpath: Optional[str] = None,
-            vocab_path: Optional[str] = None) -> np.ndarray:
+            vocab_path: Optional[str] = None,
+            use_native: Optional[bool] = None) -> np.ndarray:
     """Full pipeline (criteo.jl:271-278): binarize all shards (concatenated
-    into one binary), build vocabulary, reindex in place."""
+    into one binary), build vocabulary, reindex in place.
+
+    The C++ engine does the vocabulary build + reindex in one hash-probe
+    pass over the concatenated records (first-appearance order over the
+    concatenation == the Python per-shard serial fold, tested); the numpy
+    path remains as reference and fallback (``use_native=False``).
+    """
+    from dlrm_tpu.data import native
+
     if isinstance(paths, str):
         paths = [paths]
     shards = [binarize(p) for p in paths]
-    vocab = build_vocabulary(shards)
     data = np.concatenate([np.asarray(s) for s in shards]) if len(
         shards) > 1 else np.asarray(shards[0])
     if binpath is not None:
@@ -227,7 +247,15 @@ def process(paths, binpath: Optional[str] = None,
                        shape=(len(data),))
         mm[:] = data
         data = mm
-    reindex(data, vocab)
+    native_ok = (use_native is not False and native.available()
+                 and data.flags["C_CONTIGUOUS"]
+                 and data.flags["WRITEABLE"])
+    if native_ok:
+        appear = native.build_vocab_and_reindex(data, reindex=True)
+        vocab = Vocabulary.from_appearance(appear)
+    else:
+        vocab = build_vocabulary(shards)
+        reindex(data, vocab)
     if isinstance(data, np.memmap):
         data.flush()
     if vocab_path is not None:

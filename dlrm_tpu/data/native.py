@@ -43,6 +43,20 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int32,
         ]
+        lib.dlrm_vocab_build.restype = ctypes.c_void_p
+        lib.dlrm_vocab_build.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
+        lib.dlrm_vocab_size.restype = ctypes.c_int64
+        lib.dlrm_vocab_size.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+        lib.dlrm_vocab_export.restype = None
+        lib.dlrm_vocab_export.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
+        lib.dlrm_vocab_reindex.restype = ctypes.c_int32
+        lib.dlrm_vocab_reindex.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_int32]
+        lib.dlrm_vocab_free.restype = None
+        lib.dlrm_vocab_free.argtypes = [ctypes.c_void_p]
         _lib = lib
     except OSError:
         _load_failed = True
@@ -96,6 +110,45 @@ def binarize(src: str, dst: Optional[str] = None) -> np.ndarray:
         mm.flush()
         return mm
     return data
+
+
+def build_vocab_and_reindex(records: np.ndarray, *,
+                            reindex: bool = True,
+                            num_threads: int = 0):
+    """One C++ pass: build the 26-column first-appearance vocabulary over
+    ``records`` and (optionally) rewrite the categorical columns to dense
+    1-based ids in place.  Returns the per-column appearance-order value
+    arrays — semantically identical to the Python Vocabulary fold +
+    reindex (data/criteo.py), ~40x faster.
+
+    ``records`` must be a writable, contiguous DAC record array when
+    ``reindex`` is on (memmap with mode='r+' works).
+    """
+    lib = _load()
+    assert lib is not None
+    assert records.flags["C_CONTIGUOUS"]
+    if num_threads <= 0:
+        num_threads = min(os.cpu_count() or 1, 26)
+    n = len(records)
+    handle = lib.dlrm_vocab_build(
+        records.ctypes.data_as(ctypes.c_void_p), n, num_threads)
+    try:
+        appear = []
+        for j in range(26):
+            size = lib.dlrm_vocab_size(handle, j)
+            out = np.empty(size, np.uint32)
+            lib.dlrm_vocab_export(handle, j,
+                                  out.ctypes.data_as(ctypes.c_void_p))
+            appear.append(out)
+        if reindex:
+            assert records.flags["WRITEABLE"]
+            rc = lib.dlrm_vocab_reindex(
+                handle, records.ctypes.data_as(ctypes.c_void_p), n,
+                num_threads)
+            assert rc == 0, "value missing from vocabulary"
+    finally:
+        lib.dlrm_vocab_free(handle)
+    return appear
 
 
 def marshal_batch(records: np.ndarray, start: int, count: int,

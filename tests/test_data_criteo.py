@@ -144,6 +144,55 @@ def test_native_marshal_matches_loader(text_lines):
         np.testing.assert_array_equal(py_batch[k], n_batch[k])
 
 
+def test_native_vocab_reindex_matches_python(text_lines):
+    """C++ hash-probe vocab build + reindex == the numpy Vocabulary fold:
+    same first-appearance order, same sorted/rank arrays, byte-identical
+    reindexed records — including across multiple shards (first
+    appearance over the concatenation == the per-shard serial fold)."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    shard_a = criteo.parse_lines(text_lines[:70])
+    shard_b = criteo.parse_lines(text_lines[70:])
+    vocab_py = criteo.build_vocabulary([shard_a, shard_b])
+    data_py = np.concatenate([shard_a, shard_b])
+    criteo.reindex(data_py, vocab_py)
+
+    data_c = np.concatenate([criteo.parse_lines(text_lines[:70]),
+                             criteo.parse_lines(text_lines[70:])])
+    appear = native.build_vocab_and_reindex(data_c, reindex=True)
+    vocab_c = criteo.Vocabulary.from_appearance(appear)
+    assert vocab_c.sizes == vocab_py.sizes
+    for j in range(26):
+        np.testing.assert_array_equal(vocab_c.sorted_values[j],
+                                      vocab_py.sorted_values[j])
+        np.testing.assert_array_equal(vocab_c.ranks[j], vocab_py.ranks[j])
+    np.testing.assert_array_equal(data_c.view(np.uint8),
+                                  data_py.view(np.uint8))
+
+
+def test_process_native_matches_python(tmp_path, text_lines):
+    """process() end to end: the native fast path and the forced numpy
+    path produce identical binaries and vocab files."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    src = tmp_path / "day.txt"
+    src.write_text("".join(text_lines))
+    out_n = str(tmp_path / "n.bin")
+    out_p = str(tmp_path / "p.bin")
+    criteo.process([str(src)], binpath=out_n,
+                   vocab_path=str(tmp_path / "n.npz"))
+    criteo.process([str(src)], binpath=out_p,
+                   vocab_path=str(tmp_path / "p.npz"), use_native=False)
+    a = np.fromfile(out_n, np.uint8)
+    b = np.fromfile(out_p, np.uint8)
+    np.testing.assert_array_equal(a, b)
+    zn = np.load(str(tmp_path / "n.npz"))
+    zp = np.load(str(tmp_path / "p.npz"))
+    assert sorted(zn.files) == sorted(zp.files)
+    for k in zn.files:
+        np.testing.assert_array_equal(zn[k], zp[k])
+
+
 def test_native_parser_rejects_malformed():
     if not native.available():
         pytest.skip("native library unavailable")
