@@ -136,10 +136,14 @@ def save_params(path: str, params: dict, config: DLRMConfig) -> None:
     assert h5py is not None
     with h5py.File(path, "w") as f:
         for i in range(config.num_tables):
+            # f32 on disk: HDF5/PyTorch interop has no bfloat16
             f[f"emb_{i}"] = np.asarray(
-                emb_ops.get_logical_table(params["emb"], config, i))
+                emb_ops.get_logical_table(params["emb"], config, i)
+            ).astype(np.float32)
         for prefix, layers in (("bot_l", params["bottom"]),
                                ("top_l", params["top"])):
             for j, layer in enumerate(layers):
-                f[f"{prefix}.{j}.weight"] = np.asarray(layer["w"]).T
-                f[f"{prefix}.{j}.bias"] = np.asarray(layer["b"])
+                f[f"{prefix}.{j}.weight"] = np.asarray(
+                    layer["w"]).astype(np.float32).T
+                f[f"{prefix}.{j}.bias"] = np.asarray(
+                    layer["b"]).astype(np.float32)

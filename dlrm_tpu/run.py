@@ -8,6 +8,7 @@ The reference configures experiments with Julia keyword args and an
   train        train a DLRM (synthetic or Criteo data), checkpoints + eval
   eval         accuracy / ROC-AUC / loss over a dataset
   predict      batch CTR scoring -> .npy (the serving surface)
+  export       checkpoint -> PyTorch-interop HDF5 (io/hdf5.save_params)
   validate     PyTorch-fixture parity harness (validation.py)
   instrument   per-phase step-time breakdown (telemetry.InstrumentedTrainer)
   bench        quick synthetic-throughput benchmark
@@ -884,6 +885,24 @@ def cmd_predict(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export a checkpoint to the PyTorch-interop HDF5 layout (per-table
+    emb_{i} + bot_l/top_l.{j}.weight|bias, (out, in) weights) — the
+    format the reference can only LOAD (criteo.jl:464-534); with this the
+    interop loop closes in both directions: train here, consume there."""
+    from dlrm_tpu.io.hdf5 import save_params
+
+    config = _build_config(args)
+    params, config = _load_eval_params(args, config)
+    save_params(args.out, params, config)
+    import os
+    print(json.dumps({"out": args.out,
+                      "tables": config.num_tables,
+                      "total_rows": config.total_rows,
+                      "bytes": os.path.getsize(args.out)}))
+    return 0
+
+
 def cmd_validate(args) -> int:
     from dlrm_tpu.validation import validate
 
@@ -1051,6 +1070,14 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--batch-size", type=int, default=16384)
     pr.add_argument("--out", required=True, help="output .npy path")
     pr.set_defaults(fn=cmd_predict)
+
+    ex = sub.add_parser("export", help="checkpoint -> PyTorch-interop HDF5")
+    _add_config_flags(ex)
+    ex.add_argument("--ckpt-dir", default=None)
+    ex.add_argument("--hdf5", default=None,
+                    help="re-export from an HDF5 model instead")
+    ex.add_argument("--out", required=True, help="output .hdf5 path")
+    ex.set_defaults(fn=cmd_export)
 
     va = sub.add_parser("validate", help="PyTorch-fixture parity")
     va.add_argument("fixtures", nargs="+")

@@ -513,6 +513,46 @@ def test_eval_cli_sharded_on_mesh(tmp_path, capsys):
     assert abs(ev_mesh["accuracy"] - ev_host["accuracy"]) < 0.05
 
 
+def test_export_cli_roundtrip(tmp_path, capsys):
+    """export writes the PyTorch-interop HDF5 from ANY run's checkpoint
+    (here a sharded one, exercising the unshard path); loading it back
+    reproduces the checkpoint's forward exactly."""
+    import h5py
+    import jax, jax.numpy as jnp
+    import dlrm_tpu
+    from dlrm_tpu.io import hdf5 as h5io
+
+    paths = _write_text_shards(tmp_path)
+    out = str(tmp_path / "data.bin")
+    _run(capsys, ["preprocess", *paths, "--out", out])
+    sizes = ",".join("1000" for _ in range(26))
+    ckpt = str(tmp_path / "ck")
+    common = ["--config", "tiny", "--table-sizes", sizes,
+              "--batch-size", "16"]
+    _run(capsys, ["train", *common, "--data", out, "--sharded", "true",
+                  "--log-every", "5", "--ckpt-dir", ckpt,
+                  "--save-interval", "100"])
+    h5_path = str(tmp_path / "model.hdf5")
+    rc, res = _run(capsys, ["export", "--config", "tiny", "--table-sizes",
+                            sizes, "--ckpt-dir", ckpt, "--out", h5_path])
+    assert rc == 0 and res["tables"] == 26
+    with h5py.File(h5_path, "r") as f:
+        assert "emb_0" in f and "bot_l.0.weight" in f
+        assert f["emb_0"].shape == (1000, 8)
+
+    # round-trip: load_params + forward == the checkpoint's eval forward
+    params_h, config_h = h5io.load_params(h5_path)
+    params_h = jax.tree.map(jnp.asarray, params_h)
+    rc, ev = _run(capsys, ["eval", *common, "--data", out,
+                           "--ckpt-dir", ckpt, "--eval-steps", "2"])
+    from dlrm_tpu.train.metrics import evaluate
+    data_iter = [b for i, b in zip(
+        range(2), DACLoader(load(out), 16))]
+    m = evaluate(params_h, data_iter, config_h)
+    np.testing.assert_allclose(m["loss"], ev["loss"], rtol=1e-5,
+                               atol=1e-6)
+
+
 def test_train_cli_epochs(tmp_path, capsys):
     """--epochs N trains N full passes over the dataset."""
     paths = _write_text_shards(tmp_path)
