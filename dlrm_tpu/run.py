@@ -218,6 +218,10 @@ def cmd_train(args) -> int:
             raise SystemExit(
                 f"--batch-size {args.batch_size} must divide evenly over "
                 f"the {dcn_n * ici_n}-device hybrid mesh")
+    if args.optimizer == "rowwise_adagrad" and (
+            sharded or args.hbm_budget_gb is not None):
+        raise SystemExit("rowwise_adagrad is single-chip only; use "
+                         "adagrad on the sharded/two-tier paths")
     n_shards = ici_n if ici_n else n_dev  # table-sharding axis size
     print(f"devices: {n_dev} ({jax.devices()[0].platform}), "
           f"sharded={sharded}"
@@ -517,9 +521,9 @@ def cmd_train(args) -> int:
             raise SystemExit(
                 "--update-interval > 1 is not supported on the two-tier "
                 "path (the host-tier writeback is already coalesced)")
-        if args.optimizer not in ("sgd", "adagrad"):
-            raise SystemExit("--update-interval > 1 requires sgd or "
-                             "adagrad")
+        if args.optimizer not in ("sgd", "adagrad", "rowwise_adagrad"):
+            raise SystemExit("--update-interval > 1 requires sgd, "
+                             "adagrad, or rowwise_adagrad")
         if sharded:
             from dlrm_tpu.parallel.mesh import block_batch_sharding
             if args.optimizer == "adagrad":
@@ -547,10 +551,10 @@ def cmd_train(args) -> int:
             batch_place = (lambda b: stacked_place
                            if np.asarray(b["dense"]).ndim == 3
                            else single_place)
-        elif args.optimizer == "adagrad":
+        elif args.optimizer in ("adagrad", "rowwise_adagrad"):
             from dlrm_tpu.train.train import make_jit_train_block_opt
             blk_opt = make_jit_train_block_opt(
-                config, optimizer="adagrad", lr=lr, block=block,
+                config, optimizer=args.optimizer, lr=lr, block=block,
                 unroll=not getattr(args, "block_scan", False))
 
             def blk_fn(p, d, s, l):
@@ -998,7 +1002,9 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--lr", type=float, default=0.1)
     tr.add_argument("--optimizer", default="sgd",
                     help="sgd | adagrad (all paths: single-chip, sharded, "
-                    "two-tier)")
+                    "two-tier) | rowwise_adagrad (single-chip; one "
+                    "accumulator scalar per row, 1/D the optimizer "
+                    "memory — the torchrec production default)")
     tr.add_argument("--lr-schedule", default="constant",
                     help="constant | warmup_poly_decay (MLPerf-style)")
     tr.add_argument("--warmup-steps", type=int, default=0)

@@ -40,6 +40,15 @@ class EmbAdagradState(NamedTuple):
     acc: Tuple[jax.Array, ...]
 
 
+class EmbRowwiseAdagradState(NamedTuple):
+    """Row-wise Adagrad accumulators: ONE f32 scalar per LOGICAL row —
+    per-chunk (chunk_rows, pack) arrays, 1/D the elementwise
+    accumulator's memory (the torchrec ROWWISE_ADAGRAD layout, the
+    de-facto production DLRM optimizer)."""
+
+    acc: Tuple[jax.Array, ...]
+
+
 def init_emb_state(config: DLRMConfig, optimizer: str, emb,
                    init_acc: float = 0.0):
     if optimizer == "sgd":
@@ -50,16 +59,24 @@ def init_emb_state(config: DLRMConfig, optimizer: str, emb,
                 jnp.full(c.shape, init_acc, jnp.float32) for c in emb))
         return EmbAdagradState(
             acc=(jnp.full(emb.shape, init_acc, jnp.float32),))
+    if optimizer == "rowwise_adagrad":
+        assert isinstance(emb, (tuple, list)), \
+            "rowwise_adagrad requires engine (chunked) storage"
+        return EmbRowwiseAdagradState(acc=tuple(
+            jnp.full((c.shape[0], config.pack), init_acc, jnp.float32)
+            for c in emb))
     raise ValueError(f"unknown optimizer {optimizer!r}")
 
 
 def dense_optimizer(optimizer: str, lr):
     """optax transform for the dense (MLP) parameters.  ``lr`` may be a
-    float or an optax schedule."""
+    float or an optax schedule.  rowwise_adagrad applies to EMBEDDING
+    rows only — dense params get elementwise adagrad (torchrec does the
+    same: rowwise is a table-sharding-era memory optimization)."""
     assert optax is not None, "optax required"
     if optimizer == "sgd":
         return optax.sgd(lr)
-    if optimizer == "adagrad":
+    if optimizer in ("adagrad", "rowwise_adagrad"):
         return optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
     raise ValueError(f"unknown optimizer {optimizer!r}")
 
@@ -229,5 +246,125 @@ def apply_adagrad_dense_table(table: jax.Array, acc: jax.Array,
     formula as optax.scale_by_rss)."""
     acc_new = acc + grad.astype(jnp.float32) ** 2
     step = grad * jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+    return (table - lr * step.astype(table.dtype)).astype(table.dtype), \
+        acc_new
+
+
+# -- row-wise Adagrad (the torchrec ROWWISE_ADAGRAD analog) -------------------
+#
+# One accumulator scalar per logical ROW: acc[r] += mean_D(g_r^2), then
+# w[r] -= lr * g_r * rsqrt(acc[r] + eps) — 1/D the optimizer memory of
+# elementwise Adagrad (135 MB vs 2.16 GB at Kaggle fs=16) with the same
+# per-row adaptivity; the de-facto production DLRM embedding optimizer.
+# Duplicate-id semantics follow the same dedup-then-apply contract: a
+# row's contributions are summed BEFORE the nonlinear update.
+
+def apply_rowwise_adagrad_chunked(emb, state: EmbRowwiseAdagradState,
+                                  ids: jax.Array, d_rows: jax.Array, lr,
+                                  config: DLRMConfig, tables=None,
+                                  eps: float = 1e-10, d_rows_scaled=None):
+    """Exact sparse row-wise Adagrad on the chunked stack (dedup path);
+    mirrors :func:`apply_adagrad_chunked` with a (chunk_rows, pack)
+    scalar-per-row accumulator."""
+    if tables is None:
+        tables = tuple(range(config.num_tables))
+    new_emb = list(emb)
+    new_acc = list(state.acc)
+    d = config.feature_size
+    pack = config.pack
+    for c, pos, ts in emb_ops.chunk_groups(config, tuple(tables)):
+        ids_g = ids[:, pos] if ids.ndim == 2 else ids[:, pos, :]
+        d_g = d_rows[:, pos] if d_rows.ndim == 3 else d_rows[:, pos, :, :]
+        phys, slot = emb_ops.chunk_translate(ids_g, config, ts)
+        key = (phys * pack + slot).reshape(-1)
+        g = d_g.reshape(-1, d).astype(jnp.float32)
+        if d_rows_scaled is not None:
+            s_g = (d_rows_scaled[:, pos] if d_rows_scaled.ndim == 3
+                   else d_rows_scaled[:, pos, :, :])
+            g = jnp.concatenate(
+                [g, s_g.reshape(-1, d).astype(jnp.float32)], axis=-1)
+        key_u, g_u = _dedup_rows(key, g)
+        gs_u = None
+        if d_rows_scaled is not None:
+            g_u, gs_u = g_u[:, :d], g_u[:, d:]
+        phys_u = jnp.where(key_u >= 0, key_u // pack, -1)
+        slot_u = jnp.where(key_u >= 0, key_u % pack, 0)
+        g2m = jnp.mean(g_u * g_u, axis=-1)           # scalar per row
+        acc_rows = new_acc[c][phys_u, slot_u]        # surplus: g2m == 0
+        acc_new = acc_rows + g2m
+        with jax.named_scope("rowwise_acc_update"):
+            new_acc[c] = new_acc[c].at[phys_u, slot_u].add(g2m,
+                                                           mode="drop")
+        rs = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+        with jax.named_scope("rowwise_row_update"):
+            if gs_u is not None:
+                new_emb[c] = emb_ops.chunk_apply_sgd(
+                    new_emb[c], phys_u, slot_u, gs_u * rs[:, None], 1.0,
+                    config)
+            else:
+                new_emb[c] = emb_ops.chunk_apply_sgd(
+                    new_emb[c], phys_u, slot_u, g_u * rs[:, None], lr,
+                    config)
+    return tuple(new_emb), EmbRowwiseAdagradState(acc=tuple(new_acc))
+
+
+def apply_rowwise_adagrad_dense_g(emb, state: EmbRowwiseAdagradState,
+                                  ids: jax.Array, d_rows: jax.Array, lr,
+                                  config: DLRMConfig, tables=None,
+                                  eps: float = 1e-10, d_rows_scaled=None):
+    """Dense-G row-wise Adagrad (block fast path; see
+    :func:`apply_adagrad_dense_g` for the trick): the per-row mean of G^2
+    reduces the dense buffer straight into the (chunk_rows, pack)
+    accumulator; untouched rows round-trip unchanged."""
+    if tables is None:
+        tables = tuple(range(config.num_tables))
+    new_emb = list(emb)
+    new_acc = list(state.acc)
+    d = config.feature_size
+    pack = config.pack
+    for c, pos, ts in emb_ops.chunk_groups(config, tuple(tables)):
+        ids_g = ids[:, pos] if ids.ndim == 2 else ids[:, pos, :]
+        d_g = d_rows[:, pos] if d_rows.ndim == 3 else d_rows[:, pos, :, :]
+        phys, slot = emb_ops.chunk_translate(ids_g, config, ts)
+        rows, w = new_emb[c].shape
+
+        def densify(r_):
+            g = r_.astype(jnp.float32)
+            if pack > 1:
+                g = emb_ops.expand_slots(g, slot, config)
+            return jnp.zeros((rows, w), jnp.float32).at[
+                phys.reshape(-1)].add(g.reshape(-1, w), mode="drop")
+
+        with jax.named_scope("rowwise_densify_g"):
+            G = densify(d_g)
+        g2m = jnp.mean((G * G).reshape(rows, pack, d), axis=-1)
+        acc_new = new_acc[c] + g2m                    # (rows, pack)
+        rs = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+        rs_full = jnp.broadcast_to(rs[:, :, None],
+                                   (rows, pack, d)).reshape(rows, w)
+        if d_rows_scaled is not None:
+            s_g = (d_rows_scaled[:, pos] if d_rows_scaled.ndim == 3
+                   else d_rows_scaled[:, pos, :, :])
+            with jax.named_scope("rowwise_densify_scaled"):
+                upd = densify(s_g) * rs_full
+        else:
+            upd = (lr * G) * rs_full
+        with jax.named_scope("rowwise_dense_apply"):
+            new_emb[c] = (new_emb[c]
+                          - upd.astype(new_emb[c].dtype)).astype(
+                              new_emb[c].dtype)
+        new_acc[c] = acc_new
+    return tuple(new_emb), EmbRowwiseAdagradState(acc=tuple(new_acc))
+
+
+def apply_rowwise_adagrad_dense_table(table: jax.Array, acc: jax.Array,
+                                      grad: jax.Array, lr,
+                                      eps: float = 1e-10):
+    """Row-wise Adagrad on a whole (small) table with a dense gradient:
+    ``acc`` is (R,) — one scalar per row."""
+    g = grad.astype(jnp.float32)
+    acc_new = acc + jnp.mean(g * g, axis=-1)
+    rs = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+    step = g * rs[:, None]
     return (table - lr * step.astype(table.dtype)).astype(table.dtype), \
         acc_new

@@ -239,6 +239,11 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
             if optimizer == "sgd":
                 new_emb = list(emb_ops.apply_sgd_chunked(
                     new_emb, ids_big, d_rows_big, lr_t, config, big))
+            elif optimizer == "rowwise_adagrad":
+                new_emb, emb_state = optim.apply_rowwise_adagrad_chunked(
+                    new_emb, emb_state, ids_big, d_rows_big, lr_t, config,
+                    big)
+                new_emb = list(new_emb)
             else:
                 new_emb, emb_state = optim.apply_adagrad_chunked(
                     new_emb, emb_state, ids_big, d_rows_big, lr_t, config,
@@ -246,7 +251,8 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
                 new_emb = list(new_emb)
     if small:
         with jax.named_scope("small_table_update"):
-            new_acc = list(emb_state.acc) if optimizer == "adagrad" else None
+            new_acc = (list(emb_state.acc)
+                       if optimizer != "sgd" else None)
             for k, t in enumerate(small):
                 c = config.table_chunk[t]
                 po = config.chunk_table_offsets[t]
@@ -260,24 +266,42 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
                             [upd, jnp.zeros((pad, upd.shape[1]), upd.dtype)])
                     new_emb[c] = new_emb[c].at[po:po + pn].add(
                         upd.reshape(pn, config.row_width))
+                    continue
+                tab = emb_ops.get_logical_table(tuple(new_emb), config, t)
+                n_rows = config.table_sizes[t]
+                orig = new_emb[c][po:po + pn].reshape(
+                    -1, config.feature_size)
+                if optimizer == "rowwise_adagrad":
+                    # acc chunk is (chunk_rows, pack): one scalar per
+                    # logical row
+                    acc_view = new_acc[c][po:po + pn].reshape(-1)[:n_rows]
+                    new_tab, new_acc_tab = \
+                        optim.apply_rowwise_adagrad_dense_table(
+                            tab, acc_view, grad, lr_t)
+                    if pad:
+                        new_tab = jnp.concatenate(
+                            [new_tab, orig[n_rows:]])
+                        orig_acc = new_acc[c][po:po + pn].reshape(-1)
+                        new_acc_tab = jnp.concatenate(
+                            [new_acc_tab, orig_acc[n_rows:]])
+                    new_emb[c] = new_emb[c].at[po:po + pn].set(
+                        new_tab.reshape(pn, config.row_width))
+                    new_acc[c] = new_acc[c].at[po:po + pn].set(
+                        new_acc_tab.reshape(pn, config.pack))
                 else:
-                    tab = emb_ops.get_logical_table(tuple(new_emb), config, t)
                     acc_view = new_acc[c][po:po + pn].reshape(
-                        -1, config.feature_size)[:config.table_sizes[t]]
+                        -1, config.feature_size)[:n_rows]
                     new_tab, new_acc_tab = optim.apply_adagrad_dense_table(
                         tab, acc_view, grad, lr_t)
                     if pad:
                         # pad slots are never read but must round-trip
                         # unchanged (as on every other update path)
-                        orig = new_emb[c][po:po + pn].reshape(
-                            -1, config.feature_size)
                         new_tab = jnp.concatenate(
-                            [new_tab, orig[config.table_sizes[t]:]])
+                            [new_tab, orig[n_rows:]])
                         orig_acc = new_acc[c][po:po + pn].reshape(
                             -1, config.feature_size)
                         new_acc_tab = jnp.concatenate(
-                            [new_acc_tab,
-                             orig_acc[config.table_sizes[t]:]])
+                            [new_acc_tab, orig_acc[n_rows:]])
                     new_emb[c] = new_emb[c].at[po:po + pn].set(
                         new_tab.reshape(pn, config.row_width))
                     new_acc[c] = new_acc[c].at[po:po + pn].set(
@@ -285,6 +309,9 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
             if optimizer == "adagrad":
                 from dlrm_tpu.train.optim import EmbAdagradState
                 emb_state = EmbAdagradState(acc=tuple(new_acc))
+            elif optimizer == "rowwise_adagrad":
+                from dlrm_tpu.train.optim import EmbRowwiseAdagradState
+                emb_state = EmbRowwiseAdagradState(acc=tuple(new_acc))
 
     new_params = model_lib.merge_params(new_dense, tuple(new_emb))
     new_opt = {"dense": new_dense_state, "emb": emb_state,
@@ -436,7 +463,8 @@ def make_jit_train_block(config: DLRMConfig, lr, block: int = None
 def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
                     sparse: jax.Array, labels: jax.Array, *,
                     config: DLRMConfig, lr, block: int = None,
-                    adagrad_impl: str = "dense_g", unroll: bool = True):
+                    adagrad_impl: str = "dense_g", unroll: bool = True,
+                    optimizer: str = "adagrad"):
     """Coalesced K-step block with sparse ADAGRAD (see :func:`train_block`
     for the staleness contract — SGD blocks route there).
 
@@ -467,8 +495,11 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
     assert config.is_packed, "train_block_opt requires engine storage"
     emb_dtype = emb[0].dtype
     scheduled = callable(lr)
+    rowwise = optimizer == "rowwise_adagrad"
     count = opt_state.get("count", jnp.zeros((), jnp.int32))
-    tx = optim.dense_optimizer("adagrad", lr)
+    tx = optim.dense_optimizer(optimizer, lr)
+    small_apply = (optim.apply_rowwise_adagrad_dense_table if rowwise
+                   else optim.apply_adagrad_dense_table)
 
     dp = dense_params
     dense_state = opt_state["dense"]
@@ -479,8 +510,12 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
         c = config.table_chunk[t]
         po = config.chunk_table_offsets[t]
         pn = config.packed_table_rows[t]
-        acc_view = emb_state.acc[c][po:po + pn].reshape(
-            -1, config.feature_size)[:config.table_sizes[t]]
+        if rowwise:  # (chunk_rows, pack) scalar-per-row accumulator
+            acc_view = emb_state.acc[c][po:po + pn].reshape(
+                -1)[:config.table_sizes[t]]
+        else:
+            acc_view = emb_state.acc[c][po:po + pn].reshape(
+                -1, config.feature_size)[:config.table_sizes[t]]
         st.append((emb_ops.get_logical_table(emb, config, t), acc_view))
 
     st = tuple(st)
@@ -515,9 +550,8 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
             dp = jax.tree.map(lambda p, q: q.astype(p.dtype), dp,
                               optax.apply_updates(dp, updates))
         with jax.named_scope("small_table_update"):
-            st = tuple(optim.apply_adagrad_dense_table(
-                tab, acc, d_smalls[j], lr_k)
-                for j, (tab, acc) in enumerate(st))
+            st = tuple(small_apply(tab, acc, d_smalls[j], lr_k)
+                       for j, (tab, acc) in enumerate(st))
         return dp, dense_state, st, loss, ids_big, d_rows_big
 
     ids_cat = drows_cat = scaled_cat = None
@@ -568,8 +602,15 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
         # passes, amortized over K (measured 24.4 vs 46.0 ms/step at K=8).
         # dedup: compressed sort-based path, no chunk-sized transient —
         # for memory-constrained configs.
-        apply = {"dense_g": optim.apply_adagrad_dense_g,
-                 "dedup": optim.apply_adagrad_chunked}[adagrad_impl]
+        impls = {
+            ("adagrad", "dense_g"): optim.apply_adagrad_dense_g,
+            ("adagrad", "dedup"): optim.apply_adagrad_chunked,
+            ("rowwise_adagrad", "dense_g"):
+                optim.apply_rowwise_adagrad_dense_g,
+            ("rowwise_adagrad", "dedup"):
+                optim.apply_rowwise_adagrad_chunked,
+        }
+        apply = impls[(optimizer, adagrad_impl)]
         with jax.named_scope("coalesced_adagrad_update"):
             new_emb, emb_state = apply(
                 new_emb, emb_state, ids_cat, drows_cat,
@@ -588,16 +629,22 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
                 # pad slots are never read but must round-trip unchanged
                 orig = emb[c][po:po + pn].reshape(-1, config.feature_size)
                 tab = jnp.concatenate([tab, orig[config.table_sizes[t]:]])
-                orig_acc = emb_state.acc[c][po:po + pn].reshape(
-                    -1, config.feature_size)
+                if rowwise:
+                    orig_acc = emb_state.acc[c][po:po + pn].reshape(-1)
+                else:
+                    orig_acc = emb_state.acc[c][po:po + pn].reshape(
+                        -1, config.feature_size)
                 acc = jnp.concatenate([acc,
                                        orig_acc[config.table_sizes[t]:]])
             new_emb[c] = new_emb[c].at[po:po + pn].set(
                 tab.reshape(pn, config.row_width))
             new_acc[c] = new_acc[c].at[po:po + pn].set(
-                acc.reshape(pn, config.row_width))
-        from dlrm_tpu.train.optim import EmbAdagradState
-        emb_state = EmbAdagradState(acc=tuple(new_acc))
+                acc.reshape(pn, config.pack if rowwise
+                            else config.row_width))
+        from dlrm_tpu.train.optim import (EmbAdagradState,
+                                          EmbRowwiseAdagradState)
+        emb_state = (EmbRowwiseAdagradState(acc=tuple(new_acc)) if rowwise
+                     else EmbAdagradState(acc=tuple(new_acc)))
 
     new_params = model_lib.merge_params(dp, tuple(new_emb))
     new_opt = {"dense": dense_state, "emb": emb_state,
@@ -615,9 +662,11 @@ def make_jit_train_block_opt(config: DLRMConfig, *, optimizer: str,
     (unlike the SGD block makers).  ``unroll=False`` scans over
     micro-steps: much faster compile, slightly slower steady-state."""
     del block  # derived from the batch's leading dim at trace time
-    assert optimizer == "adagrad", "SGD blocks use make_jit_train_block"
+    assert optimizer in ("adagrad", "rowwise_adagrad"), \
+        "SGD blocks use make_jit_train_block"
     step = functools.partial(train_block_opt, config=config, lr=lr,
-                             adagrad_impl=adagrad_impl, unroll=unroll)
+                             adagrad_impl=adagrad_impl, unroll=unroll,
+                             optimizer=optimizer)
     return jax.jit(step, donate_argnums=(0, 1))
 
 

@@ -94,6 +94,22 @@ def test_train_cli_adagrad(capsys):
     assert res["steps"] == 3 and np.isfinite(res["final_loss"])
 
 
+def test_train_cli_rowwise_adagrad(capsys):
+    """rowwise_adagrad end-to-end: plain steps + blocks; rejected on the
+    sharded path with a clear error."""
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "5",
+        "--sharded", "false", "--optimizer", "rowwise_adagrad",
+        "--update-interval", "2", "--log-every", "2", "--eval-after",
+        "--eval-steps", "2"])
+    assert rc == 0 and res["steps"] == 5
+    assert np.isfinite(res["final_loss"])
+    with pytest.raises(SystemExit, match="single-chip"):
+        cli.main(["train", "--config", "tiny", "--batch-size", "32",
+                  "--steps", "2", "--sharded", "true",
+                  "--optimizer", "rowwise_adagrad"])
+
+
 def test_train_cli_sharded_synthetic(capsys):
     """Hybrid-parallel path over the 8-device CPU mesh via the CLI."""
     rc, res = _run(capsys, [

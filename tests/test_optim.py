@@ -420,3 +420,108 @@ def test_sharded_adagrad_host_tables_matches_dense_oracle(n_hot):
             np.testing.assert_allclose(np.asarray(a["w"]),
                                        np.asarray(b["w"]),
                                        atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_hot", [1, 2])
+def test_rowwise_adagrad_matches_dense_oracle(n_hot):
+    """Row-wise Adagrad (one accumulator scalar per row, the torchrec
+    ROWWISE_ADAGRAD analog): multi-step parity against a dense oracle
+    applying acc[r] += mean_D(g_r^2); w[r] -= lr*g_r*rsqrt(acc[r]+eps)
+    on the logical stack (dense params via optax elementwise adagrad,
+    matching the implementation's split)."""
+    c, params, args = _setup(n_hot=n_hot)
+    dense, sparse, labels = args
+    lr = 0.3
+
+    logical0 = jnp.asarray(_logical(params["emb"], c))
+    cp = dataclasses.replace(c, packed_tables=False)
+    oracle_dense = {"bottom": jax.tree.map(jnp.copy, params["bottom"]),
+                    "top": jax.tree.map(jnp.copy, params["top"])}
+    oracle_emb = logical0
+    acc = jnp.zeros((logical0.shape[0],), jnp.float32)
+    tx = optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+    opt = tx.init(oracle_dense)
+    for _ in range(3):
+        full = {"bottom": oracle_dense["bottom"], "emb": oracle_emb,
+                "top": oracle_dense["top"]}
+
+        def loss_fn(p):
+            out = model_lib.forward(p, dense, sparse, cp)
+            return bce_loss(out, labels)
+
+        grads = jax.grad(loss_fn)(full)
+        g_emb = grads.pop("emb")
+        updates, opt = tx.update(
+            {"bottom": grads["bottom"], "top": grads["top"]}, opt,
+            oracle_dense)
+        oracle_dense = optax.apply_updates(oracle_dense, updates)
+        acc_new = acc + jnp.mean(g_emb * g_emb, axis=-1)
+        rs = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + 1e-10), 0.0)
+        oracle_emb = oracle_emb - lr * g_emb * rs[:, None]
+        acc = acc_new
+
+    step = make_jit_train_step_opt(c, optimizer="rowwise_adagrad", lr=lr)
+    opt_state = init_opt_state(params, config=c,
+                               optimizer="rowwise_adagrad", lr=lr)
+    state = (jax.tree.map(jnp.copy, params), opt_state)
+    for _ in range(3):
+        state, loss = step(state[0], state[1], *args)
+    got_params, got_opt = state
+    # accumulator stores exactly 1 scalar per logical row
+    total_acc = sum(int(np.prod(a.shape)) for a in got_opt["emb"].acc)
+    assert total_acc == sum(
+        -(-s // c.pack) * c.pack for s in c.table_sizes)
+    np.testing.assert_allclose(_logical(got_params["emb"], c),
+                               np.asarray(oracle_emb),
+                               atol=5e-5, rtol=5e-5)
+    for side in ("bottom", "top"):
+        for a, b in zip(got_params[side], oracle_dense[side]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]),
+                                       atol=5e-5, rtol=5e-5)
+
+
+@pytest.mark.parametrize("impl,unroll", [("dense_g", True),
+                                         ("dedup", True),
+                                         ("dense_g", False)])
+def test_rowwise_adagrad_block_matches_sequential(impl, unroll):
+    """Row-wise blocks: with disjoint ids across micro-batches, a K-block
+    equals K sequential rowwise steps (both impls + the scan variant)."""
+    from dlrm_tpu.train.train import make_jit_train_block_opt
+
+    c = dataclasses.replace(
+        dlrm_tpu.tiny_config(num_tables=4, rows=256, feature_size=8),
+        small_table_threshold=16, table_sizes=(16, 256, 8, 256))
+    params = dlrm_tpu.init_params(jax.random.key(5), c)
+    rng = np.random.default_rng(5)
+    k, b = 3, 32
+    dense = jnp.asarray(rng.normal(size=(k, b, 13)).astype(np.float32))
+    sparse = jnp.asarray(np.stack([np.stack(
+        [rng.integers(i * (s // k), (i + 1) * (s // k), size=b)
+         for s in c.table_sizes], axis=1)
+        for i in range(k)]).astype(np.int32))
+    labels = jnp.asarray((rng.random((k, b)) > 0.5).astype(np.float32))
+    lr = 0.1
+
+    step = make_jit_train_step_opt(c, optimizer="rowwise_adagrad", lr=lr)
+    p_ref = jax.tree.map(jnp.copy, params)
+    o_ref = init_opt_state(p_ref, config=c, optimizer="rowwise_adagrad",
+                           lr=lr)
+    for i in range(k):
+        (p_ref, o_ref), _ = step(p_ref, o_ref, dense[i], sparse[i],
+                                 labels[i])
+
+    blk = make_jit_train_block_opt(c, optimizer="rowwise_adagrad", lr=lr,
+                                   block=k, adagrad_impl=impl,
+                                   unroll=unroll)
+    p_blk = jax.tree.map(jnp.copy, params)
+    o_blk = init_opt_state(p_blk, config=c, optimizer="rowwise_adagrad",
+                           lr=lr)
+    (p_blk, o_blk), losses = blk(p_blk, o_blk, dense, sparse, labels)
+    assert losses.shape == (k,)
+    np.testing.assert_allclose(_logical(p_blk["emb"], c),
+                               _logical(p_ref["emb"], c),
+                               atol=1e-5, rtol=1e-5)
+    for a, b_ in zip(o_ref["emb"].acc, o_blk["emb"].acc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-6, rtol=1e-5)
