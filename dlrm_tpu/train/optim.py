@@ -290,11 +290,14 @@ def apply_rowwise_adagrad_chunked(emb, state: EmbRowwiseAdagradState,
         phys_u = jnp.where(key_u >= 0, key_u // pack, -1)
         slot_u = jnp.where(key_u >= 0, key_u % pack, 0)
         g2m = jnp.mean(g_u * g_u, axis=-1)           # scalar per row
-        acc_rows = new_acc[c][phys_u, slot_u]        # surplus: g2m == 0
-        acc_new = acc_rows + g2m
+        # flat (rows*pack,) indexing by the logical-row key: 1-D gather +
+        # scatter lower far better than 2-D (phys, slot) indexing;
+        # surplus slots carry key -1 (dropped) and g2m == 0
+        acc_flat = new_acc[c].reshape(-1)
+        acc_new = acc_flat[key_u] + g2m
         with jax.named_scope("rowwise_acc_update"):
-            new_acc[c] = new_acc[c].at[phys_u, slot_u].add(g2m,
-                                                           mode="drop")
+            new_acc[c] = acc_flat.at[key_u].add(
+                g2m, mode="drop").reshape(new_acc[c].shape)
         rs = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
         with jax.named_scope("rowwise_row_update"):
             if gs_u is not None:
