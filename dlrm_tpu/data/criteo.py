@@ -95,7 +95,11 @@ def binarize(src: str, dst: Optional[str] = None,
     """
     from dlrm_tpu.data import native  # lazy: optional .so
 
-    if native.available() and not src.endswith(".gz"):
+    if native.available():
+        if src.endswith(".gz"):
+            # decompress host-side, parse with the multithreaded C++ path
+            with gzip.open(src, "rb") as f:
+                return native.binarize_bytes(f.read(), dst)
         return native.binarize(src, dst)
     chunks: List[np.ndarray] = []
     with _open_maybe_gzip(src) as f:

@@ -97,12 +97,11 @@ def parse_buffer(text: bytes, num_threads: int = 0) -> np.ndarray:
     return out[:n].copy()
 
 
-def binarize(src: str, dst: Optional[str] = None) -> np.ndarray:
-    """Native-path binarize: reads the whole file, parses multithreaded."""
+def binarize_bytes(text: bytes, dst: Optional[str] = None) -> np.ndarray:
+    """Parse raw Criteo text bytes (already decompressed) multithreaded,
+    optionally writing the records to ``dst``."""
     from dlrm_tpu.data.criteo import DAC_DTYPE
 
-    with open(src, "rb") as f:
-        text = f.read()
     data = parse_buffer(text)
     if dst is not None:
         mm = np.memmap(dst, dtype=DAC_DTYPE, mode="w+", shape=(len(data),))
@@ -110,6 +109,13 @@ def binarize(src: str, dst: Optional[str] = None) -> np.ndarray:
         mm.flush()
         return mm
     return data
+
+
+def binarize(src: str, dst: Optional[str] = None) -> np.ndarray:
+    """Native-path binarize: reads the whole file, parses multithreaded."""
+    with open(src, "rb") as f:
+        text = f.read()
+    return binarize_bytes(text, dst)
 
 
 def build_vocab_and_reindex(records: np.ndarray, *,

@@ -1026,9 +1026,10 @@ def build_parser() -> argparse.ArgumentParser:
                     "BatchUpdater relaxation; measured +39%% sgd "
                     "throughput at K=8 on v5e)")
     tr.add_argument("--block-scan", action="store_true",
-                    help="adagrad blocks: lax.scan over micro-steps "
-                    "instead of unrolling — ~8x faster first compile, "
-                    "~5%% slower steady-state (good for short runs)")
+                    help="adagrad/rowwise blocks: lax.scan over "
+                    "micro-steps instead of unrolling — ~8x faster first "
+                    "compile, ~5%% slower steady-state (good for short "
+                    "runs)")
     tr.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of a few steps")
     tr.add_argument("--hbm-budget-gb", type=float, default=None,
