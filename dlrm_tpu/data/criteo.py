@@ -85,32 +85,60 @@ def parse_lines(lines: Iterable[str]) -> np.ndarray:
     return out
 
 
+def _native_parse_stream(fobj, chunk_bytes: int = 256 << 20
+                         ) -> List[np.ndarray]:
+    """Stream a (possibly gzip-wrapped) binary file through the C++ parser
+    in bounded text chunks cut at line boundaries — peak memory stays
+    ~chunk_bytes + this chunk's records, never the whole decompressed day
+    (a Terabyte day is ~45 GB of text)."""
+    from dlrm_tpu.data import native
+
+    chunks: List[np.ndarray] = []
+    buf = b""
+    while True:
+        block = fobj.read(chunk_bytes)
+        if not block:
+            break
+        buf += block
+        cut = buf.rfind(b"\n")
+        if cut < 0:
+            continue
+        chunks.append(native.parse_buffer(buf[:cut + 1]))
+        buf = buf[cut + 1:]
+    if buf.strip():
+        chunks.append(native.parse_buffer(buf))
+    return chunks
+
+
 def binarize(src: str, dst: Optional[str] = None,
-             chunk_lines: int = 1 << 18) -> np.ndarray:
+             chunk_lines: int = 1 << 18,
+             use_native: Optional[bool] = None) -> np.ndarray:
     """Text (optionally .gz) -> binary records; returns the record array.
 
     Writes to ``dst`` when given (mmap-backed, grown incrementally like the
     reference's grow-mmap, criteo.jl:120-123), else stays in memory.
-    Uses the C++ parser from dlrm_tpu.data.native when available.
+    Uses the C++ parser from dlrm_tpu.data.native when available
+    (streaming in bounded chunks; ``use_native=False`` forces the Python
+    reference parser).
     """
     from dlrm_tpu.data import native  # lazy: optional .so
 
-    if native.available():
-        if src.endswith(".gz"):
-            # decompress host-side, parse with the multithreaded C++ path
-            with gzip.open(src, "rb") as f:
-                return native.binarize_bytes(f.read(), dst)
-        return native.binarize(src, dst)
-    chunks: List[np.ndarray] = []
-    with _open_maybe_gzip(src) as f:
-        batch: List[str] = []
-        for line in f:
-            batch.append(line)
-            if len(batch) >= chunk_lines:
+    if use_native is not False and native.available():
+        opener = (lambda: gzip.open(src, "rb")) if src.endswith(".gz") \
+            else (lambda: open(src, "rb"))
+        with opener() as f:
+            chunks = _native_parse_stream(f)
+    else:
+        chunks = []
+        with _open_maybe_gzip(src) as f:
+            batch: List[str] = []
+            for line in f:
+                batch.append(line)
+                if len(batch) >= chunk_lines:
+                    chunks.append(parse_lines(batch))
+                    batch = []
+            if batch:
                 chunks.append(parse_lines(batch))
-                batch = []
-        if batch:
-            chunks.append(parse_lines(batch))
     data = (np.concatenate(chunks) if chunks
             else np.zeros(0, dtype=DAC_DTYPE))
     if dst is not None:
@@ -243,7 +271,7 @@ def process(paths, binpath: Optional[str] = None,
 
     if isinstance(paths, str):
         paths = [paths]
-    shards = [binarize(p) for p in paths]
+    shards = [binarize(p, use_native=use_native) for p in paths]
     data = np.concatenate([np.asarray(s) for s in shards]) if len(
         shards) > 1 else np.asarray(shards[0])
     if binpath is not None:

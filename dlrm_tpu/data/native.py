@@ -131,13 +131,17 @@ def build_vocab_and_reindex(records: np.ndarray, *,
     ``reindex`` is on (memmap with mode='r+' works).
     """
     lib = _load()
-    assert lib is not None
-    assert records.flags["C_CONTIGUOUS"]
-    if num_threads <= 0:
-        num_threads = min(os.cpu_count() or 1, 26)
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if not records.flags["C_CONTIGUOUS"]:
+        raise ValueError("records must be C-contiguous")
+    cpus = os.cpu_count() or 1
+    build_threads = (num_threads if num_threads > 0 else min(cpus, 26))
+    # the reindex pass is row-parallel and scales past 26 columns
+    reindex_threads = num_threads if num_threads > 0 else cpus
     n = len(records)
     handle = lib.dlrm_vocab_build(
-        records.ctypes.data_as(ctypes.c_void_p), n, num_threads)
+        records.ctypes.data_as(ctypes.c_void_p), n, build_threads)
     try:
         appear = []
         for j in range(26):
@@ -147,11 +151,21 @@ def build_vocab_and_reindex(records: np.ndarray, *,
                                   out.ctypes.data_as(ctypes.c_void_p))
             appear.append(out)
         if reindex:
-            assert records.flags["WRITEABLE"]
+            if not records.flags["WRITEABLE"]:
+                raise ValueError("records must be writable to reindex "
+                                 "in place")
             rc = lib.dlrm_vocab_reindex(
                 handle, records.ctypes.data_as(ctypes.c_void_p), n,
-                num_threads)
-            assert rc == 0, "value missing from vocabulary"
+                reindex_threads)
+            if rc != 0:
+                # only reachable when reindexing records the vocabulary
+                # was NOT built over; the buffer is then partially
+                # rewritten and must be discarded
+                raise RuntimeError(
+                    "reindex hit a value missing from the vocabulary; "
+                    "the records buffer is partially rewritten — rebuild "
+                    "it (build the vocabulary over the same records, or "
+                    "use Vocabulary.remap_column for foreign data)")
     finally:
         lib.dlrm_vocab_free(handle)
     return appear

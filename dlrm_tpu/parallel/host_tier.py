@@ -456,6 +456,9 @@ def init_tiered_opt_state(params: dict, *, config: DLRMConfig,
     """Optimizer state with tier-matched Adagrad accumulator slabs."""
     from dlrm_tpu.train import optim
 
+    if optimizer == "rowwise_adagrad":
+        raise ValueError("rowwise_adagrad is single-chip only; use "
+                         "'adagrad' on the two-tier path")
     device = device or jax.devices()[0]
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     tx = optim.dense_optimizer(optimizer, lr)

@@ -790,6 +790,9 @@ def init_sharded_opt_state(params: dict, *, config: DLRMConfig,
     from jax.sharding import NamedSharding, PartitionSpec as P
     from dlrm_tpu.train import optim
 
+    if optimizer == "rowwise_adagrad":
+        raise ValueError("rowwise_adagrad is single-chip only; use "
+                         "'adagrad' on the sharded path")
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     tx = optim.dense_optimizer(optimizer, lr)
     state = {"dense": tx.init(dense_params),
