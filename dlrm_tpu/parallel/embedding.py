@@ -548,52 +548,71 @@ def _collect_grad_pairs(ids_all, back, meta, placement, axis, pack, dim):
 
 
 def _adagrad_apply_local(emb_l, acc_l, keys, g, lr, pack, dim,
-                         eps: float = 1e-10):
+                         eps: float = 1e-10, twin: bool = False):
     """Exact local Adagrad on deduped (key, summed-grad) pairs (same math
-    as train/optim.apply_adagrad_chunked / optax.scale_by_rss)."""
+    as train/optim.apply_adagrad_chunked / optax.scale_by_rss).
+
+    ``twin``: ``g`` carries (g, lr_k*g) concatenated along the feature
+    dim — one dedup sums both; the accumulator folds in the RAW summed
+    gradient, the weight step applies the lr-scaled one with lr = 1 (the
+    per-micro-step-schedule block contract, see
+    optim.apply_adagrad_chunked's d_rows_scaled)."""
     from dlrm_tpu.ops.embedding import dedup_sparse_grad, SparseGrad
 
     out = dedup_sparse_grad(SparseGrad(keys, g))
     keys_u, g_u = out.ids, out.rows
+    gs_u = None
+    if twin:
+        g_u, gs_u = g_u[:, :dim], g_u[:, dim:]
     phys_u = jnp.where(keys_u >= 0, keys_u // pack, -1)
     lane_u = jnp.where(keys_u >= 0, keys_u % pack, 0)
     acc_rows = _extract(jnp.take(acc_l, phys_u, axis=0), lane_u, pack, dim)
     acc_new = acc_rows + g_u * g_u
     acc_l = acc_l.at[phys_u].add(
         _expand(g_u * g_u, lane_u, pack), mode="drop")
-    step_rows = g_u * jnp.where(acc_new > 0,
-                                jax.lax.rsqrt(acc_new + eps), 0.0)
+    rs = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+    step_rows = (gs_u * rs) if twin else (lr * (g_u * rs))
     emb_l = emb_l.at[phys_u].add(
-        _expand((-lr * step_rows).astype(emb_l.dtype), lane_u, pack),
+        _expand((-step_rows).astype(emb_l.dtype), lane_u, pack),
         mode="drop")
     return emb_l, acc_l
 
 
 def _cs_adagrad_local(cs_local, acc_local, ids_t, g, lr,
-                      eps: float = 1e-10):
+                      eps: float = 1e-10, g_scaled=None):
     """Exact Adagrad on one column-sharded table's lane slice: Adagrad is
     elementwise, so each shard's (R, D/N) slice keeps an independent
-    accumulator slice.  ``g``: (B[, H], D/N) routed-back lane grads."""
+    accumulator slice.  ``g``: (B[, H], D/N) routed-back lane grads;
+    ``g_scaled``: lr_k-pre-scaled grads (schedule blocks) — deduped
+    jointly, applied with lr = 1."""
     from dlrm_tpu.ops.embedding import dedup_sparse_grad, SparseGrad
 
     wc = g.shape[-1]
+    if g_scaled is not None:
+        g = jnp.concatenate([g.reshape(-1, wc),
+                             g_scaled.reshape(-1, wc)], axis=-1)
     out = dedup_sparse_grad(SparseGrad(ids_t.reshape(-1),
-                                       g.reshape(-1, wc)))
+                                       g.reshape(-1, g.shape[-1])))
     ids_u, g_u = out.ids, out.rows
+    gs_u = None
+    if g_scaled is not None:
+        g_u, gs_u = g_u[:, :wc], g_u[:, wc:]
     acc_rows = jnp.take(acc_local, ids_u, axis=0)
     acc_new = acc_rows + g_u * g_u
     acc_local = acc_local.at[ids_u].add(g_u * g_u, mode="drop")
-    step = g_u * jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
-    cs_local = cs_local.at[ids_u].add((-lr * step).astype(cs_local.dtype),
+    rs = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+    step = (gs_u * rs) if gs_u is not None else (lr * (g_u * rs))
+    cs_local = cs_local.at[ids_u].add((-step).astype(cs_local.dtype),
                                       mode="drop")
     return cs_local, acc_local
 
 
 def _host_adagrad_local(emb_h_l, acc_h_l, key, g, lr, pack, dim, trash,
-                        eps: float = 1e-10):
+                        eps: float = 1e-10, twin: bool = False):
     """Exact Adagrad on one host-resident table's owned rows: dedup on
     device, then host-side gather of accumulator rows and two host-side
-    scatter-adds (acc += g^2, table -= lr*g*rsqrt(acc'))."""
+    scatter-adds (acc += g^2, table -= lr*g*rsqrt(acc')).  ``twin``: g
+    carries (g, lr_k*g) along the feature dim (schedule blocks)."""
     from dlrm_tpu.ops.embedding import dedup_sparse_grad, SparseGrad
 
     out = dedup_sparse_grad(SparseGrad(key, g))
@@ -601,16 +620,19 @@ def _host_adagrad_local(emb_h_l, acc_h_l, key, g, lr, pack, dim, trash,
     phys_u = jnp.where(keys_u >= 0, keys_u // pack, trash)
     lane_u = jnp.where(keys_u >= 0, keys_u % pack, 0)
     g_u = g_u * (keys_u >= 0)[:, None]
+    gs_u = None
+    if twin:
+        g_u, gs_u = g_u[:, :dim], g_u[:, dim:]
     acc_rows = _extract(_host_gather_rows(acc_h_l, phys_u), lane_u, pack,
                         dim)
     acc_new = acc_rows + g_u * g_u
     acc_h_l = _host_scatter_add_rows(
         acc_h_l, phys_u, _expand(g_u * g_u, lane_u, pack))
-    step_rows = g_u * jnp.where(acc_new > 0,
-                                jax.lax.rsqrt(acc_new + eps), 0.0)
+    rs = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+    step_rows = (gs_u * rs) if twin else (lr * (g_u * rs))
     emb_h_l = _host_scatter_add_rows(
         emb_h_l, phys_u,
-        _expand((-lr * step_rows), lane_u, pack).astype(emb_h_l.dtype))
+        _expand(-step_rows, lane_u, pack).astype(emb_h_l.dtype))
     return emb_h_l, acc_h_l
 
 
@@ -618,7 +640,7 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
                          lr, meta, *, axis: str, out_column: np.ndarray,
                          num_slots: int, pack: int,
                          placement: "TablePlacement", dcn_axis=None,
-                         block_leading: bool = False):
+                         block_leading: bool = False, twin: bool = False):
     """SPMD Adagrad update: same gradient routing as _update_body, then an
     exact dedup-then-apply Adagrad on each shard's owned rows (accumulator
     sharded like the tables; lane-sliced for column-sharded tables;
@@ -632,20 +654,24 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
         d_pooled = d_pooled.reshape((-1,) + d_pooled.shape[2:])
     if dcn_axis is not None:
         ids, d_pooled = _dcn_fold(ids, d_pooled, dcn_axis)
-    dim = d_pooled.shape[-1]
+    # ``twin``: d_pooled carries (g, lr_k*g) concatenated on the feature
+    # dim (scheduled blocks) — ALL gradient routing moves the doubled
+    # width unchanged; only the apply fns split it
+    width = d_pooled.shape[-1]
+    dim = width // 2 if twin else width
     b_local = d_pooled.shape[0]
     ids_all = jax.lax.all_gather(ids, axis, axis=0, tiled=True)
     keys_parts, g_parts = [], []
     if placement.slot_table_list:
         d_slots = jnp.take(
             d_pooled, jnp.asarray(placement.slot_table_list), axis=1)
-        scat = jnp.zeros((b_local, num_slots, dim), d_pooled.dtype)
+        scat = jnp.zeros((b_local, num_slots, width), d_pooled.dtype)
         scat = scat.at[:, jnp.asarray(out_column), :].set(d_slots)
         with jax.named_scope("a2a_bwd"):
             back = jax.lax.all_to_all(scat, axis, split_axis=1,
                                       concat_axis=0, tiled=True)
         kp, gp = _collect_grad_pairs(ids_all, back, meta, placement, axis,
-                                     pack, dim)
+                                     pack, width)
         keys_parts += kp
         g_parts += gp
     new_h = emb_h[0]
@@ -662,38 +688,45 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
             phys, slot, owned = _rs_translate(ids_t, k, placement, my_idx)
             g = d_rs_all[:, k, :]
             if ids_t.ndim == 2:
-                g = jnp.broadcast_to(g[:, None, :], ids_t.shape + (dim,))
+                g = jnp.broadcast_to(g[:, None, :], ids_t.shape + (width,))
             key = jnp.where(owned, phys * pack + slot, -1)
             if placement.rs_host and placement.rs_host[k]:
                 new_h, new_acc_h = _host_adagrad_local(
                     new_h, new_acc_h, key.reshape(-1),
-                    (g * owned[..., None]).reshape(-1, dim).astype(
+                    (g * owned[..., None]).reshape(-1, width).astype(
                         jnp.float32),
-                    lr, pack, dim, placement.host_local_rows - 1)
+                    lr, pack, dim, placement.host_local_rows - 1,
+                    twin=twin)
             else:
                 keys_parts.append(key.reshape(-1))
-                g_parts.append((g * owned[..., None]).reshape(-1, dim))
+                g_parts.append((g * owned[..., None]).reshape(-1, width))
     if keys_parts:
         keys = jnp.concatenate(keys_parts)
         g = jnp.concatenate(g_parts).astype(jnp.float32)
         new_emb, new_acc = _adagrad_apply_local(emb[0], acc[0], keys, g,
-                                                lr, pack, dim)
+                                                lr, pack, dim, twin=twin)
     else:
         new_emb, new_acc = emb[0], acc[0]
     new_cs, new_acc_cs = [], []
     for k, t in enumerate(placement.col_sharded):
-        d_t = d_pooled[:, t, :]  # (B/N, D), global table order
-        with jax.named_scope("cs_a2a_bwd"):
-            back = jax.lax.all_to_all(d_t, axis, split_axis=1,
-                                      concat_axis=0, tiled=True)  # (B, D/N)
+        # the cs all_to_all splits the FEATURE dim over shards, so the
+        # twin halves must ride separate exchanges (a feature-concat
+        # would interleave raw and scaled lanes across shards)
+        def _cs_route(cols):
+            with jax.named_scope("cs_a2a_bwd"):
+                back = jax.lax.all_to_all(cols, axis, split_axis=1,
+                                          concat_axis=0, tiled=True)
+            if ids_t.ndim == 2:  # multi-hot: broadcast pooled grad
+                back = jnp.broadcast_to(back[:, None, :],
+                                        ids_t.shape + (back.shape[-1],))
+            return back.astype(jnp.float32)
+
         ids_t = (ids_all[:, t] if ids_all.ndim == 2
                  else ids_all[:, t, :])
-        g = back
-        if ids_t.ndim == 2:  # multi-hot: broadcast pooled grad to hits
-            g = jnp.broadcast_to(back[:, None, :],
-                                 ids_t.shape + (back.shape[-1],))
+        g = _cs_route(d_pooled[:, t, :dim])
+        gs = _cs_route(d_pooled[:, t, dim:]) if twin else None
         cs_new, acc_new = _cs_adagrad_local(
-            cs[k][0], acc_cs[k][0], ids_t, g.astype(jnp.float32), lr)
+            cs[k][0], acc_cs[k][0], ids_t, g, lr, g_scaled=gs)
         new_cs.append(cs_new[None])
         new_acc_cs.append(acc_new[None])
     return (new_emb[None], new_acc[None], new_h[None], new_acc_h[None],
@@ -704,7 +737,8 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
                            d_pooled: jax.Array, lr, *, mesh: Mesh,
                            placement: TablePlacement, axis: str = "d",
                            cs=(), acc_cs=(), emb_h=None, acc_h=None,
-                           block_leading: bool = False):
+                           block_leading: bool = False,
+                           d_pooled_scaled=None):
     """Sparse Adagrad on the sharded tables (slot + row-sharded +
     host-resident + column-sharded).  ``acc`` is the accumulator in the
     same (N, local_rows, W) layout; ``acc_h`` mirrors the pinned-host
@@ -717,11 +751,18 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
     if not has_host:
         emb_h = _dummy_host_stack(emb)
         acc_h = jnp.zeros(emb_h.shape, jnp.float32)
+    twin = d_pooled_scaled is not None
+    if twin:
+        # scheduled blocks: (g, lr_k*g) ride the routing as one
+        # double-width tensor, split at the apply points; lr is then 1
+        d_pooled = jnp.concatenate([d_pooled, d_pooled_scaled], axis=-1)
+        lr = 1.0
     body = functools.partial(
         _update_body_adagrad, axis=axis, out_column=placement.out_column(),
         num_slots=placement.num_shards * placement.slots_per_shard,
         pack=placement.pack, placement=placement,
-        dcn_axis=_dcn_axis(mesh, axis), block_leading=block_leading)
+        dcn_axis=_dcn_axis(mesh, axis), block_leading=block_leading,
+        twin=twin)
     bspec = _batch_spec(mesh, axis, leading=block_leading)
     out = jax.shard_map(
         body, mesh=mesh,

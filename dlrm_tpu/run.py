@@ -527,14 +527,10 @@ def cmd_train(args) -> int:
         if sharded:
             from dlrm_tpu.parallel.mesh import block_batch_sharding
             if args.optimizer == "adagrad":
-                if callable(lr):
-                    raise SystemExit(
-                        "sharded adagrad blocks support constant --lr "
-                        "only (drop --lr-schedule or --update-interval)")
                 from dlrm_tpu.train.train import (
                     make_sharded_train_block_opt)
                 blk_opt = make_sharded_train_block_opt(
-                    config, optimizer="adagrad", lr=args.lr, mesh=mesh,
+                    config, optimizer="adagrad", lr=lr, mesh=mesh,
                     placement=placement, block=block,
                     unroll=not getattr(args, "block_scan", False))
 

@@ -973,16 +973,18 @@ def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
     ``block_leading`` — the dedup sums a key's gradient across micro-steps
     AND DCN replicas before the nonlinear accumulator update).
 
-    Constant lr only: the sharded twin-payload (per-micro-step lr) routing
-    is not implemented — run.py rejects the combination up front.
+    Scheduled lr: per micro-step lr_k enters via the twin (g, lr_k*g)
+    payload (concatenated on the feature dim so every collective carries
+    both halves at once; split at the apply points — see
+    sharded_update_adagrad's ``d_pooled_scaled``).
     """
     from dlrm_tpu.parallel import embedding as pemb
     from dlrm_tpu.train import optim
     import optax
 
-    assert not callable(lr), "sharded adagrad blocks need a constant lr"
     if block is None:
         block = dense.shape[0]
+    scheduled = callable(lr)
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     cs = params.get("emb_cs", ())
     emb_h = params.get("emb_h")
@@ -1008,38 +1010,50 @@ def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
                               optax.apply_updates(dp, updates))
         return dp, new_dense_state, loss, d_pooled
 
+    def lr_at(k):
+        return lr(count + k) if scheduled else lr
+
     if unroll:
-        losses, d_pooled_acc = [], []
+        losses, d_pooled_acc, scaled_acc = [], [], []
         for k in range(block):
             dp, dense_state, loss, d_pooled = micro_step(
                 dp, dense_state, dense[k], sparse[k], labels[k])
             losses.append(loss)
             d_pooled_acc.append(d_pooled)
+            if scheduled:
+                scaled_acc.append(lr_at(k) * d_pooled)
         losses = jnp.stack(losses)
         d_stack = jnp.stack(d_pooled_acc)  # (K, B, T, D), dim 1 sharded
+        scaled_stack = jnp.stack(scaled_acc) if scheduled else None
     else:
         # lax.scan over micro-steps (shard_map composes under scan):
         # much faster first compile, slightly slower steady-state
         def body(carry, xs):
             dp, dense_state = carry
-            d, s, l = xs
+            d, s, l, k = xs
             dp, dense_state, loss, d_pooled = micro_step(
                 dp, dense_state, d, s, l)
-            return (dp, dense_state), (loss, d_pooled)
+            ys = (loss, d_pooled) + (
+                ((lr_at(k) * d_pooled),) if scheduled else ())
+            return (dp, dense_state), ys
 
-        (dp, dense_state), (losses, d_stack) = jax.lax.scan(
-            body, (dp, dense_state), (dense, sparse, labels))
+        (dp, dense_state), ys = jax.lax.scan(
+            body, (dp, dense_state),
+            (dense, sparse, labels, jnp.arange(block)))
+        losses, d_stack = ys[0], ys[1]
+        scaled_stack = ys[2] if scheduled else None
 
     with jax.named_scope("coalesced_adagrad_update"):
         new_emb, new_acc, new_h, new_acc_h, new_cs, new_acc_cs = \
             pemb.sharded_update_adagrad(
-                params["emb"], opt_state["emb_acc"], sparse, d_stack, lr,
+                params["emb"], opt_state["emb_acc"], sparse, d_stack,
+                1.0 if scheduled else lr,
                 mesh=mesh, placement=placement, axis=axis, cs=cs,
                 acc_cs=opt_state.get("emb_acc_cs", ()), emb_h=emb_h,
                 acc_h=(None if isinstance(opt_state.get("emb_acc_h", ()),
                                           tuple)
                        else opt_state["emb_acc_h"]),
-                block_leading=True)
+                block_leading=True, d_pooled_scaled=scaled_stack)
     new_opt = {"dense": dense_state, "count": count + block,
                "emb_acc": new_acc, "emb_acc_cs": new_acc_cs,
                "emb_acc_h": new_acc_h if new_acc_h is not None else ()}

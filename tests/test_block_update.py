@@ -294,12 +294,16 @@ def test_adagrad_block_repeated_ids_dedups_before_accumulator(impl):
     assert np.all(w[[0, 1, 2, 4, 5, 6]] == 0)  # untouched rows
 
 
-@pytest.mark.parametrize("row_sharded,unroll",
-                         [(False, True), (True, True), (False, False)])
+@pytest.mark.parametrize("row_sharded,unroll,scheduled",
+                         [(False, True, False), (True, True, False),
+                          (False, False, False), (False, True, True),
+                          (True, False, True)])
 def test_sharded_adagrad_block_disjoint_equals_sequential(row_sharded,
-                                                          unroll):
+                                                          unroll,
+                                                          scheduled):
     """Hybrid-parallel Adagrad block == K sequential sharded adagrad
-    steps when ids are disjoint across micro-batches."""
+    steps when ids are disjoint across micro-batches; ``scheduled``
+    covers the twin (g, lr_k*g) payload riding the mesh collectives."""
     from dlrm_tpu.parallel import embedding as pemb
     from dlrm_tpu.parallel.mesh import (batch_sharding,
                                         block_batch_sharding, make_mesh,
@@ -309,11 +313,16 @@ def test_sharded_adagrad_block_disjoint_equals_sequential(row_sharded,
                                       make_sharded_train_block_opt,
                                       make_sharded_train_step_opt)
 
+    from dlrm_tpu.train.optim import make_schedule
+
     config = dlrm_tpu.tiny_config(num_tables=4, rows=256, feature_size=8)
     params = dlrm_tpu.init_params(jax.random.key(10), config)
     rng = np.random.default_rng(10)
     k, b = 2, 32
     dense, sparse, labels = _batches(config, k, b, rng, disjoint=True)
+    lr = (make_schedule(0.2, schedule="warmup_poly_decay", warmup_steps=1,
+                        decay_start=1, decay_steps=6)
+          if scheduled else 0.1)
 
     mesh = make_mesh(8)
     p = plan_placement(config.table_sizes, 8, pack=config.pack,
@@ -329,10 +338,10 @@ def test_sharded_adagrad_block_disjoint_equals_sequential(row_sharded,
     bs2 = block_batch_sharding(mesh)
 
     step = make_sharded_train_step_opt(config, optimizer="adagrad",
-                                       lr=0.1, mesh=mesh, placement=p)
+                                       lr=lr, mesh=mesh, placement=p)
     p_ref = jax.device_put(jax.tree.map(jnp.copy, sh_params), shardings)
     o_ref = init_sharded_opt_state(p_ref, config=config,
-                                   optimizer="adagrad", lr=0.1, mesh=mesh)
+                                   optimizer="adagrad", lr=lr, mesh=mesh)
     ref_losses = []
     for i in range(k):
         (p_ref, o_ref), loss = step(p_ref, o_ref,
@@ -342,11 +351,11 @@ def test_sharded_adagrad_block_disjoint_equals_sequential(row_sharded,
         ref_losses.append(float(loss))
 
     blk = make_sharded_train_block_opt(config, optimizer="adagrad",
-                                       lr=0.1, mesh=mesh, placement=p,
+                                       lr=lr, mesh=mesh, placement=p,
                                        block=k, unroll=unroll)
     p_blk = jax.device_put(jax.tree.map(jnp.copy, sh_params), shardings)
     o_blk = init_sharded_opt_state(p_blk, config=config,
-                                   optimizer="adagrad", lr=0.1, mesh=mesh)
+                                   optimizer="adagrad", lr=lr, mesh=mesh)
     (p_blk, o_blk), losses = blk(p_blk, o_blk,
                                  jax.device_put(dense, bs2),
                                  jax.device_put(sparse, bs2),
