@@ -578,6 +578,35 @@ def _adagrad_apply_local(emb_l, acc_l, keys, g, lr, pack, dim,
     return emb_l, acc_l
 
 
+def _rowwise_apply_local(emb_l, racc_l, keys, g, lr, pack, dim,
+                         eps: float = 1e-10, twin: bool = False):
+    """Exact local ROW-WISE Adagrad on deduped (key, summed-grad) pairs:
+    one accumulator scalar per logical row (racc_l: (local_rows, pack)
+    f32), acc[r] += mean_D(g_r^2), w[r] -= lr*g_r*rsqrt(acc[r]+eps) —
+    the sharded counterpart of optim.apply_rowwise_adagrad_chunked.
+    The dedup key IS the flat (local_rows*pack) accumulator index."""
+    from dlrm_tpu.ops.embedding import dedup_sparse_grad, SparseGrad
+
+    out = dedup_sparse_grad(SparseGrad(keys, g))
+    keys_u, g_u = out.ids, out.rows
+    gs_u = None
+    if twin:
+        g_u, gs_u = g_u[:, :dim], g_u[:, dim:]
+    phys_u = jnp.where(keys_u >= 0, keys_u // pack, -1)
+    lane_u = jnp.where(keys_u >= 0, keys_u % pack, 0)
+    g2m = jnp.mean(g_u * g_u, axis=-1)
+    racc_flat = racc_l.reshape(-1)
+    acc_new = racc_flat[keys_u] + g2m        # surplus keys: g2m == 0
+    racc_l = racc_flat.at[keys_u].add(g2m, mode="drop").reshape(
+        racc_l.shape)
+    rs = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+    step_rows = (gs_u * rs[:, None]) if twin else (lr * (g_u * rs[:, None]))
+    emb_l = emb_l.at[phys_u].add(
+        _expand(-step_rows, lane_u, pack).astype(emb_l.dtype),
+        mode="drop")
+    return emb_l, racc_l
+
+
 def _cs_adagrad_local(cs_local, acc_local, ids_t, g, lr,
                       eps: float = 1e-10, g_scaled=None):
     """Exact Adagrad on one column-sharded table's lane slice: Adagrad is
@@ -640,7 +669,8 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
                          lr, meta, *, axis: str, out_column: np.ndarray,
                          num_slots: int, pack: int,
                          placement: "TablePlacement", dcn_axis=None,
-                         block_leading: bool = False, twin: bool = False):
+                         block_leading: bool = False, twin: bool = False,
+                         rowwise: bool = False):
     """SPMD Adagrad update: same gradient routing as _update_body, then an
     exact dedup-then-apply Adagrad on each shard's owned rows (accumulator
     sharded like the tables; lane-sliced for column-sharded tables;
@@ -703,8 +733,10 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
     if keys_parts:
         keys = jnp.concatenate(keys_parts)
         g = jnp.concatenate(g_parts).astype(jnp.float32)
-        new_emb, new_acc = _adagrad_apply_local(emb[0], acc[0], keys, g,
-                                                lr, pack, dim, twin=twin)
+        apply_local = (_rowwise_apply_local if rowwise
+                       else _adagrad_apply_local)
+        new_emb, new_acc = apply_local(emb[0], acc[0], keys, g,
+                                       lr, pack, dim, twin=twin)
     else:
         new_emb, new_acc = emb[0], acc[0]
     new_cs, new_acc_cs = [], []
@@ -738,7 +770,7 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
                            placement: TablePlacement, axis: str = "d",
                            cs=(), acc_cs=(), emb_h=None, acc_h=None,
                            block_leading: bool = False,
-                           d_pooled_scaled=None):
+                           d_pooled_scaled=None, rowwise: bool = False):
     """Sparse Adagrad on the sharded tables (slot + row-sharded +
     host-resident + column-sharded).  ``acc`` is the accumulator in the
     same (N, local_rows, W) layout; ``acc_h`` mirrors the pinned-host
@@ -747,6 +779,12 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
     independently).  Returns (new_emb, new_acc, new_emb_h, new_acc_h,
     new_cs, new_acc_cs) — the host pair is None without host tables."""
     meta = placement_arrays(placement)
+    if rowwise and (placement.col_sharded or placement.host_row_sharded):
+        raise ValueError(
+            "sharded rowwise_adagrad supports slot + device row-sharded "
+            "placements only (column-sharded tables would need a "
+            "cross-shard mean psum; host-resident tables keep "
+            "elementwise adagrad)")
     has_host = emb_h is not None
     if not has_host:
         emb_h = _dummy_host_stack(emb)
@@ -762,7 +800,7 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
         num_slots=placement.num_shards * placement.slots_per_shard,
         pack=placement.pack, placement=placement,
         dcn_axis=_dcn_axis(mesh, axis), block_leading=block_leading,
-        twin=twin)
+        twin=twin, rowwise=rowwise)
     bspec = _batch_spec(mesh, axis, leading=block_leading)
     out = jax.shard_map(
         body, mesh=mesh,

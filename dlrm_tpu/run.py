@@ -218,10 +218,16 @@ def cmd_train(args) -> int:
             raise SystemExit(
                 f"--batch-size {args.batch_size} must divide evenly over "
                 f"the {dcn_n * ici_n}-device hybrid mesh")
-    if args.optimizer == "rowwise_adagrad" and (
-            sharded or args.hbm_budget_gb is not None):
-        raise SystemExit("rowwise_adagrad is single-chip only; use "
-                         "adagrad on the sharded/two-tier paths")
+    if args.optimizer == "rowwise_adagrad":
+        if args.hbm_budget_gb is not None:
+            raise SystemExit("rowwise_adagrad is not supported on the "
+                             "two-tier path; use adagrad")
+        if sharded and (args.col_sharded_tables
+                        or getattr(args, "host_tables", None)):
+            raise SystemExit(
+                "sharded rowwise_adagrad supports slot + device "
+                "row-sharded placements only; drop "
+                "--col-sharded-tables/--host-tables or use adagrad")
     n_shards = ici_n if ici_n else n_dev  # table-sharding axis size
     print(f"devices: {n_dev} ({jax.devices()[0].platform}), "
           f"sharded={sharded}"
@@ -526,11 +532,11 @@ def cmd_train(args) -> int:
                              "adagrad, or rowwise_adagrad")
         if sharded:
             from dlrm_tpu.parallel.mesh import block_batch_sharding
-            if args.optimizer == "adagrad":
+            if args.optimizer in ("adagrad", "rowwise_adagrad"):
                 from dlrm_tpu.train.train import (
                     make_sharded_train_block_opt)
                 blk_opt = make_sharded_train_block_opt(
-                    config, optimizer="adagrad", lr=lr, mesh=mesh,
+                    config, optimizer=args.optimizer, lr=lr, mesh=mesh,
                     placement=placement, block=block,
                     unroll=not getattr(args, "block_scan", False))
 
@@ -998,9 +1004,10 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--lr", type=float, default=0.1)
     tr.add_argument("--optimizer", default="sgd",
                     help="sgd | adagrad (all paths: single-chip, sharded, "
-                    "two-tier) | rowwise_adagrad (single-chip; one "
-                    "accumulator scalar per row, 1/D the optimizer "
-                    "memory — the torchrec production default)")
+                    "two-tier) | rowwise_adagrad (single-chip + sharded "
+                    "slot/row-sharded placements; one accumulator scalar "
+                    "per row, 1/D the optimizer memory — the torchrec "
+                    "production default)")
     tr.add_argument("--lr-schedule", default="constant",
                     help="constant | warmup_poly_decay (MLPerf-style)")
     tr.add_argument("--warmup-steps", type=int, default=0)

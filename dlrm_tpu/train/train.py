@@ -768,7 +768,8 @@ def sharded_train_step_opt(params: dict, opt_state: dict, dense, sparse,
                     emb_h=params.get("emb_h"),
                     acc_h=(None if isinstance(
                         opt_state.get("emb_acc_h", ()), tuple)
-                        else opt_state["emb_acc_h"]))
+                        else opt_state["emb_acc_h"]),
+                    rowwise=optimizer == "rowwise_adagrad")
             new_opt["emb_acc"] = new_acc
             new_opt["emb_acc_cs"] = new_acc_cs
             new_opt["emb_acc_h"] = new_acc_h if new_acc_h is not None \
@@ -790,14 +791,25 @@ def init_sharded_opt_state(params: dict, *, config: DLRMConfig,
     from jax.sharding import NamedSharding, PartitionSpec as P
     from dlrm_tpu.train import optim
 
-    if optimizer == "rowwise_adagrad":
-        raise ValueError("rowwise_adagrad is single-chip only; use "
-                         "'adagrad' on the sharded path")
+    if optimizer == "rowwise_adagrad" and (
+            "emb_cs" in params or "emb_h" in params):
+        raise ValueError(
+            "sharded rowwise_adagrad supports slot + device row-sharded "
+            "placements only; drop --col-sharded-tables/--host-tables or "
+            "use 'adagrad'")
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     tx = optim.dense_optimizer(optimizer, lr)
     state = {"dense": tx.init(dense_params),
              "count": jnp.zeros((), jnp.int32), "emb_acc": (),
              "emb_acc_cs": (), "emb_acc_h": ()}
+    if optimizer == "rowwise_adagrad":
+        # one f32 scalar per logical row: (N, local_rows, pack), where
+        # pack = row_width / feature_size (lane-packed logical rows)
+        n, local_rows, w = params["emb"].shape
+        pack = w // config.feature_size
+        state["emb_acc"] = jax.device_put(
+            jnp.zeros((n, local_rows, pack), jnp.float32),
+            NamedSharding(mesh, P(axis)))
     if optimizer == "adagrad":
         acc = jnp.zeros(params["emb"].shape, jnp.float32)
         state["emb_acc"] = jax.device_put(
@@ -964,7 +976,8 @@ def make_sharded_train_block(config: DLRMConfig, lr, mesh, placement,
 def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
                             labels, *, config: DLRMConfig, lr, mesh,
                             placement, block: int = None, axis: str = "d",
-                            unroll: bool = True):
+                            unroll: bool = True,
+                            optimizer: str = "adagrad"):
     """Coalesced K-step ADAGRAD block on the hybrid-parallel path: per
     micro-step sharded lookup (tables as of block entry) + per-micro-step
     dense Adagrad; the K compressed pooled gradients are stacked and
@@ -989,7 +1002,7 @@ def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
     cs = params.get("emb_cs", ())
     emb_h = params.get("emb_h")
     count = opt_state.get("count", jnp.zeros((), jnp.int32))
-    tx = optim.dense_optimizer("adagrad", lr)
+    tx = optim.dense_optimizer(optimizer, lr)
     dp = dense_params
     dense_state = opt_state["dense"]
 
@@ -1053,7 +1066,8 @@ def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
                 acc_h=(None if isinstance(opt_state.get("emb_acc_h", ()),
                                           tuple)
                        else opt_state["emb_acc_h"]),
-                block_leading=True, d_pooled_scaled=scaled_stack)
+                block_leading=True, d_pooled_scaled=scaled_stack,
+                rowwise=optimizer == "rowwise_adagrad")
     new_opt = {"dense": dense_state, "count": count + block,
                "emb_acc": new_acc, "emb_acc_cs": new_acc_cs,
                "emb_acc_h": new_acc_h if new_acc_h is not None else ()}
@@ -1070,10 +1084,11 @@ def make_sharded_train_block_opt(config: DLRMConfig, *, optimizer: str,
                                  axis: str = "d",
                                  unroll: bool = True) -> Callable:
     del block  # derived from the batch's leading dim at trace time
-    assert optimizer == "adagrad", "SGD blocks use make_sharded_train_block"
+    assert optimizer in ("adagrad", "rowwise_adagrad"), \
+        "SGD blocks use make_sharded_train_block"
     step = functools.partial(sharded_train_block_opt, config=config, lr=lr,
                              mesh=mesh, placement=placement, axis=axis,
-                             unroll=unroll)
+                             unroll=unroll, optimizer=optimizer)
     if not placement.host_row_sharded:
         return jax.jit(step, donate_argnums=(0, 1))
     from jax.sharding import NamedSharding, PartitionSpec as P

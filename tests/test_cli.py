@@ -95,8 +95,9 @@ def test_train_cli_adagrad(capsys):
 
 
 def test_train_cli_rowwise_adagrad(capsys):
-    """rowwise_adagrad end-to-end: plain steps + blocks; rejected on the
-    sharded path with a clear error."""
+    """rowwise_adagrad end-to-end: single-chip steps + blocks, SHARDED
+    steps + blocks; rejected with clear errors on the two-tier path and
+    for col-sharded/host-resident placements."""
     rc, res = _run(capsys, [
         "train", "--config", "tiny", "--batch-size", "32", "--steps", "5",
         "--sharded", "false", "--optimizer", "rowwise_adagrad",
@@ -104,9 +105,24 @@ def test_train_cli_rowwise_adagrad(capsys):
         "--eval-steps", "2"])
     assert rc == 0 and res["steps"] == 5
     assert np.isfinite(res["final_loss"])
-    with pytest.raises(SystemExit, match="single-chip"):
+
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "4",
+        "--sharded", "true", "--optimizer", "rowwise_adagrad",
+        "--update-interval", "2", "--log-every", "2", "--eval-after",
+        "--eval-steps", "2"])
+    assert rc == 0 and res["steps"] == 4
+    assert np.isfinite(res["final_loss"])
+
+    with pytest.raises(SystemExit, match="two-tier"):
+        cli.main(["train", "--config", "tiny", "--batch-size", "32",
+                  "--steps", "2", "--sharded", "false",
+                  "--hbm-budget-gb", "0.0001",
+                  "--optimizer", "rowwise_adagrad"])
+    with pytest.raises(SystemExit, match="slot"):
         cli.main(["train", "--config", "tiny", "--batch-size", "32",
                   "--steps", "2", "--sharded", "true",
+                  "--host-tables", "1",
                   "--optimizer", "rowwise_adagrad"])
 
 

@@ -525,3 +525,152 @@ def test_rowwise_adagrad_block_matches_sequential(impl, unroll):
     for a, b_ in zip(o_ref["emb"].acc, o_blk["emb"].acc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=1e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n_hot,row_sharded", [(1, False), (2, False),
+                                               (1, True)])
+def test_sharded_rowwise_adagrad_matches_single_device(n_hot, row_sharded):
+    """Sharded ROW-WISE adagrad (one accumulator scalar per logical row,
+    sharded (N, local_rows, pack)) == the single-device rowwise step."""
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.train import (init_sharded_opt_state,
+                                      make_sharded_train_step_opt)
+
+    c, params, args = _setup(n_hot=n_hot)
+    lr = 0.3
+
+    ref_step = make_jit_train_step_opt(c, optimizer="rowwise_adagrad",
+                                       lr=lr)
+    ref_opt = init_opt_state(params, config=c, optimizer="rowwise_adagrad",
+                             lr=lr)
+    ref_state = (jax.tree.map(jnp.copy, params), ref_opt)
+    for _ in range(3):
+        ref_state, ref_loss = ref_step(ref_state[0], ref_state[1], *args)
+
+    mesh = make_mesh(8)
+    p = plan_placement(c.table_sizes, 8, pack=c.pack,
+                       max_rows_per_shard=100 if row_sharded else None)
+    sh_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": pemb.shard_tables(params["emb"], p, c),
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+    sh_params = jax.device_put(sh_params, param_shardings(mesh, sh_params))
+    opt = init_sharded_opt_state(sh_params, config=c,
+                                 optimizer="rowwise_adagrad", lr=lr,
+                                 mesh=mesh)
+    assert opt["emb_acc"].shape == sh_params["emb"].shape[:2] + (c.pack,)
+    step = make_sharded_train_step_opt(c, optimizer="rowwise_adagrad",
+                                       lr=lr, mesh=mesh, placement=p)
+    bs = batch_sharding(mesh)
+    sh_args = tuple(jax.device_put(a, bs) for a in args)
+    state = (sh_params, opt)
+    for _ in range(3):
+        state, loss = step(state[0], state[1], *sh_args)
+    np.testing.assert_allclose(float(loss), float(ref_loss),
+                               atol=1e-5, rtol=1e-5)
+    got_emb = pemb.unshard_tables(np.asarray(state[0]["emb"]), p, c)
+    np.testing.assert_allclose(got_emb, _logical(ref_state[0]["emb"], c),
+                               atol=5e-4, rtol=5e-4)
+    for side in ("bottom", "top"):
+        for a, b in zip(state[0][side], ref_state[0][side]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]),
+                                       atol=5e-4, rtol=5e-4)
+
+
+def test_sharded_rowwise_rejects_cs_and_host():
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import make_mesh
+    from dlrm_tpu.parallel.placement import plan_placement
+    import jax.numpy as _jnp
+
+    c, params, _ = _setup()
+    mesh = make_mesh(8)
+    p = plan_placement(c.table_sizes, 8, pack=1, col_sharded_tables=(2,))
+    with pytest.raises(ValueError, match="rowwise"):
+        pemb.sharded_update_adagrad(
+            _jnp.zeros((8, p.local_rows, c.feature_size)),
+            _jnp.zeros((8, p.local_rows, 1)),
+            _jnp.zeros((8, c.num_tables), _jnp.int32),
+            _jnp.zeros((8, c.num_tables, c.feature_size)), 0.1,
+            mesh=mesh, placement=p, rowwise=True)
+
+
+@pytest.mark.parametrize("scheduled,unroll", [(False, True),
+                                              (True, False)])
+def test_sharded_rowwise_block_matches_sequential(scheduled, unroll):
+    """Sharded rowwise blocks (incl. the twin scheduled payload) == K
+    sequential sharded rowwise steps on disjoint ids."""
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding,
+                                        block_batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.train import (init_sharded_opt_state,
+                                      make_sharded_train_block_opt,
+                                      make_sharded_train_step_opt)
+    from dlrm_tpu.train.optim import make_schedule
+
+    c = dataclasses.replace(
+        dlrm_tpu.tiny_config(num_tables=4, rows=256, feature_size=8),
+        table_sizes=(64, 256, 32, 256))
+    params = dlrm_tpu.init_params(jax.random.key(21), c)
+    rng = np.random.default_rng(21)
+    k, b = 2, 32
+    dense = jnp.asarray(rng.normal(size=(k, b, 13)).astype(np.float32))
+    sparse = jnp.asarray(np.stack([np.stack(
+        [rng.integers(i * (s // k), (i + 1) * (s // k), size=b)
+         for s in c.table_sizes], axis=1)
+        for i in range(k)]).astype(np.int32))
+    labels = jnp.asarray((rng.random((k, b)) > 0.5).astype(np.float32))
+    lr = (make_schedule(0.2, schedule="warmup_poly_decay", warmup_steps=1,
+                        decay_start=1, decay_steps=6)
+          if scheduled else 0.1)
+
+    mesh = make_mesh(8)
+    p = plan_placement(c.table_sizes, 8, pack=c.pack)
+    sh_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": jnp.asarray(pemb.shard_tables(params["emb"], p, c)),
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+    shardings = param_shardings(mesh, sh_params)
+    sh_params = jax.device_put(sh_params, shardings)
+    bs = batch_sharding(mesh)
+    bbs = block_batch_sharding(mesh)
+
+    step = make_sharded_train_step_opt(c, optimizer="rowwise_adagrad",
+                                       lr=lr, mesh=mesh, placement=p)
+    p_ref = jax.device_put(jax.tree.map(jnp.copy, sh_params), shardings)
+    o_ref = init_sharded_opt_state(p_ref, config=c,
+                                   optimizer="rowwise_adagrad", lr=lr,
+                                   mesh=mesh)
+    for i in range(k):
+        (p_ref, o_ref), _ = step(p_ref, o_ref,
+                                 jax.device_put(dense[i], bs),
+                                 jax.device_put(sparse[i], bs),
+                                 jax.device_put(labels[i], bs))
+
+    blk = make_sharded_train_block_opt(c, optimizer="rowwise_adagrad",
+                                       lr=lr, mesh=mesh, placement=p,
+                                       block=k, unroll=unroll)
+    p_blk = jax.device_put(jax.tree.map(jnp.copy, sh_params), shardings)
+    o_blk = init_sharded_opt_state(p_blk, config=c,
+                                   optimizer="rowwise_adagrad", lr=lr,
+                                   mesh=mesh)
+    (p_blk, o_blk), losses = blk(p_blk, o_blk,
+                                 jax.device_put(dense, bbs),
+                                 jax.device_put(sparse, bbs),
+                                 jax.device_put(labels, bbs))
+    assert losses.shape == (k,)
+    np.testing.assert_allclose(
+        pemb.unshard_tables(np.asarray(p_blk["emb"]), p, c),
+        pemb.unshard_tables(np.asarray(p_ref["emb"]), p, c),
+        atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_blk["emb_acc"]),
+                               np.asarray(o_ref["emb_acc"]),
+                               atol=1e-6, rtol=1e-5)
