@@ -307,7 +307,8 @@ class DACLoader:
     def __init__(self, dataset: np.ndarray, batch_size: int, *,
                  drop_remainder: bool = True, zero_based_file: bool = False,
                  shuffle: bool = False, seed: int = 0,
-                 use_native: Optional[bool] = None):
+                 use_native: Optional[bool] = None,
+                 local_rows: Optional[tuple] = None):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.drop_remainder = drop_remainder
@@ -318,6 +319,22 @@ class DACLoader:
         # None = auto (C++ marshal when the library is loadable);
         # False forces the numpy fallback (tests oracle it against C++)
         self.use_native = use_native
+        # multi-host feeding (mesh.local_batch_rows): marshal only rows
+        # [lo, hi) of every batch window — a true per-process stride into
+        # the mmap, the other processes' records are never touched.  Batch
+        # order/shuffle stay GLOBAL (identical (seed, epoch) permutation on
+        # every process) so the union over processes is exactly the
+        # single-process stream.  Requires full batches (drop_remainder).
+        if local_rows is not None:
+            lo, hi = local_rows
+            if not (0 <= lo < hi <= self.batch_size):
+                raise ValueError(f"local_rows {local_rows} outside batch "
+                                 f"size {self.batch_size}")
+            if not drop_remainder and len(dataset) % self.batch_size:
+                raise ValueError("local_rows needs drop_remainder=True "
+                                 "(a ragged tail batch has no well-defined "
+                                 "per-process stripe)")
+        self.local_rows = local_rows
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.batch_size
@@ -350,17 +367,20 @@ class DACLoader:
         use_native = self._use_native()
         if use_native:
             from dlrm_tpu.data import native
+        lo, hi = self.local_rows if self.local_rows is not None else (0, b)
         for i in range(len(self)):
             j = int(order[i]) if order is not None else i
             count = min(b, len(self.dataset) - j * b)
+            start = j * b + min(lo, count)
+            count = min(hi, count) - min(lo, count)
             if use_native:
                 # one C++ pass per batch: label/dense/sparse marshal with
                 # the id shift fused (the reference's 8-thread Polyester
                 # loop, criteo.jl:324-344)
-                yield native.marshal_batch(self.dataset, j * b, count,
+                yield native.marshal_batch(self.dataset, start, count,
                                            self._shift)
                 continue
-            window = self.dataset[j * b:j * b + count]
+            window = self.dataset[start:start + count]
             yield {
                 "labels": window["label"].astype(np.float32),
                 "dense": np.ascontiguousarray(window["dense"]),

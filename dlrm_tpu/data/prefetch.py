@@ -28,16 +28,51 @@ from typing import Any, Iterable, Iterator, Optional
 import jax
 
 
+def _batch_dim(spec) -> int:
+    """The batch axis index in a batch PartitionSpec: the first sharded
+    dim (block-stacked batches are P(None, axes) — dim 1)."""
+    for i, e in enumerate(spec):
+        if e is not None:
+            return i
+    raise ValueError(f"unsharded batch spec {spec}")
+
+
+def _put_process_local(batch, sharding, global_batch: int):
+    """Assemble a GLOBAL batch array from this process's local rows (the
+    multi-host feeding path): ``batch`` holds only the rows
+    ``mesh.local_batch_rows`` told the source to produce; the sharding's
+    index map stitches every process's slice into one global array."""
+    dim = _batch_dim(sharding.spec)
+
+    def put(x):
+        gshape = list(x.shape)
+        gshape[dim] = global_batch
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape=tuple(gshape))
+
+    return jax.tree.map(put, batch)
+
+
 def device_prefetch(source: Iterable, *, size: int = 2,
-                    sharding: Optional[Any] = None) -> Iterator:
+                    sharding: Optional[Any] = None,
+                    global_batch: Optional[int] = None) -> Iterator:
     """Yield batches from ``source``, transferred to device ``size`` ahead.
 
     Exceptions in the source propagate to the consumer at the point of
     iteration.  The background thread is a daemon: abandoning the iterator
     mid-stream leaks at most ``size`` queued batches, no join required.
+
+    Multi-process (``jax.process_count() > 1``): pass ``global_batch`` (the
+    GLOBAL batch size) and a batch ``sharding``; the source must yield only
+    this process's local rows and the put assembles global arrays via
+    ``jax.make_array_from_process_local_data``.
     """
     if size < 1:
         raise ValueError(f"prefetch size must be >= 1, got {size}")
+    multiproc = jax.process_count() > 1
+    if multiproc and (sharding is None or global_batch is None):
+        raise ValueError("multi-process feeding needs sharding + "
+                         "global_batch (see run.py --distributed wiring)")
     q: "queue.Queue" = queue.Queue(maxsize=size)
 
     class _End:  # sentinel (carries the producer's exception, if any)
@@ -45,10 +80,11 @@ def device_prefetch(source: Iterable, *, size: int = 2,
             self.exc = exc
 
     def put(batch):
-        if callable(sharding):  # per-batch placement (e.g. block stacking)
-            return jax.device_put(batch, sharding(batch))
-        if sharding is not None:
-            return jax.device_put(batch, sharding)
+        sh = sharding(batch) if callable(sharding) else sharding
+        if multiproc:
+            return _put_process_local(batch, sh, global_batch)
+        if sh is not None:
+            return jax.device_put(batch, sh)
         return jax.device_put(batch)
 
     def producer():

@@ -54,12 +54,23 @@ def random_batch(rng: np.random.Generator, config: DLRMConfig, batch: int,
             "labels": labels}
 
 
+def _slice_rows(batch: Dict[str, np.ndarray], rows) -> Dict[str, np.ndarray]:
+    """Multi-host feeding: each process generates the SAME global batch
+    (deterministic rng) and keeps only its own rows ``[lo, hi)`` — the data
+    stream is bit-identical to the single-process run by construction, the
+    host-side over-generation is microseconds per batch."""
+    if rows is None:
+        return batch
+    lo, hi = rows
+    return {k: v[lo:hi] for k, v in batch.items()}
+
+
 def batch_stream(config: DLRMConfig, batch: int, steps: Optional[int] = None,
-                 seed: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+                 seed: int = 0, rows=None) -> Iterator[Dict[str, np.ndarray]]:
     rng = np.random.default_rng(seed)
     i = 0
     while steps is None or i < steps:
-        yield random_batch(rng, config, batch)
+        yield _slice_rows(random_batch(rng, config, batch), rows)
         i += 1
 
 
@@ -111,10 +122,10 @@ class ClickthroughModel:
                   ).astype(np.float32)
         return {"dense": dense, "sparse": sparse, "labels": labels}
 
-    def stream(self, batch: int, steps: Optional[int] = None, seed: int = 1
-               ) -> Iterator[Dict[str, np.ndarray]]:
+    def stream(self, batch: int, steps: Optional[int] = None, seed: int = 1,
+               rows=None) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng(seed)
         i = 0
         while steps is None or i < steps:
-            yield self.batch(rng, batch)
+            yield _slice_rows(self.batch(rng, batch), rows)
             i += 1

@@ -53,7 +53,9 @@ def init_distributed(coordinator_address: Optional[str] = None,
 
     With TPU pod slices and no explicit arguments, JAX auto-discovers the
     topology from the TPU environment; the explicit arguments cover GPU-like
-    or manual bring-up.  After this, ``jax.devices()`` spans every host and
+    or manual bring-up (and the CPU-backend integration tests, where
+    cross-process collectives ride gloo — jax's default cpu collectives
+    implementation).  After this, ``jax.devices()`` spans every host and
     :func:`make_mesh` / :func:`make_hybrid_mesh` build global meshes.
     """
     try:
@@ -64,6 +66,57 @@ def init_distributed(coordinator_address: Optional[str] = None,
     except RuntimeError as e:  # already initialized
         if "already initialized" not in str(e).lower():
             raise
+
+
+def is_lead_process() -> bool:
+    """True on the process that owns logging / metadata writes (orbax
+    checkpoint WRITES stay collective — every process saves its addressable
+    shards — but stdout/run_meta.json belong to exactly one)."""
+    return jax.process_index() == 0
+
+
+def local_batch_rows(sharding: NamedSharding, global_batch: int,
+                     dim: int = 0) -> "tuple[int, int]":
+    """The contiguous ``[lo, hi)`` range of global batch rows this process
+    must feed for a batch sharded by ``sharding`` along ``dim``.
+
+    Multi-host feeding contract: each process materializes ONLY its
+    addressable slice of the global batch host-side and assembles the
+    global array with ``jax.make_array_from_process_local_data``.  This
+    helper derives the slice from the sharding's own index map (never from
+    an assumed device order), and rejects non-contiguous layouts — the
+    1-D and (dcn, ici) hybrid meshes both stripe the batch contiguously
+    per process because ``jax.devices()`` is process-major.
+    """
+    shape = [1] * (dim + 1)
+    shape[dim] = global_batch
+    spans = set()
+    for dev, idx in sharding.addressable_devices_indices_map(
+            tuple(shape)).items():
+        sl = idx[dim]
+        spans.add((sl.start or 0,
+                   global_batch if sl.stop is None else sl.stop))
+    los = [s[0] for s in spans]
+    his = [s[1] for s in spans]
+    lo, hi = min(los), max(his)
+    covered = sorted(spans)
+    pos = lo
+    for s, e in covered:  # contiguity: no gap between addressable spans
+        if s > pos:
+            raise ValueError(
+                f"non-contiguous process-local batch rows {covered}; "
+                "multi-host feeding needs a process-contiguous batch "
+                "sharding (devices process-major along the batch axes)")
+        pos = max(pos, e)
+    return lo, hi
+
+
+# NOTE on parameter placement under multi-process: jax.device_put(host_tree,
+# global_shardings) is multi-process-correct as long as every process holds
+# the SAME host value (deterministic seeded init / checkpoint restore) —
+# each process materializes only its addressable shards, no communication.
+# Verified on the 2-process gloo CPU mesh; no make_array_from_callback
+# wrapper is needed.
 
 
 def make_hybrid_mesh(ici_axis: str = "d", dcn_axis: str = "h") -> Mesh:

@@ -85,6 +85,29 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
                    help="pad interaction output width to a multiple")
     p.add_argument("--table-sizes", default=None,
                    help="comma-separated table row counts (overrides preset)")
+    p.add_argument("--platform", default=None,
+                   help="force the jax platform (e.g. cpu for a virtual "
+                   "device mesh while a TPU is attached)")
+
+
+def _apply_platform(args) -> None:
+    """--platform: force the jax backend BEFORE any device use.  The env
+    var route (JAX_PLATFORMS) can lose to an eagerly-registered platform
+    plugin; jax.config.update always wins."""
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+
+def _add_dist_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize before "
+                   "device use (TPU pods auto-discover the topology; one "
+                   "launch of this command per host)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator host:port (omit on TPU pods)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
 
 
 def _block_iter(source, k: int):
@@ -112,7 +135,12 @@ def _crossed(prev: int, cur: int, every: Optional[int]) -> bool:
     return bool(every) and (cur // every) > (prev // every)
 
 
-def _data_iter(args, config, *, steps: Optional[int], seed: int = 0):
+def _data_iter(args, config, *, steps: Optional[int], seed: int = 0,
+               rows=None):
+    """Batch stream for a subcommand; ``rows=(lo, hi)`` (multi-host
+    feeding, mesh.local_batch_rows) restricts every source to this
+    process's rows of each GLOBAL batch — batch cadence and contents stay
+    bit-identical to the single-process stream by construction."""
     from dlrm_tpu.data import synthetic
     from dlrm_tpu.data.criteo import DACLoader, load
 
@@ -121,7 +149,8 @@ def _data_iter(args, config, *, steps: Optional[int], seed: int = 0):
             load(args.data), args.batch_size,
             drop_remainder=not getattr(args, "keep_remainder", False),
             shuffle=getattr(args, "shuffle", False),
-            seed=getattr(args, "seed", 0))
+            seed=getattr(args, "seed", 0),
+            local_rows=rows)
         if len(loader) == 0:
             raise SystemExit(
                 f"dataset {args.data} has fewer records than one batch "
@@ -139,8 +168,24 @@ def _data_iter(args, config, *, steps: Optional[int], seed: int = 0):
         return gen()
     if getattr(args, "synthetic", "uniform") == "skewed":
         truth = synthetic.ClickthroughModel(config, seed=12345)
-        return truth.stream(args.batch_size, steps, seed + 1)
-    return synthetic.batch_stream(config, args.batch_size, steps, seed)
+        return truth.stream(args.batch_size, steps, seed + 1, rows=rows)
+    return synthetic.batch_stream(config, args.batch_size, steps, seed,
+                                  rows=rows)
+
+
+def _maybe_init_distributed(args) -> bool:
+    """--distributed: bring up multi-host JAX BEFORE any device use.  On
+    TPU pods `jax.distributed.initialize()` auto-discovers the topology;
+    --coordinator/--num-processes/--process-id cover manual bring-up (and
+    the CPU-backend integration tests).  Returns True when this run spans
+    multiple processes."""
+    if not getattr(args, "distributed", False):
+        return False
+    from dlrm_tpu.parallel.mesh import init_distributed
+
+    init_distributed(args.coordinator, args.num_processes, args.process_id)
+    import jax
+    return jax.process_count() > 1
 
 
 # -- subcommands ---------------------------------------------------------------
@@ -163,12 +208,16 @@ def cmd_preprocess(args) -> int:
 
 
 def cmd_train(args) -> int:
+    _apply_platform(args)
+    multiproc = _maybe_init_distributed(args)
     import jax
     import jax.numpy as jnp
     import dlrm_tpu
     from dlrm_tpu.io.checkpoint import CheckpointManager
     from dlrm_tpu.train.metrics import evaluate
 
+    # one process owns stdout/metadata; every process runs the collectives
+    lead = jax.process_index() == 0 if multiproc else True
     config = _build_config(args)
     if args.data is None and args.steps is None:
         raise SystemExit("synthetic training needs --steps")
@@ -195,6 +244,19 @@ def cmd_train(args) -> int:
     block = max(int(getattr(args, "update_interval", 1) or 1), 1)
     n_dev = len(jax.devices())
     sharded = args.sharded if args.sharded is not None else (n_dev > 1)
+    if multiproc:
+        # multi-host: the global mesh spans every process's devices; the
+        # single-chip and two-tier layouts are single-process by definition
+        if not sharded:
+            raise SystemExit("--distributed (multi-process) requires the "
+                             "sharded path; drop --sharded=false")
+        if args.hbm_budget_gb is not None:
+            raise SystemExit("--distributed does not compose with "
+                             "--hbm-budget-gb (the two-tier layout is "
+                             "per-host; use --host-tables instead)")
+        if args.batch_size % n_dev:
+            raise SystemExit(f"--batch-size {args.batch_size} must divide "
+                             f"evenly over the {n_dev}-device global mesh")
     # hybrid (dcn, ici) mesh: tables shard over the ICI axis only, batch
     # data-parallelism spans both axes (SURVEY.md §2.4 multi-host mapping)
     mesh_shape = getattr(args, "mesh_shape", None)
@@ -229,10 +291,15 @@ def cmd_train(args) -> int:
                 "row-sharded placements only; drop "
                 "--col-sharded-tables/--host-tables or use adagrad")
     n_shards = ici_n if ici_n else n_dev  # table-sharding axis size
-    print(f"devices: {n_dev} ({jax.devices()[0].platform}), "
-          f"sharded={sharded}"
-          + (f", mesh={dcn_n}x{ici_n} (dcn x ici)" if ici_n else ""),
-          file=sys.stderr)
+
+    def say(*a):  # stderr status lines: one process's voice, not N copies
+        if lead:
+            print(*a, file=sys.stderr)
+
+    say(f"devices: {n_dev} ({jax.devices()[0].platform}), "
+        f"sharded={sharded}"
+        + (f", processes={jax.process_count()}" if multiproc else "")
+        + (f", mesh={dcn_n}x{ici_n} (dcn x ici)" if ici_n else ""))
     params = dlrm_tpu.init_params(jax.random.key(config.seed), config)
 
     mgr = None
@@ -248,8 +315,7 @@ def cmd_train(args) -> int:
                                  "run_meta.json")
         cs_meta = ([int(x) for x in args.col_sharded_tables.split(",")]
                    if args.col_sharded_tables else [])
-        with open(meta_path, "w") as f:
-            json.dump({
+        meta_payload = {
                 "sharded": bool(sharded),
                 # the table-sharding (ICI) axis size — what placement and
                 # unshard need; the DCN axis only replicates
@@ -272,7 +338,10 @@ def cmd_train(args) -> int:
                                         and callable(lr))),
                 "table_sizes": list(config.table_sizes),
                 "bf16_tables": bool(getattr(args, "bf16_tables", False)),
-            }, f)
+        }
+        if lead:  # one writer; orbax array writes stay collective
+            with open(meta_path, "w") as f:
+                json.dump(meta_payload, f)
 
     if sharded:
         from dlrm_tpu.parallel import embedding as pemb
@@ -296,14 +365,12 @@ def cmd_train(args) -> int:
                                    col_sharded_tables=cs_tables,
                                    host_tables=host_tabs)
         if placement.row_sharded:
-            print(f"row-sharded tables: {list(placement.row_sharded)}",
-                  file=sys.stderr)
+            say(f"row-sharded tables: {list(placement.row_sharded)}")
         if placement.host_row_sharded:
-            print("host-resident row-sharded tables: "
-                  f"{list(placement.host_row_sharded)}", file=sys.stderr)
+            say("host-resident row-sharded tables: "
+                f"{list(placement.host_row_sharded)}")
         if placement.col_sharded:
-            print(f"column-sharded tables: {list(placement.col_sharded)}",
-                  file=sys.stderr)
+            say(f"column-sharded tables: {list(placement.col_sharded)}")
         sh_params = {
             "bottom": params["bottom"],
             "emb": pemb.shard_tables(params["emb"], placement,
@@ -323,8 +390,7 @@ def cmd_train(args) -> int:
                                               shardings=shardings)
                 if restored is not None:
                     sh_params, start_step = restored
-                    print(f"resumed from step {start_step}",
-                          file=sys.stderr)
+                    say(f"resumed from step {start_step}")
             params = jax.device_put(sh_params, shardings)
             step_fn = make_sharded_train_step(config, args.lr, mesh,
                                               placement)
@@ -347,8 +413,7 @@ def cmd_train(args) -> int:
                 if restored is not None:
                     full, start_step = restored
                     sh_params, opt_state = full["params"], full["opt"]
-                    print(f"resumed from step {start_step}",
-                          file=sys.stderr)
+                    say(f"resumed from step {start_step}")
             params = jax.device_put(sh_params, shardings)
             opt_step = make_sharded_train_step_opt(
                 config, optimizer=args.optimizer, lr=lr, mesh=mesh,
@@ -385,8 +450,7 @@ def cmd_train(args) -> int:
                 if restored is not None:
                     raw, start_step = restored
                     tiered = ht.place_tiered(raw)
-                    print(f"resumed from step {start_step}",
-                          file=sys.stderr)
+                    say(f"resumed from step {start_step}")
             tiered_step = ht.make_tiered_train_step(config, args.lr, plan)
             state_box = {"tiered": tiered}
 
@@ -406,8 +470,7 @@ def cmd_train(args) -> int:
                     full, start_step = restored
                     tiered = ht.place_tiered(full["params"])
                     opt_state = ht.place_tiered_opt(full["opt"])
-                    print(f"resumed from step {start_step}",
-                          file=sys.stderr)
+                    say(f"resumed from step {start_step}")
             opt_step = ht.make_tiered_train_step_opt(
                 config, optimizer=args.optimizer, lr=lr, plan=plan)
             state_box = {"tiered": tiered, "opt": opt_state}
@@ -426,7 +489,7 @@ def cmd_train(args) -> int:
                 if restored is not None:
                     params, start_step = restored
                     params = jax.tree.map(jnp.asarray, params)
-                    print(f"resumed from step {start_step}", file=sys.stderr)
+                    say(f"resumed from step {start_step}")
             step_fn = dlrm_tpu.make_jit_train_step(config, lr)
             if callable(lr):
                 step_fn.step = start_step
@@ -447,7 +510,7 @@ def cmd_train(args) -> int:
                     full, start_step = restored
                     params = jax.tree.map(jnp.asarray, full["params"])
                     opt_state = jax.tree.map(jnp.asarray, full["opt"])
-                    print(f"resumed from step {start_step}", file=sys.stderr)
+                    say(f"resumed from step {start_step}")
             state_box = {"opt": opt_state}
 
             def step_fn(p, d, s, l):
@@ -472,6 +535,14 @@ def cmd_train(args) -> int:
 
     eval_record: List[dict] = []
     eval_cache: dict = {}
+
+    # multi-host feeding: which global batch rows THIS process materializes
+    # (mesh.local_batch_rows derives the stripe from the batch sharding's
+    # own index map); single-process feeds the whole batch
+    feed_rows = None
+    if multiproc:
+        from dlrm_tpu.parallel.mesh import local_batch_rows
+        feed_rows = local_batch_rows(batch_sharding(mesh), args.batch_size)
 
     def run_eval(eval_iter):
         """Evaluate with whatever layout the training path uses: the
@@ -514,12 +585,14 @@ def cmd_train(args) -> int:
                                batch_size=args.batch_size,
                                synthetic=getattr(args, "synthetic",
                                                  "uniform")),
-            config, steps=eval_steps, seed=10_000)
+            config, steps=eval_steps, seed=10_000, rows=feed_rows)
         m = run_eval(eval_iter)
         m["step"] = step
-        eval_record.append(m)
-        print(f"eval @ step {step}: acc={m['accuracy']:.4f} "
-              f"auc={m['auc']:.4f} loss={m['loss']:.5f}", file=sys.stderr)
+        if lead:  # metrics are globally reduced — identical on all procs
+            eval_record.append(m)
+            print(f"eval @ step {step}: acc={m['accuracy']:.4f} "
+                  f"auc={m['auc']:.4f} loss={m['loss']:.5f}",
+                  file=sys.stderr)
 
     blk_fn = None
     if block > 1:
@@ -571,12 +644,15 @@ def cmd_train(args) -> int:
     t_start = time.time()
     step = start_step
     remaining = None if args.steps is None else max(args.steps - start_step, 0)
-    source = _data_iter(args, config, steps=remaining, seed=args.seed)
+    source = _data_iter(args, config, steps=remaining, seed=args.seed,
+                        rows=feed_rows)
     if block > 1:
         source = _block_iter(source, block)
     profiling = False
     for b in device_prefetch(source, size=args.prefetch,
-                             sharding=batch_place):
+                             sharding=batch_place,
+                             global_batch=(args.batch_size if multiproc
+                                           else None)):
         if args.profile_dir is not None:
             # capture a jax.profiler trace of steps ~3..6 after warmup; the
             # named_scope phases (lookup/interaction/...) appear in the trace
@@ -588,7 +664,7 @@ def cmd_train(args) -> int:
                 jax.profiler.stop_trace()
                 profiling = False
                 args.profile_dir = None
-                print("profile written", file=sys.stderr)
+                say("profile written")
         prev = step
         if blk_fn is not None:
             if hasattr(blk_fn, "step"):
@@ -606,8 +682,8 @@ def cmd_train(args) -> int:
             losses.append(loss)
             dt = time.time() - t_start
             eps = (step - start_step) * args.batch_size / max(dt, 1e-9)
-            print(f"step {step} loss {loss:.5f} "
-                  f"({eps:,.0f} examples/s)", file=sys.stderr)
+            say(f"step {step} loss {loss:.5f} "
+                f"({eps:,.0f} examples/s)")
         if _crossed(prev, step, args.eval_every):
             periodic_eval()
         if mgr is not None and _crossed(prev, step, mgr.save_interval):
@@ -616,7 +692,7 @@ def cmd_train(args) -> int:
         import jax as _jax
         _jax.block_until_ready(params)
         jax.profiler.stop_trace()
-        print("profile written (stream ended mid-capture)", file=sys.stderr)
+        say("profile written (stream ended mid-capture)")
     if mgr is not None:
         if mgr.latest_step() != step:  # maybe_save may have just saved it
             mgr.save(step, ckpt_payload(), force=True)
@@ -635,9 +711,10 @@ def cmd_train(args) -> int:
                                synthetic=getattr(args, "synthetic",
                                                  "uniform")),
             config, steps=args.eval_steps or (None if args.data else 10),
-            seed=10_000)
+            seed=10_000, rows=feed_rows)
         result["eval"] = run_eval(eval_iter)
-    print(json.dumps(result))
+    if lead:
+        print(json.dumps(result))
     return 0
 
 
@@ -804,8 +881,12 @@ def _load_eval_params(args, config):
 
 
 def cmd_eval(args) -> int:
+    _apply_platform(args)
+    multiproc = _maybe_init_distributed(args)
+    import jax
     from dlrm_tpu.train.metrics import evaluate, sharded_evaluate
 
+    lead = jax.process_index() == 0 if multiproc else True
     config = _build_config(args)
     # synthetic fallback needs a bound or evaluate() would never terminate
     eval_steps = args.eval_steps or (None if args.data else 10)
@@ -813,13 +894,24 @@ def cmd_eval(args) -> int:
     ctx = (_try_load_sharded_ctx(args, config, meta=meta)
            if meta.get("sharded")
            and args.batch_size % int(meta["num_shards"]) == 0 else None)
+    if multiproc and ctx is None:
+        raise SystemExit("--distributed eval needs a SHARDED checkpoint "
+                         "whose shard count fits the global mesh (on-mesh "
+                         "eval is the only multi-process eval path)")
     if ctx is not None:
         # on-mesh eval: the tables stay sharded (mandatory at scales where
         # the logical stack doesn't fit one host)
         params, mesh, placement = ctx
-        data = _data_iter(args, config, steps=eval_steps)
-        print(json.dumps(sharded_evaluate(params, data, config, mesh=mesh,
-                                          placement=placement)))
+        rows = None
+        if multiproc:
+            from dlrm_tpu.parallel.mesh import (batch_sharding,
+                                                local_batch_rows)
+            rows = local_batch_rows(batch_sharding(mesh), args.batch_size)
+        data = _data_iter(args, config, steps=eval_steps, rows=rows)
+        m = sharded_evaluate(params, data, config, mesh=mesh,
+                             placement=placement)
+        if lead:
+            print(json.dumps(m))
         return 0
     params, config = _load_eval_params(args, config)
     data = _data_iter(args, config, steps=eval_steps)
@@ -839,6 +931,11 @@ def cmd_predict(args) -> int:
 
     if args.data is None:
         raise SystemExit("predict needs --data")
+    _apply_platform(args)
+    if _maybe_init_distributed(args):
+        raise SystemExit("predict is single-process (scores stream to one "
+                         ".npy); run it on one host — a sharded checkpoint "
+                         "still serves on-mesh there")
     config = _build_config(args)
     ctx = _try_load_sharded_ctx(args, config)
     args.keep_remainder = True  # serving must score EVERY row
@@ -928,6 +1025,7 @@ def cmd_validate(args) -> int:
 
 
 def cmd_instrument(args) -> int:
+    _apply_platform(args)
     from dlrm_tpu import init_params
     from dlrm_tpu.data import synthetic
     from dlrm_tpu.utils.telemetry import InstrumentedTrainer, Recorder
@@ -947,6 +1045,7 @@ def cmd_instrument(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    _apply_platform(args)
     import jax
     import jax.numpy as jnp
     import dlrm_tpu
@@ -1061,6 +1160,7 @@ def build_parser() -> argparse.ArgumentParser:
                     "memory, row-sharded: each shard stores its block in "
                     "its pinned-host space (tables bigger than the whole "
                     "slice's HBM; sgd or adagrad)")
+    _add_dist_flags(tr)
     tr.set_defaults(fn=cmd_train)
 
     ev = sub.add_parser("eval", help="accuracy / AUC / loss")
@@ -1070,6 +1170,7 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--hdf5", default=None)
     ev.add_argument("--batch-size", type=int, default=16384)
     ev.add_argument("--eval-steps", type=int, default=None)
+    _add_dist_flags(ev)
     ev.set_defaults(fn=cmd_eval)
 
     pr = sub.add_parser("predict", help="batch CTR scoring -> .npy")
@@ -1079,6 +1180,7 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--hdf5", default=None)
     pr.add_argument("--batch-size", type=int, default=16384)
     pr.add_argument("--out", required=True, help="output .npy path")
+    _add_dist_flags(pr)
     pr.set_defaults(fn=cmd_predict)
 
     ex = sub.add_parser("export", help="checkpoint -> PyTorch-interop HDF5")

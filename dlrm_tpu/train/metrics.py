@@ -104,10 +104,16 @@ class Every:
 
 
 def _accumulate(data: Iterable, predict_batch: Callable, *,
-                record: Optional[List[float]], auc_buckets: int
-                ) -> Dict[str, float]:
+                record: Optional[List[float]], auc_buckets: int,
+                mp_reduce: bool = False) -> Dict[str, float]:
     """Shared metric loop: accuracy + streaming AUC + mean loss over
-    batches scored by ``predict_batch(batch) -> preds``."""
+    batches scored by ``predict_batch(batch) -> preds``.
+
+    ``mp_reduce``: multi-host mode — each process scores only its LOCAL
+    rows (preds/labels are process-local numpy), and the additive counters
+    (correct/total/loss_sum + the AUC histograms) are summed across
+    processes at the end, so every process reports identical global
+    metrics."""
     from dlrm_tpu.ops.loss import bce_loss
 
     auc = StreamingAUC(auc_buckets)
@@ -123,6 +129,21 @@ def _accumulate(data: Iterable, predict_batch: Callable, *,
         l = np.asarray(labels)
         correct += int(((p >= 0.5) == (l >= 0.5)).sum())
         total += l.shape[0]
+    if mp_reduce and jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        packed = np.concatenate([[correct, total, loss_sum],
+                                 auc.pos, auc.neg]).astype(np.float64)
+        # the allgather rides the device mesh, so f64 degrades to f32 —
+        # fine for counts < 2^24 and a reported loss, but hand back Python
+        # scalars (np.float32 breaks json.dumps downstream)
+        packed = np.asarray(
+            multihost_utils.process_allgather(packed),
+            np.float64).sum(axis=0)
+        correct, total, loss_sum = float(packed[0]), int(packed[1]), \
+            float(packed[2])
+        auc.pos = packed[3:3 + auc.num_buckets]
+        auc.neg = packed[3 + auc.num_buckets:]
     acc = correct / max(total, 1)
     if record is not None:
         record.append(acc)  # reference: push!(record, accuracy)
@@ -193,12 +214,40 @@ def sharded_evaluate(params: dict, data: Iterable, config, *, mesh,
         fwd = make_sharded_eval_forward(config, mesh, placement, axis)
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     bs = batch_sharding(mesh, axis)
+    multiproc = jax.process_count() > 1
 
     def predict_batch(batch):
-        dense = jax.device_put(jnp.asarray(batch["dense"]), bs)
-        sparse = jax.device_put(jnp.asarray(batch["sparse"]), bs)
-        return fwd(dense_params, params["emb"], params.get("emb_h"),
-                   params.get("emb_cs", ()), dense, sparse)
+        dense = np.asarray(batch["dense"])
+        sparse = np.asarray(batch["sparse"])
+        if multiproc:
+            # multi-host: ``batch`` holds this process's LOCAL rows; build
+            # the global batch from every process's slice, run the mesh
+            # forward, and hand back only the local prediction rows
+            # (global-index order) for process-local accumulation
+            ratio = jax.process_count()
+            dense = jax.make_array_from_process_local_data(
+                bs, dense, global_shape=(dense.shape[0] * ratio,)
+                + dense.shape[1:])
+            sparse = jax.make_array_from_process_local_data(
+                bs, sparse, global_shape=(sparse.shape[0] * ratio,)
+                + sparse.shape[1:])
+        else:
+            dense = jax.device_put(jnp.asarray(dense), bs)
+            sparse = jax.device_put(jnp.asarray(sparse), bs)
+        preds = fwd(dense_params, params["emb"], params.get("emb_h"),
+                    params.get("emb_cs", ()), dense, sparse)
+        if multiproc:
+            parts = {(s.index[0].start or 0): np.asarray(s.data)
+                     for s in preds.addressable_shards}  # dedupe replicas
+            local = np.concatenate([parts[k] for k in sorted(parts)])
+            if local.shape[0] != len(batch["labels"]):
+                raise RuntimeError(
+                    f"eval forward returned {local.shape[0]} local rows "
+                    f"for {len(batch['labels'])} local labels — the mesh "
+                    "output sharding no longer stripes the batch per "
+                    "process")
+            return local
+        return preds
 
     return _accumulate(data, predict_batch, record=record,
-                       auc_buckets=auc_buckets)
+                       auc_buckets=auc_buckets, mp_reduce=multiproc)
