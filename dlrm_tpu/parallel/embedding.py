@@ -636,6 +636,84 @@ def _cs_adagrad_local(cs_local, acc_local, ids_t, g, lr,
     return cs_local, acc_local
 
 
+def _cs_rowwise_local(cs_local, racc, ids_t, g, lr, axis: str, dim: int,
+                      eps: float = 1e-10, g_scaled=None):
+    """Exact ROW-WISE Adagrad on one column-sharded table (dense-G form).
+
+    Row-wise needs the mean over the FULL feature dim of g^2, but each
+    shard holds only a (R, D/N) lane slice.  Each shard scatter-adds its
+    lane gradients into a dense (R, D/N) buffer (duplicate ids sum exactly
+    — the dedup-then-apply contract for free, same trick as
+    optim.apply_adagrad_dense_g), and ONE psum over ``axis`` of the
+    per-row lane sum-of-squares completes the full-D sum.  The (R,)
+    accumulator is REPLICATED across shards: the psum output is
+    axis-invariant, so every shard folds in the identical per-row mean and
+    the VMA checker PROVES replication is maintained (no check_vma
+    disable).  Memory: R floats per shard vs R*D/N for an elementwise
+    slice — the 1/D rowwise saving survives column sharding; the dense
+    form also drops the dedup argsort entirely (cs targets HOT tables,
+    where a dense (R, D/N) pass is cheap and collision-heavy scatters are
+    exactly the expensive case).
+
+    ``g_scaled``: lr_k-pre-scaled lane grads (schedule blocks) — a second
+    dense buffer carries them; the step then applies with lr = 1.
+    Reference semantics bar: dedup-then-apply, src/train/train.jl:283-290."""
+    rows, wc = cs_local.shape
+    flat = ids_t.reshape(-1)
+
+    def densify(x):
+        return jnp.zeros((rows, wc), jnp.float32).at[flat].add(
+            x.reshape(-1, wc).astype(jnp.float32), mode="drop")
+
+    with jax.named_scope("cs_rowwise_densify"):
+        G = densify(g)
+    with jax.named_scope("cs_rowwise_psum"):
+        s2 = jax.lax.psum(jnp.sum(G * G, axis=-1), axis)   # (R,) full-D
+    g2m = s2 / dim
+    acc_new = racc + g2m                 # untouched rows: g2m == 0
+    rs = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+    if g_scaled is not None:
+        step = densify(g_scaled) * rs[:, None]
+    else:
+        step = (lr * G) * rs[:, None]    # untouched rows: G == 0
+    cs_local = (cs_local - step.astype(cs_local.dtype)).astype(
+        cs_local.dtype)
+    return cs_local, acc_new
+
+
+def _host_rowwise_local(emb_h_l, racc_h_l, key, g, lr, pack, dim, trash,
+                        eps: float = 1e-10, twin: bool = False):
+    """Exact ROW-WISE Adagrad on one host-resident table's owned rows: the
+    scalar-per-row accumulator is a (host_local_rows, pack) f32 slab
+    pinned host-side next to the table slab; dedup runs on device, then
+    one host gather of the accumulator lanes and two host scatter-adds
+    (acc += mean(g^2), table -= step) — the rowwise counterpart of
+    :func:`_host_adagrad_local` with 1/D the slow-tier optimizer bytes."""
+    from dlrm_tpu.ops.embedding import dedup_sparse_grad, SparseGrad
+
+    out = dedup_sparse_grad(SparseGrad(key, g))
+    keys_u, g_u = out.ids, out.rows
+    phys_u = jnp.where(keys_u >= 0, keys_u // pack, trash)
+    lane_u = jnp.where(keys_u >= 0, keys_u % pack, 0)
+    g_u = g_u * (keys_u >= 0)[:, None]
+    gs_u = None
+    if twin:
+        g_u, gs_u = g_u[:, :dim], g_u[:, dim:]
+    g2m = jnp.mean(g_u * g_u, axis=-1)               # (M,)
+    acc_rows = _host_gather_rows(racc_h_l, phys_u)   # (M, pack)
+    acc_sel = jnp.take_along_axis(acc_rows, lane_u[:, None], axis=1)[:, 0]
+    acc_new = acc_sel + g2m
+    lane_hot = jax.nn.one_hot(lane_u, pack, dtype=jnp.float32)
+    racc_h_l = _host_scatter_add_rows(racc_h_l, phys_u,
+                                      lane_hot * g2m[:, None])
+    rs = jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
+    step_rows = (gs_u * rs[:, None]) if twin else (lr * (g_u * rs[:, None]))
+    emb_h_l = _host_scatter_add_rows(
+        emb_h_l, phys_u,
+        _expand(-step_rows, lane_u, pack).astype(emb_h_l.dtype))
+    return emb_h_l, racc_h_l
+
+
 def _host_adagrad_local(emb_h_l, acc_h_l, key, g, lr, pack, dim, trash,
                         eps: float = 1e-10, twin: bool = False):
     """Exact Adagrad on one host-resident table's owned rows: dedup on
@@ -721,7 +799,9 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
                 g = jnp.broadcast_to(g[:, None, :], ids_t.shape + (width,))
             key = jnp.where(owned, phys * pack + slot, -1)
             if placement.rs_host and placement.rs_host[k]:
-                new_h, new_acc_h = _host_adagrad_local(
+                host_apply = (_host_rowwise_local if rowwise
+                              else _host_adagrad_local)
+                new_h, new_acc_h = host_apply(
                     new_h, new_acc_h, key.reshape(-1),
                     (g * owned[..., None]).reshape(-1, width).astype(
                         jnp.float32),
@@ -757,10 +837,18 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
                  else ids_all[:, t, :])
         g = _cs_route(d_pooled[:, t, :dim])
         gs = _cs_route(d_pooled[:, t, dim:]) if twin else None
-        cs_new, acc_new = _cs_adagrad_local(
-            cs[k][0], acc_cs[k][0], ids_t, g, lr, g_scaled=gs)
-        new_cs.append(cs_new[None])
-        new_acc_cs.append(acc_new[None])
+        if rowwise:
+            # replicated (R,) accumulator — enters the body whole (P()),
+            # every shard applies the identical psum'd row means
+            cs_new, acc_new = _cs_rowwise_local(
+                cs[k][0], acc_cs[k], ids_t, g, lr, axis, dim, g_scaled=gs)
+            new_cs.append(cs_new[None])
+            new_acc_cs.append(acc_new)
+        else:
+            cs_new, acc_new = _cs_adagrad_local(
+                cs[k][0], acc_cs[k][0], ids_t, g, lr, g_scaled=gs)
+            new_cs.append(cs_new[None])
+            new_acc_cs.append(acc_new[None])
     return (new_emb[None], new_acc[None], new_h[None], new_acc_h[None],
             tuple(new_cs), tuple(new_acc_cs))
 
@@ -779,12 +867,6 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
     independently).  Returns (new_emb, new_acc, new_emb_h, new_acc_h,
     new_cs, new_acc_cs) — the host pair is None without host tables."""
     meta = placement_arrays(placement)
-    if rowwise and (placement.col_sharded or placement.host_row_sharded):
-        raise ValueError(
-            "sharded rowwise_adagrad supports slot + device row-sharded "
-            "placements only (column-sharded tables would need a "
-            "cross-shard mean psum; host-resident tables keep "
-            "elementwise adagrad)")
     has_host = emb_h is not None
     if not has_host:
         emb_h = _dummy_host_stack(emb)
@@ -802,15 +884,19 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
         dcn_axis=_dcn_axis(mesh, axis), block_leading=block_leading,
         twin=twin, rowwise=rowwise)
     bspec = _batch_spec(mesh, axis, leading=block_leading)
+    # rowwise cs accumulators are REPLICATED (R,) vectors (see
+    # _cs_rowwise_local); elementwise cs accumulators shard like the
+    # lane slices
+    acc_cs_spec = tuple((P() if rowwise else P(axis)) for _ in acc_cs)
     out = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis),
                   tuple(P(axis) for _ in cs),
-                  tuple(P(axis) for _ in acc_cs), bspec, bspec, P(),
+                  acc_cs_spec, bspec, bspec, P(),
                   {k: P(axis) for k in meta}),
         out_specs=(P(axis), P(axis), P(axis), P(axis),
                    tuple(P(axis) for _ in cs),
-                   tuple(P(axis) for _ in acc_cs)),
+                   acc_cs_spec),
         **_update_check_kw(_dcn_axis(mesh, axis)),
     )(emb, acc, emb_h, acc_h, tuple(cs), tuple(acc_cs), ids, d_pooled,
       jnp.asarray(lr, jnp.float32), meta)
@@ -818,6 +904,55 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
     if not has_host:
         new_h = new_acc_h = None
     return new_emb, new_acc, new_h, new_acc_h, new_cs, new_acc_cs
+
+
+def make_dcn_replica_check(mesh: Mesh, axis: str = "d"):
+    """Debug-mode runtime guard for the hybrid mesh's core invariant: the
+    tables are bit-REPLICATED across the DCN axis (every replica applied
+    the identical folded update, _dcn_fold).  The static VMA checker is
+    disabled for the folded update bodies (_update_check_kw) because it
+    cannot see through the scatter chain — so a future edit that breaks
+    DCN-invariance would compile cleanly and silently diverge.  This check
+    closes that hole at runtime: per-shard XOR-fold of the raw bits (order
+    independent, catches any single-bit divergence), one tiny all_gather
+    over DCN, equality.  Returns a jitted ``check(params) -> (ici,) bool``
+    (True everywhere iff replicas agree), or None on a 1-D mesh.  Run it
+    every N steps under ``--paranoid N`` — cost is one pass over the
+    shards, so keep N large in production."""
+    dcn = _dcn_axis(mesh, axis)
+    if dcn is None:
+        return None
+
+    def xor_fold(x):
+        bits = jax.lax.bitcast_convert_type(
+            x.astype(jnp.float32), jnp.uint32).reshape(-1)
+        return jax.lax.reduce(bits, np.uint32(0), jax.lax.bitwise_xor,
+                              (0,))
+
+    def body(emb, cs, emb_h):
+        c = xor_fold(emb)
+        for t in cs:
+            c = c ^ xor_fold(t)
+        c = c ^ xor_fold(emb_h)     # dummy stack folds zeros: harmless
+        sums = jax.lax.all_gather(c, dcn)           # (H,) per ici shard
+        return jnp.all(sums == sums[0])[None]
+
+    def check(params) -> jax.Array:
+        cs = tuple(params.get("emb_cs", ()))
+        emb_h = params.get("emb_h")
+        if emb_h is None:
+            emb_h = _dummy_host_stack(params["emb"])
+        else:
+            # pull the pinned-host stack into device memory for the fold
+            # (debug mode: the PCIe copy is the price of checking it too)
+            emb_h = jax.device_put(emb_h, NamedSharding(mesh, P(axis)))
+        fn = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), tuple(P(axis) for _ in cs), P(axis)),
+            out_specs=P(axis), check_vma=False)
+        return fn(params["emb"], cs, emb_h)
+
+    return check
 
 
 def _dummy_host_stack(emb: jax.Array) -> jax.Array:

@@ -334,6 +334,18 @@ def _adagrad_rows(acc_rows, g, lr, eps: float = 1e-10):
     return g * g, step
 
 
+def _rowwise_rows(acc_sel, g, lr, eps: float = 1e-10):
+    """ROW-WISE Adagrad on deduped rows: ``acc_sel`` is the (M,) scalar
+    accumulator per row; returns (delta_acc (M,), step_rows (M, D)) —
+    acc += mean_D(g^2), step = g * rsqrt(acc'+eps) (same contract as
+    train/optim.apply_rowwise_adagrad_chunked)."""
+    g2m = jnp.mean(g * g, axis=-1)
+    acc_new = acc_sel + g2m
+    step = g * jnp.where(acc_new > 0,
+                         jax.lax.rsqrt(acc_new + eps), 0.0)[:, None]
+    return g2m, step
+
+
 def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
                           config: DLRMConfig, optimizer: str, lr,
                           plan: TierPlan):
@@ -413,8 +425,16 @@ def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
                     emb_ops.SparseGrad(flat, g))
                 ids_u, g_u = out.ids, out.rows
                 acc = opt_state["dev_acc"]
-                d_acc, step_rows = _adagrad_rows(
-                    jnp.take(acc, ids_u, axis=0), g_u, lr_t)
+                if optimizer == "rowwise_adagrad":
+                    # (device_rows,) scalar-per-row accumulator; surplus
+                    # slots (id -1, zero grads) take clamps to row 0 and
+                    # add dropped/zero updates
+                    sel = jnp.take(acc, jnp.maximum(ids_u, 0)) \
+                        * (ids_u >= 0)
+                    d_acc, step_rows = _rowwise_rows(sel, g_u, lr_t)
+                else:
+                    d_acc, step_rows = _adagrad_rows(
+                        jnp.take(acc, ids_u, axis=0), g_u, lr_t)
                 new_opt["dev_acc"] = acc.at[ids_u].add(d_acc, mode="drop")
                 new_dev = emb_dev.at[ids_u].add(
                     (-lr_t * step_rows).astype(emb_dev.dtype), mode="drop")
@@ -441,7 +461,15 @@ def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
                 g_u = g_u * valid
                 acc = opt_state["host_acc"]
                 acc_rows = host_tier_gather(acc, ids_u)
-                d_acc, step_rows = _adagrad_rows(acc_rows, g_u, lr_t)
+                if optimizer == "rowwise_adagrad":
+                    # acc is a (host_rows, 1) pinned scalar slab — 1/D the
+                    # slow-tier optimizer bytes AND 1/D the PCIe traffic
+                    # of the accumulator round-trip
+                    d_acc, step_rows = _rowwise_rows(acc_rows[:, 0], g_u,
+                                                     lr_t)
+                    d_acc = d_acc[:, None]
+                else:
+                    d_acc, step_rows = _adagrad_rows(acc_rows, g_u, lr_t)
                 new_opt["host_acc"] = host_tier_scatter_add(acc, ids_u,
                                                             d_acc)
                 new_host = host_tier_scatter_add(emb_host, ids_u,
@@ -456,26 +484,30 @@ def init_tiered_opt_state(params: dict, *, config: DLRMConfig,
     """Optimizer state with tier-matched Adagrad accumulator slabs."""
     from dlrm_tpu.train import optim
 
-    if optimizer == "rowwise_adagrad":
-        raise ValueError("rowwise_adagrad is single-chip only; use "
-                         "'adagrad' on the two-tier path")
     device = device or jax.devices()[0]
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     tx = optim.dense_optimizer(optimizer, lr)
     state = {"dense": tx.init(dense_params),
              "count": jnp.zeros((), jnp.int32),
              "dev_acc": (), "host_acc": ()}
-    if optimizer == "adagrad":
+    if optimizer in ("adagrad", "rowwise_adagrad"):
+        # rowwise: one f32 scalar per row — (R,) device tier, (R, 1)
+        # pinned host slab (host gather/scatter work on 2-D row stacks)
+        dev_shape = (params["emb_dev"].shape
+                     if optimizer == "adagrad"
+                     else (params["emb_dev"].shape[0],))
+        host_shape = (params["emb_host"].shape
+                      if optimizer == "adagrad"
+                      else (params["emb_host"].shape[0], 1))
         state["dev_acc"] = jax.device_put(
-            jnp.zeros(params["emb_dev"].shape, jnp.float32), device)
+            jnp.zeros(dev_shape, jnp.float32), device)
         host_sh = jax.sharding.SingleDeviceSharding(
             device, memory_kind="pinned_host")
         try:
             state["host_acc"] = jax.device_put(
-                jnp.zeros(params["emb_host"].shape, jnp.float32), host_sh)
+                jnp.zeros(host_shape, jnp.float32), host_sh)
         except Exception:  # backends without pinned_host (CPU tests)
-            state["host_acc"] = jnp.zeros(params["emb_host"].shape,
-                                          jnp.float32)
+            state["host_acc"] = jnp.zeros(host_shape, jnp.float32)
     return state
 
 
@@ -495,7 +527,8 @@ def make_tiered_train_step_opt(config: DLRMConfig, *, optimizer: str, lr,
     sh_host = jax.sharding.SingleDeviceSharding(device,
                                                 memory_kind="pinned_host")
     opt_sh = {"dense": None, "count": None, "dev_acc": None,
-              "host_acc": sh_host if optimizer == "adagrad" else None}
+              "host_acc": (sh_host if optimizer in
+                           ("adagrad", "rowwise_adagrad") else None)}
     out_shardings = (({"bottom": None, "top": None, "emb_dev": None,
                        "emb_host": sh_host}, opt_sh), None)
     return jax.jit(step, donate_argnums=(0, 1),

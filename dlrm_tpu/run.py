@@ -149,6 +149,8 @@ def _data_iter(args, config, *, steps: Optional[int], seed: int = 0,
             load(args.data), args.batch_size,
             drop_remainder=not getattr(args, "keep_remainder", False),
             shuffle=getattr(args, "shuffle", False),
+            shuffle_rows=getattr(args, "shuffle_rows", False),
+            shuffle_window=getattr(args, "shuffle_window", 8),
             seed=getattr(args, "seed", 0),
             local_rows=rows)
         if len(loader) == 0:
@@ -280,16 +282,6 @@ def cmd_train(args) -> int:
             raise SystemExit(
                 f"--batch-size {args.batch_size} must divide evenly over "
                 f"the {dcn_n * ici_n}-device hybrid mesh")
-    if args.optimizer == "rowwise_adagrad":
-        if args.hbm_budget_gb is not None:
-            raise SystemExit("rowwise_adagrad is not supported on the "
-                             "two-tier path; use adagrad")
-        if sharded and (args.col_sharded_tables
-                        or getattr(args, "host_tables", None)):
-            raise SystemExit(
-                "sharded rowwise_adagrad supports slot + device "
-                "row-sharded placements only; drop "
-                "--col-sharded-tables/--host-tables or use adagrad")
     n_shards = ici_n if ici_n else n_dev  # table-sharding axis size
 
     def say(*a):  # stderr status lines: one process's voice, not N copies
@@ -544,6 +536,14 @@ def cmd_train(args) -> int:
         from dlrm_tpu.parallel.mesh import local_batch_rows
         feed_rows = local_batch_rows(batch_sharding(mesh), args.batch_size)
 
+    replica_check = None
+    if getattr(args, "paranoid", None):
+        if not (sharded and ici_n):
+            raise SystemExit("--paranoid guards the hybrid (DCNxICI) "
+                             "mesh; it needs --mesh-shape")
+        from dlrm_tpu.parallel.embedding import make_dcn_replica_check
+        replica_check = make_dcn_replica_check(mesh)
+
     def run_eval(eval_iter):
         """Evaluate with whatever layout the training path uses: the
         sharded path evals ON the mesh (the tables are never gathered to
@@ -686,6 +686,13 @@ def cmd_train(args) -> int:
                 f"({eps:,.0f} examples/s)")
         if _crossed(prev, step, args.eval_every):
             periodic_eval()
+        if replica_check is not None and _crossed(prev, step,
+                                                  args.paranoid):
+            if not bool(np.asarray(replica_check(params)).all()):
+                raise RuntimeError(
+                    f"--paranoid: DCN table replicas DIVERGED at step "
+                    f"{step} — a sparse update was not DCN-invariant "
+                    "(see parallel/embedding._dcn_fold)")
         if mgr is not None and _crossed(prev, step, mgr.save_interval):
             mgr.save(step, ckpt_payload())
     if profiling:
@@ -786,8 +793,11 @@ def _try_load_sharded_ctx(args, config, meta=None):
                 opt_abs["emb_acc"], (tuple, list)):
             opt_sh["emb_acc"] = NamedSharding(mesh, P("d"))
         if opt_abs.get("emb_acc_cs"):
+            # rowwise cs accumulators checkpoint as replicated (R,)
+            # vectors; elementwise ones shard like the lane slices
             opt_sh["emb_acc_cs"] = jax.tree.map(
-                lambda _: NamedSharding(mesh, P("d")),
+                lambda a: NamedSharding(
+                    mesh, P() if a.ndim == 1 else P("d")),
                 opt_abs["emb_acc_cs"])
         if "emb_acc_h" in opt_abs and not isinstance(
                 opt_abs["emb_acc_h"], (tuple, list)):
@@ -1099,14 +1109,21 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--eval-steps", type=int, default=None)
     tr.add_argument("--shuffle", action="store_true",
                     help="shuffle batch windows each epoch")
+    tr.add_argument("--shuffle-rows", action="store_true",
+                    help="chunked-permutation ROW shuffle (MLPerf-style): "
+                    "permute rows within a window of --shuffle-window "
+                    "batches and permute window order; bounded mmap "
+                    "locality")
+    tr.add_argument("--shuffle-window", type=int, default=8,
+                    help="row-shuffle window size in batches")
     tr.add_argument("--batch-size", type=int, default=2048)
     tr.add_argument("--lr", type=float, default=0.1)
     tr.add_argument("--optimizer", default="sgd",
-                    help="sgd | adagrad (all paths: single-chip, sharded, "
-                    "two-tier) | rowwise_adagrad (single-chip + sharded "
-                    "slot/row-sharded placements; one accumulator scalar "
-                    "per row, 1/D the optimizer memory — the torchrec "
-                    "production default)")
+                    help="sgd | adagrad | rowwise_adagrad (one f32 "
+                    "accumulator scalar per row, 1/D the optimizer memory "
+                    "— the torchrec production default); every optimizer "
+                    "runs on every placement: single-chip, sharded "
+                    "(slot/row/column/host-resident), two-tier, blocks")
     tr.add_argument("--lr-schedule", default="constant",
                     help="constant | warmup_poly_decay (MLPerf-style)")
     tr.add_argument("--warmup-steps", type=int, default=0)
@@ -1144,6 +1161,11 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--sharded", type=lambda s: s.lower() == "true",
                     default=None, help="force hybrid-parallel path "
                     "(default: auto if >1 device)")
+    tr.add_argument("--paranoid", type=int, default=None,
+                    help="hybrid mesh debug: every N steps, verify the "
+                    "tables are bit-identical across DCN replicas (XOR "
+                    "checksum + tiny DCN all-gather); aborts on "
+                    "divergence")
     tr.add_argument("--mesh-shape", default=None,
                     help="DCNxICI hybrid mesh, e.g. 2x4: tables shard over "
                     "the ICI axis only (all-to-all stays on-slice), batch "

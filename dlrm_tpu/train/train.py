@@ -791,12 +791,6 @@ def init_sharded_opt_state(params: dict, *, config: DLRMConfig,
     from jax.sharding import NamedSharding, PartitionSpec as P
     from dlrm_tpu.train import optim
 
-    if optimizer == "rowwise_adagrad" and (
-            "emb_cs" in params or "emb_h" in params):
-        raise ValueError(
-            "sharded rowwise_adagrad supports slot + device row-sharded "
-            "placements only; drop --col-sharded-tables/--host-tables or "
-            "use 'adagrad'")
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     tx = optim.dense_optimizer(optimizer, lr)
     state = {"dense": tx.init(dense_params),
@@ -810,6 +804,19 @@ def init_sharded_opt_state(params: dict, *, config: DLRMConfig,
         state["emb_acc"] = jax.device_put(
             jnp.zeros((n, local_rows, pack), jnp.float32),
             NamedSharding(mesh, P(axis)))
+        # column-sharded tables: REPLICATED (R,) per table — every shard
+        # folds in the identical psum'd full-D row mean
+        # (parallel/embedding._cs_rowwise_local); host-resident tables: a
+        # (N, host_rows, pack) scalar slab pinned next to the table slab
+        state["emb_acc_cs"] = tuple(
+            jax.device_put(jnp.zeros((a.shape[1],), jnp.float32),
+                           NamedSharding(mesh, P()))
+            for a in params.get("emb_cs", ()))
+        if "emb_h" in params:
+            state["emb_acc_h"] = jax.device_put(
+                jnp.zeros(params["emb_h"].shape[:2] + (pack,),
+                          jnp.float32),
+                NamedSharding(mesh, P(axis), memory_kind="pinned_host"))
     if optimizer == "adagrad":
         acc = jnp.zeros(params["emb"].shape, jnp.float32)
         state["emb_acc"] = jax.device_put(
@@ -837,8 +844,11 @@ def sharded_opt_shardings(opt_state: dict, mesh, axis: str = "d"):
     if not isinstance(opt_state.get("emb_acc", ()), tuple):
         sh["emb_acc"] = NamedSharding(mesh, P(axis))
     if opt_state.get("emb_acc_cs", ()):
-        sh["emb_acc_cs"] = tuple(NamedSharding(mesh, P(axis))
-                                 for _ in opt_state["emb_acc_cs"])
+        # rowwise cs accumulators are replicated (R,) vectors; elementwise
+        # ones are (N, R, D/N) sharded like the lane slices
+        sh["emb_acc_cs"] = tuple(
+            (rep if a.ndim == 1 else NamedSharding(mesh, P(axis)))
+            for a in opt_state["emb_acc_cs"])
     if not isinstance(opt_state.get("emb_acc_h", ()), tuple):
         sh["emb_acc_h"] = NamedSharding(mesh, P(axis),
                                         memory_kind="pinned_host")

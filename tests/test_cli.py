@@ -95,9 +95,9 @@ def test_train_cli_adagrad(capsys):
 
 
 def test_train_cli_rowwise_adagrad(capsys):
-    """rowwise_adagrad end-to-end: single-chip steps + blocks, SHARDED
-    steps + blocks; rejected with clear errors on the two-tier path and
-    for col-sharded/host-resident placements."""
+    """rowwise_adagrad end-to-end on EVERY path: single-chip steps +
+    blocks, sharded steps + blocks, the two-tier path, and
+    col-sharded/host-resident placements."""
     rc, res = _run(capsys, [
         "train", "--config", "tiny", "--batch-size", "32", "--steps", "5",
         "--sharded", "false", "--optimizer", "rowwise_adagrad",
@@ -114,16 +114,22 @@ def test_train_cli_rowwise_adagrad(capsys):
     assert rc == 0 and res["steps"] == 4
     assert np.isfinite(res["final_loss"])
 
-    with pytest.raises(SystemExit, match="two-tier"):
-        cli.main(["train", "--config", "tiny", "--batch-size", "32",
-                  "--steps", "2", "--sharded", "false",
-                  "--hbm-budget-gb", "0.0001",
-                  "--optimizer", "rowwise_adagrad"])
-    with pytest.raises(SystemExit, match="slot"):
-        cli.main(["train", "--config", "tiny", "--batch-size", "32",
-                  "--steps", "2", "--sharded", "true",
-                  "--host-tables", "1",
-                  "--optimizer", "rowwise_adagrad"])
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "2",
+        "--sharded", "false", "--hbm-budget-gb", "0.0001",
+        "--optimizer", "rowwise_adagrad", "--log-every", "1"])
+    assert rc == 0 and res["steps"] == 2
+    assert np.isfinite(res["final_loss"])
+
+    from dlrm_tpu.parallel.host_tier import host_memory_supported
+    if host_memory_supported():
+        rc, res = _run(capsys, [
+            "train", "--config", "tiny", "--batch-size", "32",
+            "--steps", "2", "--sharded", "true", "--host-tables", "1",
+            "--col-sharded-tables", "2",
+            "--optimizer", "rowwise_adagrad", "--log-every", "1"])
+        assert rc == 0 and res["steps"] == 2
+        assert np.isfinite(res["final_loss"])
 
 
 def test_train_cli_sharded_synthetic(capsys):

@@ -202,6 +202,87 @@ def test_tiered_adagrad_matches_dense_oracle(n_hot):
 
 
 @pytest.mark.parametrize("n_hot", [1, 2])
+def test_tiered_rowwise_adagrad_matches_dense_oracle(n_hot):
+    """Two-tier ROW-WISE Adagrad: (R,) device accumulator + (R, 1) pinned
+    host scalar slab (1/D the slow-tier optimizer bytes and accumulator
+    PCIe traffic) == dense-gradient row-wise oracle over 2 steps with
+    duplicate ids."""
+    import optax
+    from dlrm_tpu.models import dlrm as model_lib
+    from dlrm_tpu.ops.loss import bce_loss
+    from dlrm_tpu.train.optim import apply_rowwise_adagrad_dense_table
+
+    config, params, batch = _setup(n_hot=n_hot, seed=5)
+    sparse = np.asarray(batch["sparse"]).copy()
+    sparse[1] = sparse[0]
+    args = (jnp.asarray(batch["dense"]), jnp.asarray(sparse),
+            jnp.asarray(batch["labels"]))
+    lr, steps = 0.3, 2
+
+    from dlrm_tpu.ops import embedding as emb_ops
+    logical = jnp.asarray(emb_ops.unpack_tables(
+        jax.tree.map(np.asarray, params["emb"]), config))
+
+    def loss_fn(p):
+        pooled = emb_ops.pool(emb_ops.gather_rows(
+            p["emb"], emb_ops.translate_ids(args[1],
+                                            config.table_offsets)))
+        dp = {"bottom": p["bottom"], "top": p["top"]}
+        out = model_lib.forward_from_pooled(dp, pooled, args[0], config)
+        return bce_loss(out, args[2])
+
+    tx = optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+    dense_ref = {"bottom": jax.tree.map(jnp.copy, params["bottom"]),
+                 "top": jax.tree.map(jnp.copy, params["top"])}
+    dstate = tx.init(dense_ref)
+    emb_ref = jnp.copy(logical)
+    acc = jnp.zeros((logical.shape[0],), jnp.float32)
+    for _ in range(steps):
+        g = jax.grad(loss_fn)({"bottom": dense_ref["bottom"],
+                               "emb": emb_ref,
+                               "top": dense_ref["top"]})
+        upd, dstate = tx.update({"bottom": g["bottom"], "top": g["top"]},
+                                dstate, dense_ref)
+        dense_ref = optax.apply_updates(dense_ref, upd)
+        emb_ref, acc = apply_rowwise_adagrad_dense_table(emb_ref, acc,
+                                                         g["emb"], lr)
+
+    plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
+    assert plan.host_tables and plan.device_tables
+    tiered = ht.init_tiered_params(params, plan, config)
+    opt = ht.init_tiered_opt_state(tiered, config=config,
+                                   optimizer="rowwise_adagrad", lr=lr,
+                                   plan=plan)
+    assert opt["dev_acc"].ndim == 1 and opt["host_acc"].shape[-1] == 1
+    step = ht.make_tiered_train_step_opt(
+        config, optimizer="rowwise_adagrad", lr=lr, plan=plan)
+    state = (tiered, opt)
+    for _ in range(steps):
+        state, loss = step(state[0], state[1], *args)
+
+    merged = ht.merge_tiers(state[0]["emb_dev"], state[0]["emb_host"],
+                            plan, config)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(emb_ref),
+                               atol=1e-5, rtol=1e-5)
+    # tier accumulators must hold the oracle's per-row scalars
+    for t, lo in zip(plan.device_tables, plan.device_offsets):
+        go, n = config.table_offsets[t], config.table_sizes[t]
+        np.testing.assert_allclose(
+            np.asarray(state[1]["dev_acc"])[lo:lo + n],
+            np.asarray(acc)[go:go + n], atol=1e-6, rtol=1e-5)
+    for t, lo in zip(plan.host_tables, plan.host_offsets):
+        go, n = config.table_offsets[t], config.table_sizes[t]
+        np.testing.assert_allclose(
+            np.asarray(state[1]["host_acc"])[lo:lo + n, 0],
+            np.asarray(acc)[go:go + n], atol=1e-6, rtol=1e-5)
+    for side in ("bottom", "top"):
+        for a, b in zip(state[0][side], dense_ref[side]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]),
+                                       atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("n_hot", [1, 2])
 def test_host_sharded_train_step_matches_single_device(n_hot):
     """Config-5 composition (BASELINE.json): row-sharded tables whose
     per-shard blocks live in pinned HOST memory, in the same step as

@@ -582,22 +582,195 @@ def test_sharded_rowwise_adagrad_matches_single_device(n_hot, row_sharded):
                                        atol=5e-4, rtol=5e-4)
 
 
-def test_sharded_rowwise_rejects_cs_and_host():
+@pytest.mark.parametrize("n_hot", [1, 2])
+def test_sharded_rowwise_col_sharded_matches_dense_oracle(n_hot):
+    """Row-wise Adagrad with column-sharded (+ row-sharded + slot) tables:
+    the cs accumulator is ONE replicated (R,) vector per table and the
+    full-D mean of g^2 is completed with a cross-shard psum of the lane
+    sums (parallel/embedding._cs_rowwise_local); two sharded steps must
+    match a dense-gradient row-wise oracle."""
     from dlrm_tpu.parallel import embedding as pemb
-    from dlrm_tpu.parallel.mesh import make_mesh
+    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        param_shardings)
     from dlrm_tpu.parallel.placement import plan_placement
-    import jax.numpy as _jnp
+    from dlrm_tpu.train.optim import apply_rowwise_adagrad_dense_table
+    from dlrm_tpu.train.train import (init_sharded_opt_state,
+                                      make_sharded_train_step_opt)
 
-    c, params, _ = _setup()
+    c = dlrm_tpu.tiny_config(num_tables=6, rows=64, feature_size=8,
+                             n_hot=n_hot)
+    c = dataclasses.replace(c, table_sizes=(64, 400, 12, 300, 64, 50),
+                            packed_tables=False)
+    params = dlrm_tpu.init_params(jax.random.key(7), c)
+    rng = np.random.default_rng(3)
+    batch = synthetic.random_batch(rng, c, 32)
+    sparse = np.asarray(batch["sparse"]).copy()
+    sparse[1] = sparse[0]  # duplicate ids: the dedup-then-apply case
+    args = (jnp.asarray(batch["dense"]), jnp.asarray(sparse),
+            jnp.asarray(batch["labels"]))
+    lr, steps = 0.3, 2
+
+    def loss_fn(p):
+        return bce_loss(model_lib.forward(p, args[0], args[1], c), args[2])
+
+    ref = jax.tree.map(jnp.copy, params)
+    tx = optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+    dense_ref = {"bottom": ref["bottom"], "top": ref["top"]}
+    dstate = tx.init(dense_ref)
+    acc = jnp.zeros((ref["emb"].shape[0],), jnp.float32)
+    for _ in range(steps):
+        ref_full = {"bottom": dense_ref["bottom"], "emb": ref["emb"],
+                    "top": dense_ref["top"]}
+        g = jax.grad(loss_fn)(ref_full)
+        upd, dstate = tx.update({"bottom": g["bottom"], "top": g["top"]},
+                                dstate, dense_ref)
+        dense_ref = optax.apply_updates(dense_ref, upd)
+        new_emb, acc = apply_rowwise_adagrad_dense_table(
+            ref["emb"], acc, g["emb"], lr)
+        ref = {"bottom": dense_ref["bottom"], "emb": new_emb,
+               "top": dense_ref["top"]}
+
     mesh = make_mesh(8)
-    p = plan_placement(c.table_sizes, 8, pack=1, col_sharded_tables=(2,))
-    with pytest.raises(ValueError, match="rowwise"):
-        pemb.sharded_update_adagrad(
-            _jnp.zeros((8, p.local_rows, c.feature_size)),
-            _jnp.zeros((8, p.local_rows, 1)),
-            _jnp.zeros((8, c.num_tables), _jnp.int32),
-            _jnp.zeros((8, c.num_tables, c.feature_size)), 0.1,
-            mesh=mesh, placement=p, rowwise=True)
+    p = plan_placement(c.table_sizes, 8, pack=1, max_rows_per_shard=350,
+                       col_sharded_tables=(3, 5))
+    assert p.col_sharded == (3, 5) and p.row_sharded == (1,)
+    emb_np = np.asarray(params["emb"])
+    sh_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": pemb.shard_tables(emb_np, p, c),
+        "emb_cs": pemb.shard_col_tables(emb_np, p, c),
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+    sh_params = jax.device_put(sh_params, param_shardings(mesh, sh_params))
+    opt = init_sharded_opt_state(sh_params, config=c,
+                                 optimizer="rowwise_adagrad", lr=lr,
+                                 mesh=mesh)
+    assert len(opt["emb_acc_cs"]) == 2
+    assert all(a.ndim == 1 for a in opt["emb_acc_cs"])  # replicated (R,)
+    step = make_sharded_train_step_opt(c, optimizer="rowwise_adagrad",
+                                       lr=lr, mesh=mesh, placement=p)
+    bs = batch_sharding(mesh)
+    sh_args = tuple(jax.device_put(a, bs) for a in args)
+    state = (sh_params, opt)
+    for _ in range(steps):
+        state, loss = step(state[0], state[1], *sh_args)
+
+    want_emb = np.asarray(ref["emb"])
+    got_emb = pemb.unshard_tables(np.asarray(state[0]["emb"]), p, c)
+    for t in range(c.num_tables):
+        off, rows = c.table_offsets[t], c.table_sizes[t]
+        if t in p.col_sharded:
+            continue
+        np.testing.assert_allclose(got_emb[off:off + rows],
+                                   want_emb[off:off + rows],
+                                   atol=1e-4, rtol=1e-4, err_msg=f"t={t}")
+    got_cs = pemb.unshard_col_tables(
+        [np.asarray(a) for a in state[0]["emb_cs"]], p)
+    for k, t in enumerate(p.col_sharded):
+        off, rows = c.table_offsets[t], c.table_sizes[t]
+        np.testing.assert_allclose(got_cs[k], want_emb[off:off + rows],
+                                   atol=1e-4, rtol=1e-4, err_msg=f"cs t={t}")
+        # the replicated accumulator must equal the oracle's row accs
+        np.testing.assert_allclose(
+            np.asarray(state[1]["emb_acc_cs"][k]),
+            np.asarray(acc[off:off + rows]), atol=1e-5, rtol=1e-5)
+    for side in ("bottom", "top"):
+        for a, b in zip(state[0][side], ref[side]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]),
+                                       atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("n_hot", [1, 2])
+def test_sharded_rowwise_host_tables_matches_dense_oracle(n_hot):
+    """Row-wise Adagrad on host-resident row-sharded tables: the
+    scalar-per-row accumulator is a (N, host_rows, pack) slab pinned next
+    to the table slab (1/D the slow-tier optimizer bytes AND PCIe
+    accumulator traffic), plus slot + device row-sharded tables, vs the
+    dense-gradient row-wise oracle."""
+    from dlrm_tpu.parallel import host_tier as ht
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.optim import apply_rowwise_adagrad_dense_table
+    from dlrm_tpu.train.train import (init_sharded_opt_state,
+                                      make_sharded_train_step_opt)
+
+    if not ht.host_memory_supported():
+        pytest.skip("no pinned_host memory space")
+    c = dlrm_tpu.tiny_config(num_tables=6, rows=64, feature_size=8,
+                             n_hot=n_hot)
+    c = dataclasses.replace(c, table_sizes=(64, 1000, 16, 2048, 128, 512))
+    params = dlrm_tpu.init_params(jax.random.key(9), c)
+    rng = np.random.default_rng(9)
+    batch = synthetic.random_batch(rng, c, 32)
+    sparse = np.asarray(batch["sparse"]).copy()
+    sparse[1] = sparse[0]
+    args = (jnp.asarray(batch["dense"]), jnp.asarray(sparse),
+            jnp.asarray(batch["labels"]))
+    lr, steps = 0.3, 2
+
+    logical = jnp.asarray(emb_ops.unpack_tables(
+        jax.tree.map(np.asarray, params["emb"]), c))
+
+    def loss_fn(p):
+        pooled = emb_ops.pool(emb_ops.gather_rows(
+            p["emb"], emb_ops.translate_ids(args[1], c.table_offsets)))
+        dp = {"bottom": p["bottom"], "top": p["top"]}
+        out = model_lib.forward_from_pooled(dp, pooled, args[0], c)
+        return bce_loss(out, args[2])
+
+    tx = optax.adagrad(lr, initial_accumulator_value=0.0, eps=1e-10)
+    dense_ref = {"bottom": jax.tree.map(jnp.copy, params["bottom"]),
+                 "top": jax.tree.map(jnp.copy, params["top"])}
+    dstate = tx.init(dense_ref)
+    emb_ref = jnp.copy(logical)
+    acc = jnp.zeros((logical.shape[0],), jnp.float32)
+    for _ in range(steps):
+        g = jax.grad(loss_fn)({"bottom": dense_ref["bottom"],
+                               "emb": emb_ref,
+                               "top": dense_ref["top"]})
+        upd, dstate = tx.update({"bottom": g["bottom"], "top": g["top"]},
+                                dstate, dense_ref)
+        dense_ref = optax.apply_updates(dense_ref, upd)
+        emb_ref, acc = apply_rowwise_adagrad_dense_table(emb_ref, acc,
+                                                         g["emb"], lr)
+
+    mesh = make_mesh(8)
+    p = plan_placement(c.table_sizes, 8, pack=c.pack,
+                       max_rows_per_shard=1500, host_tables=(1, 3))
+    assert set(p.host_row_sharded) == {1, 3}
+    emb_np = np.asarray(logical)
+    sh_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": pemb.shard_tables(emb_np, p, c),
+        "emb_h": pemb.shard_host_tables(emb_np, p, c),
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+    sh_params = jax.device_put(sh_params, param_shardings(mesh, sh_params))
+    opt = init_sharded_opt_state(sh_params, config=c,
+                                 optimizer="rowwise_adagrad", lr=lr,
+                                 mesh=mesh)
+    assert opt["emb_acc_h"].sharding.memory_kind == "pinned_host"
+    assert opt["emb_acc_h"].shape[-1] == p.pack  # scalar-per-row slab
+    step = make_sharded_train_step_opt(c, optimizer="rowwise_adagrad",
+                                       lr=lr, mesh=mesh, placement=p)
+    bs = batch_sharding(mesh)
+    sh_args = tuple(jax.device_put(a, bs) for a in args)
+    state = (sh_params, opt)
+    for _ in range(steps):
+        state, loss = step(state[0], state[1], *sh_args)
+
+    got = pemb.unshard_tables(np.asarray(state[0]["emb"]), p, c,
+                              host=np.asarray(state[0]["emb_h"]))
+    np.testing.assert_allclose(got, np.asarray(emb_ref),
+                               atol=1e-4, rtol=1e-4)
+    for side in ("bottom", "top"):
+        for a, b in zip(state[0][side], dense_ref[side]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]),
+                                       atol=1e-4, rtol=1e-4)
 
 
 @pytest.mark.parametrize("scheduled,unroll", [(False, True),
@@ -673,4 +846,100 @@ def test_sharded_rowwise_block_matches_sequential(scheduled, unroll):
         atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(o_blk["emb_acc"]),
                                np.asarray(o_ref["emb_acc"]),
+                               atol=1e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("scheduled", [False, True])
+def test_sharded_rowwise_block_cs_host_matches_sequential(scheduled):
+    """Rowwise blocks (incl. the twin scheduled payload) on a placement
+    with column-sharded + host-resident + row-sharded + slot tables == K
+    sequential sharded rowwise steps on disjoint ids."""
+    from dlrm_tpu.parallel import host_tier as ht
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding,
+                                        block_batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.train import (init_sharded_opt_state,
+                                      make_sharded_train_block_opt,
+                                      make_sharded_train_step_opt)
+    from dlrm_tpu.train.optim import make_schedule
+
+    if not ht.host_memory_supported():
+        pytest.skip("no pinned_host memory space")
+    c = dataclasses.replace(
+        dlrm_tpu.tiny_config(num_tables=5, rows=256, feature_size=8),
+        table_sizes=(64, 512, 32, 300, 1024), packed_tables=False)
+    params = dlrm_tpu.init_params(jax.random.key(31), c)
+    rng = np.random.default_rng(31)
+    k, b = 2, 32
+    dense = jnp.asarray(rng.normal(size=(k, b, 13)).astype(np.float32))
+    sparse = jnp.asarray(np.stack([np.stack(
+        [rng.integers(i * (s // k), (i + 1) * (s // k), size=b)
+         for s in c.table_sizes], axis=1)
+        for i in range(k)]).astype(np.int32))
+    labels = jnp.asarray((rng.random((k, b)) > 0.5).astype(np.float32))
+    lr = (make_schedule(0.2, schedule="warmup_poly_decay", warmup_steps=1,
+                        decay_start=1, decay_steps=6)
+          if scheduled else 0.1)
+
+    mesh = make_mesh(8)
+    p = plan_placement(c.table_sizes, 8, pack=1, max_rows_per_shard=400,
+                       col_sharded_tables=(3,), host_tables=(4,))
+    assert p.col_sharded == (3,) and 4 in p.host_row_sharded \
+        and 1 in p.row_sharded
+    emb_np = np.asarray(params["emb"])
+    sh_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": pemb.shard_tables(emb_np, p, c),
+        "emb_cs": pemb.shard_col_tables(emb_np, p, c),
+        "emb_h": pemb.shard_host_tables(emb_np, p, c),
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+    shardings = param_shardings(mesh, sh_params)
+    sh_params = jax.device_put(sh_params, shardings)
+    bs = batch_sharding(mesh)
+    bbs = block_batch_sharding(mesh)
+
+    step = make_sharded_train_step_opt(c, optimizer="rowwise_adagrad",
+                                       lr=lr, mesh=mesh, placement=p)
+    p_ref = jax.device_put(jax.tree.map(jnp.copy, sh_params), shardings)
+    o_ref = init_sharded_opt_state(p_ref, config=c,
+                                   optimizer="rowwise_adagrad", lr=lr,
+                                   mesh=mesh)
+    for i in range(k):
+        (p_ref, o_ref), _ = step(p_ref, o_ref,
+                                 jax.device_put(dense[i], bs),
+                                 jax.device_put(sparse[i], bs),
+                                 jax.device_put(labels[i], bs))
+
+    blk = make_sharded_train_block_opt(c, optimizer="rowwise_adagrad",
+                                       lr=lr, mesh=mesh, placement=p,
+                                       block=k)
+    p_blk = jax.device_put(jax.tree.map(jnp.copy, sh_params), shardings)
+    o_blk = init_sharded_opt_state(p_blk, config=c,
+                                   optimizer="rowwise_adagrad", lr=lr,
+                                   mesh=mesh)
+    (p_blk, o_blk), losses = blk(p_blk, o_blk,
+                                 jax.device_put(dense, bbs),
+                                 jax.device_put(sparse, bbs),
+                                 jax.device_put(labels, bbs))
+    assert losses.shape == (k,)
+    np.testing.assert_allclose(
+        pemb.unshard_tables(np.asarray(p_blk["emb"]), p, c,
+                            host=np.asarray(p_blk["emb_h"])),
+        pemb.unshard_tables(np.asarray(p_ref["emb"]), p, c,
+                            host=np.asarray(p_ref["emb_h"])),
+        atol=1e-5, rtol=1e-5)
+    for a, bk in zip(o_blk["emb_acc_cs"], o_ref["emb_acc_cs"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bk),
+                                   atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(
+        pemb.unshard_col_tables([np.asarray(x) for x in p_blk["emb_cs"]],
+                                p)[0],
+        pemb.unshard_col_tables([np.asarray(x) for x in p_ref["emb_cs"]],
+                                p)[0],
+        atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_blk["emb_acc_h"]),
+                               np.asarray(o_ref["emb_acc_h"]),
                                atol=1e-6, rtol=1e-5)
