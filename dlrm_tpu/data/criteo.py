@@ -306,13 +306,22 @@ class DACLoader:
 
     def __init__(self, dataset: np.ndarray, batch_size: int, *,
                  drop_remainder: bool = True, zero_based_file: bool = False,
-                 shuffle: bool = False, seed: int = 0,
+                 shuffle: bool = False, shuffle_rows: bool = False,
+                 shuffle_window: int = 8, seed: int = 0,
                  use_native: Optional[bool] = None,
                  local_rows: Optional[tuple] = None):
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.drop_remainder = drop_remainder
         self.shuffle = shuffle
+        # chunked-permutation ROW shuffle (the north-star MLPerf protocol
+        # shuffles rows; the reference doesn't shuffle at all): rows are
+        # permuted WITHIN a window of ``shuffle_window`` consecutive
+        # batches and the window order is permuted per epoch — mmap reads
+        # stay sequential per window (locality bounded to window_rows*160 B)
+        # while intra-batch composition decorrelates across epochs.
+        self.shuffle_rows = shuffle_rows
+        self.shuffle_window = max(int(shuffle_window), 1)
         self.seed = seed
         self._epoch = 0
         self._shift = 0 if zero_based_file else 1
@@ -354,7 +363,56 @@ class DACLoader:
         return (native.available() and d.dtype == DAC_DTYPE
                 and d.flags["C_CONTIGUOUS"])
 
+    def _marshal(self, start: int, count: int) -> Dict[str, np.ndarray]:
+        if self._use_native():
+            from dlrm_tpu.data import native
+
+            # one C++ pass: label/dense/sparse marshal with the id shift
+            # fused (the reference's 8-thread Polyester loop,
+            # criteo.jl:324-344)
+            return native.marshal_batch(self.dataset, start, count,
+                                        self._shift)
+        window = self.dataset[start:start + count]
+        return {
+            "labels": window["label"].astype(np.float32),
+            "dense": np.ascontiguousarray(window["dense"]),
+            "sparse": (window["cat"].astype(np.int64)
+                       - self._shift).astype(np.int32),
+        }
+
+    def _iter_shuffled_rows(self) -> Iterator[Dict[str, np.ndarray]]:
+        """Chunked-permutation row shuffle: marshal ``shuffle_window``
+        batches' worth of consecutive rows at once, permute the rows, emit
+        the window's batches from the permuted arrays.  Window order is
+        permuted too.  Deterministic in (seed, epoch) — every multi-host
+        process computes the identical permutation and slices its own
+        ``local_rows`` stripe of each permuted batch."""
+        b = self.batch_size
+        n_batches = len(self)
+        w = self.shuffle_window
+        n_windows = -(-n_batches // w)
+        worder = np.random.default_rng(
+            (self.seed, 1, self._epoch)).permutation(n_windows)
+        for wi in (int(x) for x in worder):
+            first = wi * w           # first global batch of this window
+            n_here = min(n_batches - first, w)
+            count = min(n_here * b, len(self.dataset) - first * b)
+            batch = self._marshal(first * b, count)
+            # per-window rng keyed by (seed, epoch, window index): no
+            # global index state, O(window) memory at any dataset scale
+            perm = np.random.default_rng(
+                (self.seed, 2, self._epoch, wi)).permutation(count)
+            for k in range(n_here):
+                rows_k = perm[k * b:min((k + 1) * b, count)]
+                if self.local_rows is not None:
+                    rows_k = rows_k[self.local_rows[0]:self.local_rows[1]]
+                yield {key: v[rows_k] for key, v in batch.items()}
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.shuffle_rows:
+            yield from self._iter_shuffled_rows()
+            self._epoch += 1
+            return
         b = self.batch_size
         order = None
         if self.shuffle:
@@ -364,26 +422,10 @@ class DACLoader:
             rng = np.random.default_rng((self.seed, self._epoch))
             order = rng.permutation(len(self))
             self._epoch += 1
-        use_native = self._use_native()
-        if use_native:
-            from dlrm_tpu.data import native
         lo, hi = self.local_rows if self.local_rows is not None else (0, b)
         for i in range(len(self)):
             j = int(order[i]) if order is not None else i
             count = min(b, len(self.dataset) - j * b)
             start = j * b + min(lo, count)
             count = min(hi, count) - min(lo, count)
-            if use_native:
-                # one C++ pass per batch: label/dense/sparse marshal with
-                # the id shift fused (the reference's 8-thread Polyester
-                # loop, criteo.jl:324-344)
-                yield native.marshal_batch(self.dataset, start, count,
-                                           self._shift)
-                continue
-            window = self.dataset[start:start + count]
-            yield {
-                "labels": window["label"].astype(np.float32),
-                "dense": np.ascontiguousarray(window["dense"]),
-                "sparse": (window["cat"].astype(np.int64)
-                           - self._shift).astype(np.int32),
-            }
+            yield self._marshal(start, count)

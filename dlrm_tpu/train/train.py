@@ -1170,27 +1170,52 @@ def make_sharded_train_step(config: DLRMConfig, lr: float, mesh, placement,
 def train(params: dict, data: Iterable, *, config: DLRMConfig,
           lr: float, maxiters: Optional[int] = None,
           callback: Optional[Callable[[int, float], None]] = None,
-          ) -> Dict[str, Any]:
+          sync_every: int = 1) -> Dict[str, Any]:
     """Host loop over batches; the analog of ``train!`` (train.jl:189-240).
 
     Returns per-iteration wall-clock times (ns) and losses, like the
     reference.  ``data`` yields dicts with keys dense/sparse/labels.
+
+    ``sync_every``: fetch the loss (a device->host sync) every N steps
+    instead of every step.  The default 1 matches the reference's
+    per-iteration timing contract, but each fetch costs a host round-trip
+    (~13 ms of a 31 ms Kaggle step through a real network) — embedders
+    doing throughput runs should raise it.  With N > 1,
+    losses/iteration_times carry one entry per SYNCED step
+    (iteration_times = mean ns/step over the window) and the callback
+    fires on those steps only (step index of the synced step).
     """
+    if sync_every < 1:
+        raise ValueError(f"sync_every must be >= 1, got {sync_every}")
     step_fn = make_jit_train_step(config, lr)
     losses = []
     iteration_times = []
     count = 0
-    for batch in data:
-        start = time.perf_counter_ns()
-        params, loss = step_fn(params, batch["dense"], batch["sparse"],
-                               batch["labels"])
-        loss = float(loss)  # syncs; per-iteration timing like the reference
-        iteration_times.append(time.perf_counter_ns() - start)
+    pending = None
+    start = time.perf_counter_ns()
+
+    def sync(loss):
+        nonlocal start
+        loss = float(loss)  # syncs (reference: per-iteration timing)
+        now = time.perf_counter_ns()
+        iteration_times.append((now - start) // sync_every)
+        start = now
         losses.append(loss)
         if callback is not None:
-            callback(count, loss)
+            callback(count - 1, loss)
+
+    for batch in data:
+        params, loss = step_fn(params, batch["dense"], batch["sparse"],
+                               batch["labels"])
         count += 1
+        if count % sync_every == 0:
+            sync(loss)
+            pending = None
+        else:
+            pending = loss
         if maxiters is not None and count >= maxiters:
             break
+    if pending is not None:  # stream end between sync points: final loss
+        sync(pending)
     return {"params": params, "losses": losses,
             "iteration_times": iteration_times}

@@ -225,3 +225,68 @@ def test_loader_shuffle_covers_all_batches():
     again = [b["labels"] for b in loader2]
     assert [tuple(b.tolist()) for b in again] == \
         [tuple(b.tolist()) for b in epoch1]
+
+
+def test_loader_row_shuffle_covers_all_rows_and_bounds_locality():
+    """Row shuffle (MLPerf protocol; the reference never shuffles): every
+    ROW appears exactly once per epoch, composition differs from the
+    sequential stream AND across epochs, rows never leave their
+    shuffle_window (bounded mmap locality), and the stream is
+    deterministic in (seed, epoch)."""
+    import numpy as np
+    from dlrm_tpu.data import synthetic
+    from dlrm_tpu.data.criteo import DACLoader, parse_lines
+
+    n, b, w = 96, 8, 3
+    data = parse_lines(synthetic.criteo_text_lines(n, seed=3))
+    # unique per-row fingerprint: the dense feature vector
+    plain = np.concatenate(
+        [bt["dense"] for bt in DACLoader(data, b)])
+    row_key = {tuple(r): i for i, r in enumerate(plain.tolist())}
+    assert len(row_key) == n
+
+    loader = DACLoader(data, b, shuffle_rows=True, shuffle_window=w,
+                       seed=5)
+    ep1 = list(loader)
+    ep2 = list(loader)
+
+    def row_ids(batches):
+        return [[row_key[tuple(r)] for r in bt["dense"].tolist()]
+                for bt in batches]
+
+    ids1, ids2 = row_ids(ep1), row_ids(ep2)
+    assert sorted(x for bt in ids1 for x in bt) == list(range(n))
+    assert sorted(x for bt in ids2 for x in bt) == list(range(n))
+    assert ids1 != ids2                       # epochs differ
+    # rows stay within their window of origin
+    for bt in ids1:
+        lo = (min(bt) // (b * w)) * (b * w)
+        assert max(bt) < lo + b * w
+    # intra-batch composition actually changed vs the sequential stream
+    seq = [list(range(k * b, (k + 1) * b)) for k in range(n // b)]
+    assert sorted(map(sorted, ids1)) != sorted(map(sorted, seq))
+    # deterministic in (seed, epoch)
+    again = row_ids(list(DACLoader(data, b, shuffle_rows=True,
+                                   shuffle_window=w, seed=5)))
+    assert again == ids1
+
+
+def test_loader_row_shuffle_local_rows_stripe():
+    """Multi-host feeding composes with the row shuffle: two processes'
+    local stripes concatenate to exactly the single-process batch."""
+    from dlrm_tpu.data import synthetic
+    from dlrm_tpu.data.criteo import DACLoader, parse_lines
+
+    data = parse_lines(synthetic.criteo_text_lines(64, seed=9))
+    b = 8
+    full = list(DACLoader(data, b, shuffle_rows=True, shuffle_window=2,
+                          seed=11))
+    p0 = list(DACLoader(data, b, shuffle_rows=True, shuffle_window=2,
+                        seed=11, local_rows=(0, 4)))
+    p1 = list(DACLoader(data, b, shuffle_rows=True, shuffle_window=2,
+                        seed=11, local_rows=(4, 8)))
+    assert len(full) == len(p0) == len(p1)
+    for f, a, c in zip(full, p0, p1):
+        for k in f:
+            np.testing.assert_array_equal(
+                np.concatenate([a[k], c[k]]), f[k])

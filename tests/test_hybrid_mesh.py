@@ -355,7 +355,7 @@ def test_train_cli_hybrid_mesh(capsys):
     import json
     from dlrm_tpu import run as cli
 
-    for extra in ([], ["--update-interval", "2"],
+    for extra in (["--paranoid", "2"], ["--update-interval", "2"],
                   ["--optimizer", "adagrad"]):
         rc = cli.main([
             "train", "--config", "tiny", "--batch-size", "32",
@@ -367,3 +367,49 @@ def test_train_cli_hybrid_mesh(capsys):
         assert rc == 0 and res["steps"] == 4
         assert np.isfinite(res["final_loss"])
         assert 0.0 <= res["eval"]["accuracy"] <= 1.0
+
+
+def test_dcn_replica_check_detects_divergence(rng):
+    """--paranoid's runtime guard (make_dcn_replica_check): passes on a
+    genuinely replicated table stack AFTER real folded updates, and
+    catches a single-ULP divergence injected on one DCN replica — the
+    exact bug class the check_vma=False disable on the update bodies
+    could otherwise let ship silently."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    c = dlrm_tpu.tiny_config(num_tables=4, rows=64, feature_size=8)
+    params = dlrm_tpu.init_params(jax.random.key(11), c)
+    mesh = make_mesh_2d(2, 4)
+    p = plan_placement(c.table_sizes, 4, pack=c.pack)
+    sh_params = {
+        "bottom": params["bottom"],
+        "emb": jnp.asarray(pemb.shard_tables(params["emb"], p, c)),
+        "top": params["top"],
+    }
+    sh_params = jax.device_put(sh_params, param_shardings(mesh, sh_params))
+    step = make_sharded_train_step(c, 0.1, mesh, p)
+    bs = batch_sharding(mesh)
+    dense, sparse, labels = _random_batch(rng, c, 32)
+    sh_params, _ = step(sh_params, jax.device_put(jnp.asarray(dense), bs),
+                        jax.device_put(jnp.asarray(sparse), bs),
+                        jax.device_put(jnp.asarray(labels), bs))
+
+    check = pemb.make_dcn_replica_check(mesh)
+    assert check is not None
+    assert bool(np.asarray(check(sh_params)).all())
+    assert pemb.make_dcn_replica_check(make_mesh(8)) is None
+
+    # inject a one-ULP divergence on DCN replica h=1 only, via a body
+    # that CLAIMS replication (check_vma off) — the paranoid check must
+    # catch what the static checker cannot
+    def poison(emb):
+        h = jax.lax.axis_index("h")
+        bump = jnp.where(h == 1, jnp.float32(1e-7), 0.0)
+        return emb.at[0, 0, 0].add(bump)
+
+    poisoned = jax.shard_map(
+        poison, mesh=mesh, in_specs=P("d"), out_specs=P("d"),
+        check_vma=False)(sh_params["emb"])
+    bad = dict(sh_params)
+    bad["emb"] = poisoned
+    assert not bool(np.asarray(check(bad)).all())

@@ -63,3 +63,32 @@ def test_zipf_ids_are_skewed_and_in_range():
         _, counts = np.unique(col, return_counts=True)
         assert counts.max() > 4096 * 0.1
     assert 0.1 < b["labels"].mean() < 0.9
+
+
+def test_train_sync_every():
+    """train(sync_every=N) syncs the loss every N steps: same final
+    params as per-step sync, 1/N the losses/iteration_times entries,
+    callback fires on synced steps only."""
+    import dlrm_tpu
+    from dlrm_tpu.data import synthetic
+
+    c = dlrm_tpu.tiny_config(num_tables=3, rows=16, feature_size=8)
+    params = dlrm_tpu.init_params(jax.random.key(2), c)
+    data = list(synthetic.batch_stream(c, 16, 7, seed=4))
+
+    r1 = dlrm_tpu.train(jax.tree.map(jnp.copy, params), iter(data),
+                        config=c, lr=0.1)
+    seen = []
+    r3 = dlrm_tpu.train(jax.tree.map(jnp.copy, params), iter(data),
+                        config=c, lr=0.1, sync_every=3,
+                        callback=lambda i, l: seen.append(i))
+    assert len(r1["losses"]) == 7
+    # steps 3, 6 sync on cadence; step 7 is the final step (always synced)
+    assert len(r3["losses"]) == 3 and seen == [2, 5, 6]
+    np.testing.assert_allclose(r3["losses"], [r1["losses"][i]
+                                              for i in (2, 5, 6)],
+                               rtol=1e-6)
+    for k in ("bottom", "top"):
+        for a, b in zip(r1["params"][k], r3["params"][k]):
+            np.testing.assert_array_equal(np.asarray(a["w"]),
+                                          np.asarray(b["w"]))
