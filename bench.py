@@ -219,6 +219,62 @@ def main():
     log(f"pooled lookup: {lk_t*1e3:.2f} ms -> {lk_gbs:.1f} GB/s logical "
         f"({BATCH * n_tables / lk_t / 1e9:.2f} G lookups/s)")
 
+    # reference-protocol points (BASELINE.md final paragraph): train at
+    # the reference's experiment batch B=2048 (script.jl:13) and eval at
+    # its 2^16 test batch (src/DLRM.jl:89-91)
+    B2 = 2048
+    params = dlrm_tpu.init_params(jax.random.key(0), config)
+    d2 = dense[:B2]
+    s2 = sparse[:B2]
+    l2 = labels[:B2]
+    step2 = dlrm_tpu.make_jit_train_step(config, lr=0.1)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        params, loss = step2(params, d2, s2, l2)
+    _ = float(loss)
+    log(f"b2048 compile+warmup: {time.perf_counter() - t0:.1f}s")
+    totals = []
+    for iters in (10, 40):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            params, loss = step2(params, d2, s2, l2)
+        _ = float(loss)
+        totals.append(time.perf_counter() - t0)
+    b2_step = (totals[1] - totals[0]) / 30
+    b2_tput = B2 / b2_step
+    log(f"train b{B2}: {b2_step*1e3:.2f} ms/step "
+        f"-> {b2_tput:,.0f} examples/s")
+
+    # eval throughput at the reference's 2^16 test batch: jitted forward
+    # only (the serving/eval inner loop); ids chained through the carry to
+    # defeat identical-args memoization
+    BE = 1 << 16
+    from dlrm_tpu.models.dlrm import forward
+    de = jnp.asarray(rng.normal(size=(BE, 13)).astype(np.float32))
+    se = jnp.asarray(np.stack(
+        [rng.integers(0, s - 1, size=BE) for s in config.table_sizes],
+        axis=1).astype(np.int32))
+
+    @jax.jit
+    def eval_probe(params, d, s_, c):
+        preds = forward(params, d, s_ + (c.astype(jnp.int32) & 1), config)
+        return jnp.sum(preds)
+
+    c = jnp.float32(0)
+    for _ in range(3):
+        c = eval_probe(params, de, se, c)
+    _ = float(c)
+    totals = []
+    for iters in (4, 12):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c = eval_probe(params, de, se, c)
+        _ = float(c)
+        totals.append(time.perf_counter() - t0)
+    ev_t = (totals[1] - totals[0]) / 8
+    ev_tput = BE / ev_t
+    log(f"eval b{BE}: {ev_t*1e3:.2f} ms -> {ev_tput:,.0f} examples/s")
+
     print(json.dumps({
         "metric": f"dlrm_kaggle_fs{FEATURE_SIZE}_train_b{BATCH}",
         "value": round(throughput, 1),
@@ -229,6 +285,8 @@ def main():
         "adagrad_examples_per_s": round(ada_tput, 1),
         f"adagrad_block{K}_examples_per_s": round(ablk_tput, 1),
         "lookup_gb_s_logical": round(lk_gbs, 2),
+        "b2048_examples_per_s": round(b2_tput, 1),
+        "eval_examples_per_s": round(ev_tput, 1),
     }))
 
 

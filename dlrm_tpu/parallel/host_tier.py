@@ -326,6 +326,119 @@ def tiered_train_step(params, dense, sparse, labels, *, config: DLRMConfig,
              "emb_dev": new_dev, "emb_host": new_host}, loss)
 
 
+def tiered_train_step_pipelined(params, pref_rows, dense, sparse, labels,
+                                sparse_next, *, config: DLRMConfig,
+                                lr: float, plan: TierPlan):
+    """One SGD step with SOFTWARE-PIPELINED host-tier prefetch: the
+    host-tier rows for THIS batch arrive as ``pref_rows`` (gathered by the
+    PREVIOUS program), and this program's LAST host op gathers batch
+    N+1's rows from the freshly-updated host stack.
+
+    This is the reference BatchUpdater's reason to exist
+    (src/model/embedding_update.jl:1-37 — hide slow-tier latency behind
+    compute) in XLA terms: because the next-batch gather reads the
+    UPDATED stack, it is ordered after this step's scatter by data
+    dependency — the prefetched rows are always EXACT (no conflict mask
+    or re-gather-merge needed; a row written by step N and read by N+1
+    flows through new_host).  The device-side forward/backward never
+    waits on a host gather at program START; the gather for N+1 runs on
+    the host offload stream concurrently with this program's dense
+    updates and the inter-step host work.
+
+    Returns ((new_params, next_pref_rows), loss).  Drive it with
+    :func:`prime_host_prefetch` for batch 0 and a one-batch-lookahead
+    iterator (run.py --host-prefetch)."""
+    from dlrm_tpu.models import dlrm as model_lib
+    from dlrm_tpu.ops.loss import bce_loss
+
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    emb_dev, emb_host = params["emb_dev"], params["emb_host"]
+
+    gathered = []
+    order = []
+    ids_dev = ids_host = None
+    if plan.device_tables:
+        ids_dev = _tier_ids(sparse, list(plan.device_tables),
+                            plan.device_offsets)
+        with jax.named_scope("lookup_device_tier"):
+            gathered.append(jnp.take(emb_dev, ids_dev, axis=0))
+        order += list(plan.device_tables)
+    if plan.host_tables:
+        ids_host = _tier_ids(sparse, list(plan.host_tables),
+                             plan.host_offsets)
+        gathered.append(pref_rows)      # prefetched by the PREVIOUS step
+        order += list(plan.host_tables)
+    inv = jnp.asarray(np.argsort(np.asarray(order)))
+
+    def inner(dp, gathered):
+        pooled = jnp.concatenate(
+            [g if g.ndim == 3 else jnp.sum(g, axis=2) for g in gathered],
+            axis=1)
+        pooled = jnp.take(pooled, inv, axis=1)
+        out = model_lib.forward_from_pooled(dp, pooled, dense, config)
+        return bce_loss(out, labels)
+
+    loss, (dgrads, d_gathered) = jax.value_and_grad(
+        inner, argnums=(0, 1))(dense_params, gathered)
+
+    with jax.named_scope("dense_update"):
+        new_dense = jax.tree.map(
+            lambda p, g: (p - lr * g).astype(p.dtype), dense_params,
+            dgrads)
+    new_dev, new_host = emb_dev, emb_host
+    i = 0
+    if plan.device_tables:
+        d_rows = d_gathered[i]; i += 1
+        with jax.named_scope("device_tier_update"):
+            new_dev = emb_dev.at[ids_dev.reshape(-1)].add(
+                (-lr * d_rows.reshape(-1, d_rows.shape[-1])
+                 ).astype(emb_dev.dtype), mode="promise_in_bounds")
+    next_pref = pref_rows
+    if plan.host_tables:
+        d_rows = d_gathered[i]
+        with jax.named_scope("host_tier_update"):
+            new_host = host_tier_scatter_add(emb_host, ids_host,
+                                             -lr * d_rows)
+        ids_next = _tier_ids(sparse_next, list(plan.host_tables),
+                             plan.host_offsets)
+        with jax.named_scope("host_tier_prefetch_next"):
+            # reads new_host -> ordered after the scatter: always exact
+            next_pref = host_tier_gather(new_host, ids_next)
+    new_params = {"bottom": new_dense["bottom"], "top": new_dense["top"],
+                  "emb_dev": new_dev, "emb_host": new_host}
+    return (new_params, next_pref), loss
+
+
+def make_tiered_pipelined_step(config: DLRMConfig, lr: float,
+                               plan: TierPlan, device=None,
+                               pin_host_output: Optional[bool] = None):
+    """Jitted pipelined two-tier SGD step (see make_tiered_train_step for
+    the host-output pinning rationale; the prefetched rows live in DEVICE
+    memory — they are this batch's working set)."""
+    ensure_backend_primed()
+    device = device or jax.devices()[0]
+    if pin_host_output is None:
+        pin_host_output = device.platform == "tpu"
+    step = functools.partial(tiered_train_step_pipelined, config=config,
+                             lr=lr, plan=plan)
+    if not pin_host_output:
+        return jax.jit(step)
+    sh_host = jax.sharding.SingleDeviceSharding(device,
+                                                memory_kind="pinned_host")
+    out_shardings = ((({"bottom": None, "top": None, "emb_dev": None,
+                        "emb_host": sh_host}), None), None)
+    return jax.jit(step, donate_argnums=(0, 1),
+                   out_shardings=out_shardings)
+
+
+def prime_host_prefetch(emb_host, sparse, plan: TierPlan):
+    """Gather batch 0's host-tier rows (the pipeline preamble); jitted by
+    the caller's first use — one extra host gather per RUN, not per
+    step."""
+    ids = _tier_ids(sparse, list(plan.host_tables), plan.host_offsets)
+    return jax.jit(host_tier_gather)(emb_host, ids)
+
+
 def _adagrad_rows(acc_rows, g, lr, eps: float = 1e-10):
     """Elementwise Adagrad on deduped rows: returns (delta_acc, step_rows)
     with the same semantics as train/optim.apply_adagrad_chunked."""

@@ -129,6 +129,19 @@ def _block_iter(source, k: int):
         yield flush(buf)
 
 
+def _with_lookahead(source):
+    """One-batch lookahead for the pipelined host-tier step: each yielded
+    batch carries the NEXT batch's sparse ids (the prefetch targets).  The
+    final batch prefetches its own ids (result dropped at stream end)."""
+    prev = None
+    for b in source:
+        if prev is not None:
+            yield {**prev, "sparse_next": b["sparse"]}
+        prev = b
+    if prev is not None:
+        yield {**prev, "sparse_next": prev["sparse"]}
+
+
 def _crossed(prev: int, cur: int, every: Optional[int]) -> bool:
     """True when [prev, cur] crossed a multiple of ``every`` (block steps
     advance the step counter by K at a time)."""
@@ -282,6 +295,9 @@ def cmd_train(args) -> int:
             raise SystemExit(
                 f"--batch-size {args.batch_size} must divide evenly over "
                 f"the {dcn_n * ici_n}-device hybrid mesh")
+    if getattr(args, "host_prefetch", False) and args.hbm_budget_gb is None:
+        raise SystemExit("--host-prefetch is a two-tier feature; it needs "
+                         "--hbm-budget-gb")
     n_shards = ici_n if ici_n else n_dev  # table-sharding axis size
 
     def say(*a):  # stderr status lines: one process's voice, not N copies
@@ -434,6 +450,10 @@ def cmd_train(args) -> int:
                 "non-empty (adjust the budget so at least one table stays "
                 "on device and one spills)")
         tiered = ht.init_tiered_params(params, plan, config)
+        if getattr(args, "host_prefetch", False) and (
+                args.optimizer != "sgd" or callable(lr)):
+            raise SystemExit("--host-prefetch currently supports sgd "
+                             "with a constant lr")
         if args.optimizer == "sgd" and not callable(lr):
             if mgr is not None:
                 # checkpoints are memory-space-agnostic; restore re-pins
@@ -443,14 +463,40 @@ def cmd_train(args) -> int:
                     raw, start_step = restored
                     tiered = ht.place_tiered(raw)
                     say(f"resumed from step {start_step}")
-            tiered_step = ht.make_tiered_train_step(config, args.lr, plan)
-            state_box = {"tiered": tiered}
+            if getattr(args, "host_prefetch", False):
+                # software-pipelined host tier: batch N+1's host gather is
+                # the LAST host op of step N's program (exact by data
+                # dependency through the updated stack); the batch stream
+                # is wrapped with a one-batch lookahead below
+                if not plan.host_tables:
+                    raise SystemExit("--host-prefetch needs a host tier "
+                                     "(lower --hbm-budget-gb)")
+                pipe_step = ht.make_tiered_pipelined_step(config, args.lr,
+                                                          plan)
+                state_box = {"tiered": tiered, "pref": None}
 
-            def step_fn(p, d, s, l):
-                del p
-                state_box["tiered"], loss = tiered_step(
-                    state_box["tiered"], d, s, l)
-                return state_box["tiered"], loss
+                def step_fn(p, b):
+                    del p
+                    if state_box["pref"] is None:  # pipeline preamble
+                        state_box["pref"] = ht.prime_host_prefetch(
+                            state_box["tiered"]["emb_host"], b["sparse"],
+                            plan)
+                    (state_box["tiered"], state_box["pref"]), loss =                         pipe_step(state_box["tiered"], state_box["pref"],
+                                  b["dense"], b["sparse"], b["labels"],
+                                  b["sparse_next"])
+                    return state_box["tiered"], loss
+
+                step_fn.wants_batch = True
+            else:
+                tiered_step = ht.make_tiered_train_step(config, args.lr,
+                                                        plan)
+                state_box = {"tiered": tiered}
+
+                def step_fn(p, d, s, l):
+                    del p
+                    state_box["tiered"], loss = tiered_step(
+                        state_box["tiered"], d, s, l)
+                    return state_box["tiered"], loss
         else:
             opt_state = ht.init_tiered_opt_state(
                 tiered, config=config, optimizer=args.optimizer, lr=lr,
@@ -489,7 +535,8 @@ def cmd_train(args) -> int:
             from dlrm_tpu.train.train import (init_opt_state,
                                               make_jit_train_step_opt)
             opt_step = make_jit_train_step_opt(
-                config, optimizer=args.optimizer, lr=lr)
+                config, optimizer=args.optimizer, lr=lr,
+                emb_impl=getattr(args, "adagrad_impl", "dedup"))
             opt_state = init_opt_state(params, config=config,
                                        optimizer=args.optimizer, lr=lr)
             if mgr is not None:
@@ -648,6 +695,8 @@ def cmd_train(args) -> int:
                         rows=feed_rows)
     if block > 1:
         source = _block_iter(source, block)
+    if getattr(step_fn, "wants_batch", False):
+        source = _with_lookahead(source)
     profiling = False
     for b in device_prefetch(source, size=args.prefetch,
                              sharding=batch_place,
@@ -673,6 +722,9 @@ def cmd_train(args) -> int:
                                         b["labels"])
             loss = blk_losses[-1]
             step += int(b["dense"].shape[0])
+        elif getattr(step_fn, "wants_batch", False):
+            params, loss = step_fn(params, b)
+            step += 1
         else:
             params, loss = step_fn(params, b["dense"], b["sparse"],
                                    b["labels"])
@@ -1144,6 +1196,11 @@ def build_parser() -> argparse.ArgumentParser:
                     "(bounded staleness < K steps, the reference's "
                     "BatchUpdater relaxation; measured +39%% sgd "
                     "throughput at K=8 on v5e)")
+    tr.add_argument("--adagrad-impl", default="dedup",
+                    help="exact-adagrad embedding update implementation "
+                    "(single-chip): dedup | dense_g | hybrid (per-chunk "
+                    "selection — dense-G where full-chunk passes are "
+                    "cheaper than the dedup argsort; all exact)")
     tr.add_argument("--block-scan", action="store_true",
                     help="adagrad/rowwise blocks: lax.scan over "
                     "micro-steps instead of unrolling — ~8x faster first "
@@ -1151,6 +1208,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "runs)")
     tr.add_argument("--profile-dir", default=None,
                     help="capture a jax.profiler trace of a few steps")
+    tr.add_argument("--host-prefetch", action="store_true",
+                    help="two-tier: software-pipeline the host-tier "
+                    "gather — batch N+1's spilled rows are gathered at "
+                    "the END of step N's program, after its update "
+                    "scatter (exact by data dependency), so step N+1 "
+                    "never waits on a host gather at program start")
     tr.add_argument("--hbm-budget-gb", type=float, default=None,
                     help="two-tier tables: spill biggest tables to host "
                     "memory until the device tier fits this many GiB "

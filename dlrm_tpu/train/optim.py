@@ -240,6 +240,71 @@ def apply_adagrad_dense_g(emb, state: EmbAdagradState, ids: jax.Array,
     return tuple(new_emb), EmbAdagradState(acc=tuple(new_acc))
 
 
+def split_tables_by_chunk_bytes(config: DLRMConfig, tables,
+                                max_bytes: int):
+    """Partition ``tables`` by their storage CHUNK's byte size: tables in
+    chunks <= ``max_bytes`` (where full-chunk elementwise passes are
+    cheap) vs tables in bigger chunks.  Whole chunks stay together —
+    both apply fns operate per chunk."""
+    small, big = [], []
+    itemsize = jnp.dtype(config.embedding_dtype).itemsize
+    for c, pos, ts in emb_ops.chunk_groups(config, tuple(tables)):
+        rows, width = config.emb_shapes[c]
+        (small if rows * width * itemsize <= max_bytes else big).extend(ts)
+    return tuple(small), tuple(big)
+
+
+def apply_adagrad_hybrid(emb, state: EmbAdagradState, ids: jax.Array,
+                         d_rows: jax.Array, lr, config: DLRMConfig,
+                         tables=None, eps: float = 1e-10,
+                         d_rows_scaled=None,
+                         dense_g_max_bytes: int = 96 << 20,
+                         rowwise: bool = False):
+    """Exact sparse Adagrad with PER-CHUNK implementation selection.
+
+    The two exact implementations have complementary cost shapes
+    (measured, PERFORMANCE.md):
+      * dedup (:func:`apply_adagrad_chunked`): argsort over the chunk's
+        ids + accumulator gather + 2 scatters — cost scales with the
+        chunk's ID COUNT, independent of chunk size.  Right for the deep
+        sparse chunks (100s of MB, few ids each).
+      * dense-G (:func:`apply_adagrad_dense_g`): one scatter + ~6
+        full-chunk elementwise passes — cost scales with CHUNK BYTES,
+        independent of collisions.  Right for the small/mid chunks (the
+        16 MB shared chunks holding the collision-heavy tables, where the
+        dedup argsort is most expensive and full passes are ~free).
+    This selects per chunk by ``dense_g_max_bytes`` and runs both.  Both
+    are exact (dedup-then-apply semantics), so the split is purely a
+    performance choice; results are independent of the threshold."""
+    if tables is None:
+        tables = tuple(range(config.num_tables))
+    dg_tabs, dd_tabs = split_tables_by_chunk_bytes(config, tables,
+                                                   dense_g_max_bytes)
+    pos_of = {t: i for i, t in enumerate(tables)}
+
+    def cols(arr, ts):
+        idx = jnp.asarray([pos_of[t] for t in ts])
+        return jnp.take(arr, idx, axis=1)
+
+    dense_fn = (apply_rowwise_adagrad_dense_g if rowwise
+                else apply_adagrad_dense_g)
+    dedup_fn = (apply_rowwise_adagrad_chunked if rowwise
+                else apply_adagrad_chunked)
+    if dg_tabs:
+        emb, state = dense_fn(
+            emb, state, cols(ids, dg_tabs), cols(d_rows, dg_tabs), lr,
+            config, dg_tabs, eps=eps,
+            d_rows_scaled=(cols(d_rows_scaled, dg_tabs)
+                           if d_rows_scaled is not None else None))
+    if dd_tabs:
+        emb, state = dedup_fn(
+            emb, state, cols(ids, dd_tabs), cols(d_rows, dd_tabs), lr,
+            config, dd_tabs, eps=eps,
+            d_rows_scaled=(cols(d_rows_scaled, dd_tabs)
+                           if d_rows_scaled is not None else None))
+    return emb, state
+
+
 def apply_adagrad_dense_table(table: jax.Array, acc: jax.Array,
                               grad: jax.Array, lr, eps: float = 1e-10):
     """Adagrad on a whole (small) table with a dense gradient (same

@@ -175,7 +175,8 @@ def init_opt_state(params: dict, *, config: DLRMConfig, optimizer: str,
 
 
 def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
-                   config: DLRMConfig, optimizer: str, lr: float):
+                   config: DLRMConfig, optimizer: str, lr: float,
+                   emb_impl: str = "dedup"):
     """One step with a pluggable optimizer; returns ((params, opt_state),
     loss).
 
@@ -239,15 +240,25 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
             if optimizer == "sgd":
                 new_emb = list(emb_ops.apply_sgd_chunked(
                     new_emb, ids_big, d_rows_big, lr_t, config, big))
-            elif optimizer == "rowwise_adagrad":
-                new_emb, emb_state = optim.apply_rowwise_adagrad_chunked(
-                    new_emb, emb_state, ids_big, d_rows_big, lr_t, config,
-                    big)
-                new_emb = list(new_emb)
             else:
-                new_emb, emb_state = optim.apply_adagrad_chunked(
-                    new_emb, emb_state, ids_big, d_rows_big, lr_t, config,
-                    big)
+                rowwise = optimizer == "rowwise_adagrad"
+                # exact-adagrad implementation choice (all exact; see
+                # optim.apply_adagrad_hybrid for the cost model)
+                fn = {
+                    "dedup": (optim.apply_rowwise_adagrad_chunked if
+                              rowwise else optim.apply_adagrad_chunked),
+                    "dense_g": (optim.apply_rowwise_adagrad_dense_g if
+                                rowwise else optim.apply_adagrad_dense_g),
+                }.get(emb_impl)
+                if fn is not None:
+                    new_emb, emb_state = fn(new_emb, emb_state, ids_big,
+                                            d_rows_big, lr_t, config, big)
+                elif emb_impl == "hybrid":
+                    new_emb, emb_state = optim.apply_adagrad_hybrid(
+                        new_emb, emb_state, ids_big, d_rows_big, lr_t,
+                        config, big, rowwise=rowwise)
+                else:
+                    raise ValueError(f"unknown emb_impl {emb_impl!r}")
                 new_emb = list(new_emb)
     if small:
         with jax.named_scope("small_table_update"):
@@ -320,9 +331,11 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
 
 
 def make_jit_train_step_opt(config: DLRMConfig, *, optimizer: str = "sgd",
-                            lr: float = 0.1) -> Callable:
+                            lr: float = 0.1,
+                            emb_impl: str = "dedup") -> Callable:
     step = functools.partial(train_step_opt, config=config,
-                             optimizer=optimizer, lr=lr)
+                             optimizer=optimizer, lr=lr,
+                             emb_impl=emb_impl)
     return jax.jit(step, donate_argnums=(0, 1))
 
 

@@ -193,6 +193,19 @@ def test_train_cli_host_tier(capsys):
     assert res["steps"] == 3 and np.isfinite(res["final_loss"])
     assert 0.0 <= res["eval"]["accuracy"] <= 1.0
 
+    # software-pipelined host tier: --host-prefetch with a budget small
+    # enough that tables actually spill (tiny tables are 1 KiB each)
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "3",
+        "--sharded", "false", "--hbm-budget-gb", "0.000002",
+        "--host-prefetch", "--eval-after", "--eval-steps", "2",
+        "--log-every", "1"])
+    assert rc == 0
+    assert res["steps"] == 3 and np.isfinite(res["final_loss"])
+    with pytest.raises(SystemExit, match="two-tier"):
+        cli.main(["train", "--config", "tiny", "--steps", "1",
+                  "--host-prefetch"])
+
 
 def test_train_cli_col_and_row_sharded(capsys):
     """Hybrid row+column sharding via the CLI on the 8-device mesh."""

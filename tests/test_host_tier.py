@@ -342,3 +342,54 @@ def test_host_sharded_train_step_matches_single_device(n_hot):
             np.testing.assert_allclose(np.asarray(a["w"]),
                                        np.asarray(b["w"]),
                                        atol=1e-5, rtol=1e-5)
+
+
+def test_pipelined_host_prefetch_matches_inline():
+    """The software-pipelined two-tier step (batch N+1's host gather
+    issued AFTER step N's scatter — the BatchUpdater analog,
+    src/model/embedding_update.jl:1-37) must reproduce the inline tiered
+    step's parameter trajectory EXACTLY, including when consecutive
+    batches hit the same host-tier rows (the update-then-read hazard the
+    data dependency resolves)."""
+    from dlrm_tpu.data import synthetic
+
+    config, params, _ = _setup(seed=13)
+    plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
+    assert plan.host_tables and plan.device_tables
+    lr, steps, b = 0.4, 5, 32
+
+    rng = np.random.default_rng(17)
+    batches = [synthetic.random_batch(rng, config, b) for _ in range(steps)]
+    # force the hazard: step k+1 re-reads rows step k just updated
+    for k in range(steps - 1):
+        batches[k + 1]["sparse"][:4] = batches[k]["sparse"][:4]
+
+    inline = ht.init_tiered_params(params, plan, config)
+    step = ht.make_tiered_train_step(config, lr, plan)
+    for bt in batches:
+        inline, _ = step(inline, jnp.asarray(bt["dense"]),
+                         jnp.asarray(bt["sparse"]),
+                         jnp.asarray(bt["labels"]))
+
+    piped = ht.init_tiered_params(params, plan, config)
+    pstep = ht.make_tiered_pipelined_step(config, lr, plan)
+    pref = ht.prime_host_prefetch(piped["emb_host"],
+                                  jnp.asarray(batches[0]["sparse"]), plan)
+    losses = []
+    for k, bt in enumerate(batches):
+        nxt = batches[k + 1] if k + 1 < steps else bt
+        (piped, pref), loss = pstep(piped, pref,
+                                    jnp.asarray(bt["dense"]),
+                                    jnp.asarray(bt["sparse"]),
+                                    jnp.asarray(bt["labels"]),
+                                    jnp.asarray(nxt["sparse"]))
+        losses.append(float(loss))
+
+    assert all(np.isfinite(l) for l in losses)
+    for key in ("emb_dev", "emb_host"):
+        np.testing.assert_array_equal(np.asarray(inline[key]),
+                                      np.asarray(piped[key]), err_msg=key)
+    for side in ("bottom", "top"):
+        for a, c in zip(inline[side], piped[side]):
+            np.testing.assert_array_equal(np.asarray(a["w"]),
+                                          np.asarray(c["w"]))

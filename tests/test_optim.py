@@ -943,3 +943,68 @@ def test_sharded_rowwise_block_cs_host_matches_sequential(scheduled):
     np.testing.assert_allclose(np.asarray(o_blk["emb_acc_h"]),
                                np.asarray(o_ref["emb_acc_h"]),
                                atol=1e-6, rtol=1e-5)
+
+
+@pytest.mark.parametrize("optimizer", ["adagrad", "rowwise_adagrad"])
+@pytest.mark.parametrize("threshold", [0, 1 << 12, 1 << 30])
+def test_adagrad_hybrid_impl_matches_dedup(optimizer, threshold):
+    """Per-chunk hybrid implementation selection (dense-G for small
+    chunks, dedup for big ones) is a pure performance choice: the result
+    must equal the dedup implementation bit-for-tolerance at EVERY
+    threshold (0 = all dedup, huge = all dense-G, mid = genuine mix)."""
+    from dlrm_tpu.train.optim import (apply_adagrad_chunked,
+                                      apply_adagrad_hybrid,
+                                      apply_rowwise_adagrad_chunked,
+                                      split_tables_by_chunk_bytes,
+                                      init_emb_state)
+
+    c, params, args = _setup(n_hot=1, seed=6)
+    big = [t for t in range(c.num_tables)
+           if c.table_sizes[t] > c.small_table_threshold]
+    ids = jnp.asarray(np.asarray(args[1])[:, big])
+    rng = np.random.default_rng(8)
+    d_rows = jnp.asarray(rng.normal(
+        size=(ids.shape[0], len(big), c.feature_size)).astype(np.float32))
+    rowwise = optimizer == "rowwise_adagrad"
+    dedup_fn = (apply_rowwise_adagrad_chunked if rowwise
+                else apply_adagrad_chunked)
+
+    emb0 = params["emb"]
+    st0 = init_emb_state(c, optimizer, emb0)
+    want_emb, want_st = jax.jit(lambda e, s: dedup_fn(
+        e, s, ids, d_rows, 0.3, c, tuple(big)))(emb0, st0)
+    got_emb, got_st = jax.jit(lambda e, s: apply_adagrad_hybrid(
+        e, s, ids, d_rows, 0.3, c, tuple(big),
+        dense_g_max_bytes=threshold, rowwise=rowwise))(
+            jax.tree.map(jnp.copy, emb0), init_emb_state(c, optimizer,
+                                                         emb0))
+    if threshold == 1 << 12:  # make sure the mid threshold really mixes
+        sm, bg = split_tables_by_chunk_bytes(c, tuple(big), threshold)
+        assert sm and bg
+    for a, b in zip(got_emb, want_emb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+    for a, b in zip(got_st.acc, want_st.acc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_train_step_opt_emb_impl_parity():
+    """make_jit_train_step_opt(emb_impl=...) — full steps agree across
+    dedup / dense_g / hybrid."""
+    c, params, args = _setup(n_hot=1, seed=12)
+    results = {}
+    for impl in ("dedup", "dense_g", "hybrid"):
+        p = jax.tree.map(jnp.copy, params)
+        o = init_opt_state(p, config=c, optimizer="adagrad", lr=0.3)
+        step = make_jit_train_step_opt(c, optimizer="adagrad", lr=0.3,
+                                       emb_impl=impl)
+        for _ in range(2):
+            (p, o), loss = step(p, o, *args)
+        results[impl] = (p, float(loss))
+    for impl in ("dense_g", "hybrid"):
+        np.testing.assert_allclose(results[impl][1], results["dedup"][1],
+                                   rtol=1e-6)
+        for a, b in zip(_logical(results[impl][0]["emb"], c),
+                        _logical(results["dedup"][0]["emb"], c)):
+            np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
