@@ -130,14 +130,16 @@ def main():
         f"-> {blk_tput:,.0f} examples/s")
 
     # adagrad: the optimizer DLRM actually trains with (the reference is
-    # SGD-only).  Exact per-step dedup-then-apply; the coalesced dense-G
-    # block reaches 24.4 ms/step at K=8 (see PERFORMANCE.md) but its
-    # first compile is ~8 min, too slow for this driver-run bench.
+    # SGD-only).  Exact per-step semantics via the per-chunk HYBRID
+    # implementation (optim.apply_adagrad_hybrid: dense-G for chunks
+    # <= 400 MB, dedup for the deep ones — measured 46.8 vs 55.3 ms
+    # dedup-only, and ~25x faster first compile).
     from dlrm_tpu.train.train import init_opt_state, make_jit_train_step_opt
     params = dlrm_tpu.init_params(jax.random.key(0), config)
     opt = init_opt_state(params, config=config, optimizer="adagrad",
                          lr=0.01)
-    astep = make_jit_train_step_opt(config, optimizer="adagrad", lr=0.01)
+    astep = make_jit_train_step_opt(config, optimizer="adagrad", lr=0.01,
+                                    emb_impl="hybrid")
     t0 = time.perf_counter()
     for _ in range(3):
         (params, opt), loss = astep(params, opt, dense, sparse, labels)

@@ -1196,11 +1196,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "(bounded staleness < K steps, the reference's "
                     "BatchUpdater relaxation; measured +39%% sgd "
                     "throughput at K=8 on v5e)")
-    tr.add_argument("--adagrad-impl", default="dedup",
+    tr.add_argument("--adagrad-impl", default="hybrid",
                     help="exact-adagrad embedding update implementation "
-                    "(single-chip): dedup | dense_g | hybrid (per-chunk "
-                    "selection — dense-G where full-chunk passes are "
-                    "cheaper than the dedup argsort; all exact)")
+                    "(single-chip): hybrid (default; per-chunk selection "
+                    "— dense-G where full-chunk passes are cheaper than "
+                    "the dedup argsort: -15%% step time, ~25x faster "
+                    "compile) | dedup | dense_g; all exact, same results")
     tr.add_argument("--block-scan", action="store_true",
                     help="adagrad/rowwise blocks: lax.scan over "
                     "micro-steps instead of unrolling — ~8x faster first "

@@ -258,7 +258,7 @@ def apply_adagrad_hybrid(emb, state: EmbAdagradState, ids: jax.Array,
                          d_rows: jax.Array, lr, config: DLRMConfig,
                          tables=None, eps: float = 1e-10,
                          d_rows_scaled=None,
-                         dense_g_max_bytes: int = 96 << 20,
+                         dense_g_max_bytes: int = 400 << 20,
                          rowwise: bool = False):
     """Exact sparse Adagrad with PER-CHUNK implementation selection.
 
@@ -275,7 +275,14 @@ def apply_adagrad_hybrid(emb, state: EmbAdagradState, ids: jax.Array,
         dedup argsort is most expensive and full passes are ~free).
     This selects per chunk by ``dense_g_max_bytes`` and runs both.  Both
     are exact (dedup-then-apply semantics), so the split is purely a
-    performance choice; results are independent of the threshold."""
+    performance choice; results are independent of the threshold.
+
+    Measured (v5e, Kaggle fs=16 B=32768, exact K=1 step): dedup-only
+    55.3 ms, dense-G-only 50.7 ms, hybrid sweep 20/150/400/550 MB ->
+    49.4/46.9/46.8/47.9 ms — the 400 MB default (dense-G for every chunk
+    except the three biggest) is the sweep optimum, +18%% over dedup-only
+    (0.59 -> 0.70 M ex/s).  First compile also drops ~25x (426 s -> 17 s:
+    the per-chunk argsorts dominate XLA compile time)."""
     if tables is None:
         tables = tuple(range(config.num_tables))
     dg_tabs, dd_tabs = split_tables_by_chunk_bytes(config, tables,

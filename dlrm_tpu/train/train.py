@@ -253,10 +253,14 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
                 if fn is not None:
                     new_emb, emb_state = fn(new_emb, emb_state, ids_big,
                                             d_rows_big, lr_t, config, big)
-                elif emb_impl == "hybrid":
+                elif emb_impl.startswith("hybrid"):
+                    # "hybrid" or "hybrid:<MB>" (per-chunk threshold)
+                    mb = (int(emb_impl.split(":", 1)[1])
+                          if ":" in emb_impl else 400)
                     new_emb, emb_state = optim.apply_adagrad_hybrid(
                         new_emb, emb_state, ids_big, d_rows_big, lr_t,
-                        config, big, rowwise=rowwise)
+                        config, big, rowwise=rowwise,
+                        dense_g_max_bytes=mb << 20)
                 else:
                     raise ValueError(f"unknown emb_impl {emb_impl!r}")
                 new_emb = list(new_emb)

@@ -994,7 +994,7 @@ def test_train_step_opt_emb_impl_parity():
     dedup / dense_g / hybrid."""
     c, params, args = _setup(n_hot=1, seed=12)
     results = {}
-    for impl in ("dedup", "dense_g", "hybrid"):
+    for impl in ("dedup", "dense_g", "hybrid", "hybrid:0", "hybrid:4096"):
         p = jax.tree.map(jnp.copy, params)
         o = init_opt_state(p, config=c, optimizer="adagrad", lr=0.3)
         step = make_jit_train_step_opt(c, optimizer="adagrad", lr=0.3,
@@ -1002,7 +1002,7 @@ def test_train_step_opt_emb_impl_parity():
         for _ in range(2):
             (p, o), loss = step(p, o, *args)
         results[impl] = (p, float(loss))
-    for impl in ("dense_g", "hybrid"):
+    for impl in ("dense_g", "hybrid", "hybrid:0", "hybrid:4096"):
         np.testing.assert_allclose(results[impl][1], results["dedup"][1],
                                    rtol=1e-6)
         for a, b in zip(_logical(results[impl][0]["emb"], c),
