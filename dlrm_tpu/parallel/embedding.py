@@ -937,6 +937,9 @@ def make_dcn_replica_check(mesh: Mesh, axis: str = "d"):
         sums = jax.lax.all_gather(c, dcn)           # (H,) per ici shard
         return jnp.all(sums == sums[0])[None]
 
+    built = {}  # len(cs) -> shard_mapped body, so repeat checks reuse
+                # one traced/compiled program instead of re-wrapping
+
     def check(params) -> jax.Array:
         cs = tuple(params.get("emb_cs", ()))
         emb_h = params.get("emb_h")
@@ -946,11 +949,12 @@ def make_dcn_replica_check(mesh: Mesh, axis: str = "d"):
             # pull the pinned-host stack into device memory for the fold
             # (debug mode: the PCIe copy is the price of checking it too)
             emb_h = jax.device_put(emb_h, NamedSharding(mesh, P(axis)))
-        fn = jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(P(axis), tuple(P(axis) for _ in cs), P(axis)),
-            out_specs=P(axis), check_vma=False)
-        return fn(params["emb"], cs, emb_h)
+        if len(cs) not in built:
+            built[len(cs)] = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(axis), tuple(P(axis) for _ in cs), P(axis)),
+                out_specs=P(axis), check_vma=False))
+        return built[len(cs)](params["emb"], cs, emb_h)
 
     return check
 

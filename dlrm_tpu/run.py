@@ -229,10 +229,11 @@ def cmd_train(args) -> int:
     import jax.numpy as jnp
     import dlrm_tpu
     from dlrm_tpu.io.checkpoint import CheckpointManager
+    from dlrm_tpu.parallel.mesh import is_lead_process
     from dlrm_tpu.train.metrics import evaluate
 
     # one process owns stdout/metadata; every process runs the collectives
-    lead = jax.process_index() == 0 if multiproc else True
+    lead = is_lead_process() if multiproc else True
     config = _build_config(args)
     if args.data is None and args.steps is None:
         raise SystemExit("synthetic training needs --steps")
@@ -946,9 +947,10 @@ def cmd_eval(args) -> int:
     _apply_platform(args)
     multiproc = _maybe_init_distributed(args)
     import jax
+    from dlrm_tpu.parallel.mesh import is_lead_process
     from dlrm_tpu.train.metrics import evaluate, sharded_evaluate
 
-    lead = jax.process_index() == 0 if multiproc else True
+    lead = is_lead_process() if multiproc else True
     config = _build_config(args)
     # synthetic fallback needs a bound or evaluate() would never terminate
     eval_steps = args.eval_steps or (None if args.data else 10)
@@ -968,6 +970,14 @@ def cmd_eval(args) -> int:
         if multiproc:
             from dlrm_tpu.parallel.mesh import (batch_sharding,
                                                 local_batch_rows)
+            n_dev = mesh.devices.size
+            if args.batch_size % n_dev:
+                # uneven stripes would give each process a different
+                # local*process_count global shape downstream — fail
+                # clearly instead of hanging in the collective
+                raise SystemExit(f"--distributed eval: --batch-size "
+                                 f"{args.batch_size} must be divisible "
+                                 f"by the {n_dev}-device mesh")
             rows = local_batch_rows(batch_sharding(mesh), args.batch_size)
         data = _data_iter(args, config, steps=eval_steps, rows=rows)
         m = sharded_evaluate(params, data, config, mesh=mesh,

@@ -132,18 +132,28 @@ def _accumulate(data: Iterable, predict_batch: Callable, *,
     if mp_reduce and jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        packed = np.concatenate([[correct, total, loss_sum],
+        counts = np.concatenate([[correct, total],
                                  auc.pos, auc.neg]).astype(np.float64)
-        # the allgather rides the device mesh, so f64 degrades to f32 —
-        # fine for counts < 2^24 and a reported loss, but hand back Python
-        # scalars (np.float32 breaks json.dumps downstream)
-        packed = np.asarray(
+        # The allgather rides the device mesh, so f64 degrades to f32 in
+        # transport.  Counts must stay integer-exact past 2^24 (Terabyte
+        # eval is ~89M rows), so ship each count as two f32-exact halves
+        # (hi/lo base 2^24 — exact per process up to 2^48) and recombine
+        # after the f64 host-side sum.  loss_sum is a genuine float; f32
+        # transport precision is fine for it.
+        hi = np.floor(counts / 2.0**24)
+        lo = counts - hi * 2.0**24
+        packed = np.concatenate([hi, lo, [loss_sum]])
+        gathered = np.asarray(
             multihost_utils.process_allgather(packed),
             np.float64).sum(axis=0)
-        correct, total, loss_sum = float(packed[0]), int(packed[1]), \
-            float(packed[2])
-        auc.pos = packed[3:3 + auc.num_buckets]
-        auc.neg = packed[3 + auc.num_buckets:]
+        k = counts.shape[0]
+        counts = gathered[:k] * 2.0**24 + gathered[k:2 * k]
+        loss_sum = float(gathered[2 * k])
+        # hand back Python scalars (np.float32 breaks json.dumps
+        # downstream)
+        correct, total = float(counts[0]), int(counts[1])
+        auc.pos = counts[2:2 + auc.num_buckets]
+        auc.neg = counts[2 + auc.num_buckets:]
     acc = correct / max(total, 1)
     if record is not None:
         record.append(acc)  # reference: push!(record, accuracy)

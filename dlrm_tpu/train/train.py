@@ -893,7 +893,9 @@ def make_sharded_train_step_opt(config: DLRMConfig, *, optimizer: str,
         out_params["emb_cs"] = None
     out_opt = {"dense": None, "count": None, "emb_acc": None,
                "emb_acc_cs": None,
-               "emb_acc_h": pin if optimizer == "adagrad" else None}
+               "emb_acc_h": (pin if optimizer in ("adagrad",
+                                                  "rowwise_adagrad")
+                             else None)}
     return jax.jit(step, donate_argnums=(0, 1),
                    out_shardings=((out_params, out_opt), None))
 
@@ -1211,11 +1213,11 @@ def train(params: dict, data: Iterable, *, config: DLRMConfig,
     pending = None
     start = time.perf_counter_ns()
 
-    def sync(loss):
+    def sync(loss, window):
         nonlocal start
         loss = float(loss)  # syncs (reference: per-iteration timing)
         now = time.perf_counter_ns()
-        iteration_times.append((now - start) // sync_every)
+        iteration_times.append((now - start) // window)
         start = now
         losses.append(loss)
         if callback is not None:
@@ -1226,13 +1228,13 @@ def train(params: dict, data: Iterable, *, config: DLRMConfig,
                                batch["labels"])
         count += 1
         if count % sync_every == 0:
-            sync(loss)
+            sync(loss, sync_every)
             pending = None
         else:
             pending = loss
         if maxiters is not None and count >= maxiters:
             break
     if pending is not None:  # stream end between sync points: final loss
-        sync(pending)
+        sync(pending, count % sync_every)  # tail window < sync_every steps
     return {"params": params, "losses": losses,
             "iteration_times": iteration_times}

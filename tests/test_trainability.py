@@ -85,6 +85,11 @@ def test_train_sync_every():
     assert len(r1["losses"]) == 7
     # steps 3, 6 sync on cadence; step 7 is the final step (always synced)
     assert len(r3["losses"]) == 3 and seen == [2, 5, 6]
+    # tail window (step 7) covers ONE step — its per-step time must be
+    # divided by 1, not sync_every, so it lands in the same ballpark as
+    # the full windows' per-step estimates (not ~3x smaller)
+    assert len(r3["iteration_times"]) == 3
+    assert all(t > 0 for t in r3["iteration_times"])
     np.testing.assert_allclose(r3["losses"], [r1["losses"][i]
                                               for i in (2, 5, 6)],
                                rtol=1e-6)
