@@ -30,12 +30,39 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _init_devices(timeout_s: float = 300.0):
+    """Backend init with a watchdog: if the TPU transport is down,
+    jax.devices() blocks forever retrying the dial — fail fast with a
+    diagnostic instead of hanging the driver."""
+    import threading
+
+    box = {}
+
+    def _init():
+        import jax
+        box["devices"] = jax.devices()
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in box:
+        log(f"FATAL: jax backend init did not complete in {timeout_s:.0f}s "
+            "— TPU transport down?")
+        print(json.dumps({"metric": "dlrm_kaggle_fs16_train_b32768",
+                          "value": 0, "unit": "examples/s/chip",
+                          "vs_baseline": 0,
+                          "error": "device init timeout"}))
+        sys.exit(2)
+    return box["devices"]
+
+
 def main():
+    devices = _init_devices()
     import jax
     import jax.numpy as jnp
     import dlrm_tpu
 
-    dev = jax.devices()[0]
+    dev = devices[0]
     log(f"device: {dev} ({dev.platform})")
 
     # "gram" (batched MXU einsum + static gather) measures fastest on v5e
