@@ -508,7 +508,7 @@ def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
     batch-sharded."""
     meta = placement_arrays(placement)
     if emb_h is None:
-        emb_h = _dummy_host_stack(emb)
+        emb_h = _dummy_host_stack(emb, placement)
     body = functools.partial(_lookup_body, axis=axis,
                              out_column=placement.out_column(),
                              pack=placement.pack,
@@ -526,7 +526,7 @@ def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
     )(emb, emb_h, tuple(cs), ids, meta)
 
 
-def _collect_grad_pairs(ids_all, back, meta, placement, axis, pack, dim):
+def _collect_grad_pairs(ids_all, back, meta, placement, pack, dim):
     """Collect every (logical-row key, gradient row) contribution on this
     shard: slot tables (from the routed-back a2a grads) + row-sharded
     tables (from the all-gathered rs grad columns).  Invalid entries carry
@@ -778,7 +778,7 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
         with jax.named_scope("a2a_bwd"):
             back = jax.lax.all_to_all(scat, axis, split_axis=1,
                                       concat_axis=0, tiled=True)
-        kp, gp = _collect_grad_pairs(ids_all, back, meta, placement, axis,
+        kp, gp = _collect_grad_pairs(ids_all, back, meta, placement,
                                      pack, width)
         keys_parts += kp
         g_parts += gp
@@ -869,7 +869,7 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
     meta = placement_arrays(placement)
     has_host = emb_h is not None
     if not has_host:
-        emb_h = _dummy_host_stack(emb)
+        emb_h = _dummy_host_stack(emb, placement)
         acc_h = jnp.zeros(emb_h.shape, jnp.float32)
     twin = d_pooled_scaled is not None
     if twin:
@@ -959,9 +959,22 @@ def make_dcn_replica_check(mesh: Mesh, axis: str = "d"):
     return check
 
 
-def _dummy_host_stack(emb: jax.Array) -> jax.Array:
+def _dummy_host_stack(emb: jax.Array,
+                      placement: Optional[TablePlacement] = None
+                      ) -> jax.Array:
     """(N, 1, W) placeholder threaded through shard_map when the placement
-    has no host-resident tables (keeps the SPMD body signature uniform)."""
+    has no host-resident tables (keeps the SPMD body signature uniform).
+
+    When ``placement`` is given and it HAS host-resident tables, substituting
+    the dummy would be a caller bug (params missing 'emb_h'): the translated
+    host row indices address [0, host_local_rows) while the dummy has one
+    row, and the PROMISE_IN_BOUNDS gathers/scatters would silently read
+    garbage / corrupt memory — so fail loudly instead."""
+    if placement is not None and placement.host_row_sharded:
+        raise ValueError(
+            f"placement has host-resident tables "
+            f"{list(placement.host_row_sharded)} but no emb_h stack was "
+            "passed — params are missing the pinned-host tier")
     return jnp.zeros((emb.shape[0], 1, emb.shape[-1]), emb.dtype)
 
 
@@ -979,7 +992,7 @@ def sharded_update_sgd(emb: jax.Array, ids: jax.Array, d_pooled: jax.Array,
     meta = placement_arrays(placement)
     has_host = emb_h is not None
     if not has_host:
-        emb_h = _dummy_host_stack(emb)
+        emb_h = _dummy_host_stack(emb, placement)
     body = functools.partial(
         _update_body, axis=axis, out_column=placement.out_column(),
         num_slots=placement.num_shards * placement.slots_per_shard,

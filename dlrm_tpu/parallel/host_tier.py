@@ -167,9 +167,9 @@ def split_tiers(emb: np.ndarray, plan: TierPlan, config: DLRMConfig,
 
     emb_dev = jax.device_put(stack(plan.device_tables), device)
     host_np = stack(plan.host_tables)
-    sh_host = jax.sharding.SingleDeviceSharding(device,
-                                                memory_kind="pinned_host")
-    emb_host = jax.device_put(host_np, sh_host)
+    # same backend fallback as _host_sharding / place_tiered: CPU tests
+    # have no pinned space — default memory there, not a crash
+    emb_host = jax.device_put(host_np, _host_sharding(device))
     return emb_dev, emb_host
 
 
@@ -266,15 +266,21 @@ def tiered_lookup(emb_dev, emb_host, sparse, plan: TierPlan,
     return jnp.take(stacked, jnp.asarray(inv), axis=1)
 
 
-def tiered_train_step(params, dense, sparse, labels, *, config: DLRMConfig,
-                      lr: float, plan: TierPlan):
-    """One SGD step with two-tier tables; params = {bottom, top, emb_dev,
-    emb_host}.  Embedding grads stay compressed on both tiers."""
+def _tier_forward_backward(dense_params, emb_dev, emb_host, dense, sparse,
+                           labels, *, config: DLRMConfig, plan: TierPlan,
+                           host_rows=None):
+    """Shared two-tier lookup + loss + backward for the tiered steps
+    (the one place the tier-gather / pooled-order / value_and_grad logic
+    lives — the SGD, pipelined, and optimizer steps all call this).
+
+    ``host_rows``: pre-gathered host-tier rows (the pipelined step's
+    prefetch payload); ``None`` gathers from ``emb_host`` inline.
+
+    Returns ``(loss, dgrads, d_gathered, ids_dev, ids_host)`` where
+    ``d_gathered`` lists the gradients w.r.t. the gathered row blocks in
+    [device-tier, host-tier] order (absent tiers skipped)."""
     from dlrm_tpu.models import dlrm as model_lib
     from dlrm_tpu.ops.loss import bce_loss
-
-    dense_params = {"bottom": params["bottom"], "top": params["top"]}
-    emb_dev, emb_host = params["emb_dev"], params["emb_host"]
 
     gathered = []
     order = []
@@ -283,15 +289,15 @@ def tiered_train_step(params, dense, sparse, labels, *, config: DLRMConfig,
         ids_dev = _tier_ids(sparse, list(plan.device_tables),
                             plan.device_offsets)
         with jax.named_scope("lookup_device_tier"):
-            rows_dev = jnp.take(emb_dev, ids_dev, axis=0)
-        gathered.append(rows_dev)
+            gathered.append(jnp.take(emb_dev, ids_dev, axis=0))
         order += list(plan.device_tables)
     if plan.host_tables:
         ids_host = _tier_ids(sparse, list(plan.host_tables),
                              plan.host_offsets)
-        with jax.named_scope("lookup_host_tier"):
-            rows_host = host_tier_gather(emb_host, ids_host)
-        gathered.append(rows_host)
+        if host_rows is None:
+            with jax.named_scope("lookup_host_tier"):
+                host_rows = host_tier_gather(emb_host, ids_host)
+        gathered.append(host_rows)
         order += list(plan.host_tables)
     inv = jnp.asarray(np.argsort(np.asarray(order)))
 
@@ -305,6 +311,19 @@ def tiered_train_step(params, dense, sparse, labels, *, config: DLRMConfig,
 
     loss, (dgrads, d_gathered) = jax.value_and_grad(
         inner, argnums=(0, 1))(dense_params, gathered)
+    return loss, dgrads, d_gathered, ids_dev, ids_host
+
+
+def tiered_train_step(params, dense, sparse, labels, *, config: DLRMConfig,
+                      lr: float, plan: TierPlan):
+    """One SGD step with two-tier tables; params = {bottom, top, emb_dev,
+    emb_host}.  Embedding grads stay compressed on both tiers."""
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    emb_dev, emb_host = params["emb_dev"], params["emb_host"]
+
+    loss, dgrads, d_gathered, ids_dev, ids_host = _tier_forward_backward(
+        dense_params, emb_dev, emb_host, dense, sparse, labels,
+        config=config, plan=plan)
 
     with jax.named_scope("dense_update"):
         new_dense = jax.tree.map(
@@ -348,38 +367,13 @@ def tiered_train_step_pipelined(params, pref_rows, dense, sparse, labels,
     Returns ((new_params, next_pref_rows), loss).  Drive it with
     :func:`prime_host_prefetch` for batch 0 and a one-batch-lookahead
     iterator (run.py --host-prefetch)."""
-    from dlrm_tpu.models import dlrm as model_lib
-    from dlrm_tpu.ops.loss import bce_loss
-
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     emb_dev, emb_host = params["emb_dev"], params["emb_host"]
 
-    gathered = []
-    order = []
-    ids_dev = ids_host = None
-    if plan.device_tables:
-        ids_dev = _tier_ids(sparse, list(plan.device_tables),
-                            plan.device_offsets)
-        with jax.named_scope("lookup_device_tier"):
-            gathered.append(jnp.take(emb_dev, ids_dev, axis=0))
-        order += list(plan.device_tables)
-    if plan.host_tables:
-        ids_host = _tier_ids(sparse, list(plan.host_tables),
-                             plan.host_offsets)
-        gathered.append(pref_rows)      # prefetched by the PREVIOUS step
-        order += list(plan.host_tables)
-    inv = jnp.asarray(np.argsort(np.asarray(order)))
-
-    def inner(dp, gathered):
-        pooled = jnp.concatenate(
-            [g if g.ndim == 3 else jnp.sum(g, axis=2) for g in gathered],
-            axis=1)
-        pooled = jnp.take(pooled, inv, axis=1)
-        out = model_lib.forward_from_pooled(dp, pooled, dense, config)
-        return bce_loss(out, labels)
-
-    loss, (dgrads, d_gathered) = jax.value_and_grad(
-        inner, argnums=(0, 1))(dense_params, gathered)
+    # host rows prefetched by the PREVIOUS step ride in as pref_rows
+    loss, dgrads, d_gathered, ids_dev, ids_host = _tier_forward_backward(
+        dense_params, emb_dev, emb_host, dense, sparse, labels,
+        config=config, plan=plan, host_rows=pref_rows)
 
     with jax.named_scope("dense_update"):
         new_dense = jax.tree.map(
@@ -439,15 +433,16 @@ def prime_host_prefetch(emb_host, sparse, plan: TierPlan):
     return jax.jit(host_tier_gather)(emb_host, ids)
 
 
-def _adagrad_rows(acc_rows, g, lr, eps: float = 1e-10):
+def _adagrad_rows(acc_rows, g, eps: float = 1e-10):
     """Elementwise Adagrad on deduped rows: returns (delta_acc, step_rows)
-    with the same semantics as train/optim.apply_adagrad_chunked."""
+    with the same semantics as train/optim.apply_adagrad_chunked;
+    the caller applies the learning rate (w -= lr * step_rows)."""
     acc_new = acc_rows + g * g
     step = g * jnp.where(acc_new > 0, jax.lax.rsqrt(acc_new + eps), 0.0)
     return g * g, step
 
 
-def _rowwise_rows(acc_sel, g, lr, eps: float = 1e-10):
+def _rowwise_rows(acc_sel, g, eps: float = 1e-10):
     """ROW-WISE Adagrad on deduped rows: ``acc_sel`` is the (M,) scalar
     accumulator per row; returns (delta_acc (M,), step_rows (M, D)) —
     acc += mean_D(g^2), step = g * rsqrt(acc'+eps) (same contract as
@@ -471,42 +466,16 @@ def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
     src/model/embedding_update.jl).  Duplicate ids are deduped before the
     nonlinear accumulator update (dedup-then-apply contract).
     """
-    from dlrm_tpu.models import dlrm as model_lib
     from dlrm_tpu.ops import embedding as emb_ops
-    from dlrm_tpu.ops.loss import bce_loss
     from dlrm_tpu.train import optim
     import optax
 
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     emb_dev, emb_host = params["emb_dev"], params["emb_host"]
 
-    gathered = []
-    order = []
-    ids_dev = ids_host = None
-    if plan.device_tables:
-        ids_dev = _tier_ids(sparse, list(plan.device_tables),
-                            plan.device_offsets)
-        with jax.named_scope("lookup_device_tier"):
-            gathered.append(jnp.take(emb_dev, ids_dev, axis=0))
-        order += list(plan.device_tables)
-    if plan.host_tables:
-        ids_host = _tier_ids(sparse, list(plan.host_tables),
-                             plan.host_offsets)
-        with jax.named_scope("lookup_host_tier"):
-            gathered.append(host_tier_gather(emb_host, ids_host))
-        order += list(plan.host_tables)
-    inv = jnp.asarray(np.argsort(np.asarray(order)))
-
-    def inner(dp, gathered):
-        pooled = jnp.concatenate(
-            [g if g.ndim == 3 else jnp.sum(g, axis=2) for g in gathered],
-            axis=1)
-        pooled = jnp.take(pooled, inv, axis=1)
-        out = model_lib.forward_from_pooled(dp, pooled, dense, config)
-        return bce_loss(out, labels)
-
-    loss, (dgrads, d_gathered) = jax.value_and_grad(
-        inner, argnums=(0, 1))(dense_params, gathered)
+    loss, dgrads, d_gathered, ids_dev, ids_host = _tier_forward_backward(
+        dense_params, emb_dev, emb_host, dense, sparse, labels,
+        config=config, plan=plan)
 
     count = opt_state["count"]
     lr_t = lr(count) if callable(lr) else lr
@@ -544,10 +513,10 @@ def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
                     # add dropped/zero updates
                     sel = jnp.take(acc, jnp.maximum(ids_u, 0)) \
                         * (ids_u >= 0)
-                    d_acc, step_rows = _rowwise_rows(sel, g_u, lr_t)
+                    d_acc, step_rows = _rowwise_rows(sel, g_u)
                 else:
                     d_acc, step_rows = _adagrad_rows(
-                        jnp.take(acc, ids_u, axis=0), g_u, lr_t)
+                        jnp.take(acc, ids_u, axis=0), g_u)
                 new_opt["dev_acc"] = acc.at[ids_u].add(d_acc, mode="drop")
                 new_dev = emb_dev.at[ids_u].add(
                     (-lr_t * step_rows).astype(emb_dev.dtype), mode="drop")
@@ -578,11 +547,10 @@ def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
                     # acc is a (host_rows, 1) pinned scalar slab — 1/D the
                     # slow-tier optimizer bytes AND 1/D the PCIe traffic
                     # of the accumulator round-trip
-                    d_acc, step_rows = _rowwise_rows(acc_rows[:, 0], g_u,
-                                                     lr_t)
+                    d_acc, step_rows = _rowwise_rows(acc_rows[:, 0], g_u)
                     d_acc = d_acc[:, None]
                 else:
-                    d_acc, step_rows = _adagrad_rows(acc_rows, g_u, lr_t)
+                    d_acc, step_rows = _adagrad_rows(acc_rows, g_u)
                 new_opt["host_acc"] = host_tier_scatter_add(acc, ids_u,
                                                             d_acc)
                 new_host = host_tier_scatter_add(emb_host, ids_u,

@@ -132,16 +132,23 @@ def make_hybrid_mesh(ici_axis: str = "d", dcn_axis: str = "h") -> Mesh:
     """
     from jax.experimental import mesh_utils
 
-    n_total = len(jax.devices())
-    n_local = jax.local_device_count()
-    n_hosts = max(n_total // max(n_local, 1), 1)
+    devs = jax.devices()
+    # The DCN granule must match what create_hybrid_device_mesh groups by:
+    # the SLICE when devices expose slice_index (TPU pods — ICI spans all
+    # hosts within a slice, so a slice may hold devices of many processes),
+    # else the PROCESS (CPU mesh in tests, single-slice GPU).  Counting
+    # hosts here instead would break any pod whose slices span >1 host.
+    has_slice = hasattr(devs[0], "slice_index")
+    if has_slice:
+        n_granules = len({d.slice_index for d in devs})
+    else:
+        n_granules = max(len({d.process_index for d in devs}), 1)
+    per_granule = len(devs) // n_granules
     devices = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(n_local,), dcn_mesh_shape=(n_hosts,),
-        devices=jax.devices(),
-        # group by process when devices don't expose slice_index (CPU mesh
-        # in tests, single-slice GPU); TPU pods expose it and group by slice
-        process_is_granule=not hasattr(jax.devices()[0], "slice_index"))
-    return Mesh(devices.reshape(n_hosts, n_local), (dcn_axis, ici_axis))
+        mesh_shape=(per_granule,), dcn_mesh_shape=(n_granules,),
+        devices=devs, process_is_granule=not has_slice)
+    return Mesh(devices.reshape(n_granules, per_granule),
+                (dcn_axis, ici_axis))
 
 
 def make_mesh_2d(dcn: int, ici: int, dcn_axis: str = "h",
