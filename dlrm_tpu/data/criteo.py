@@ -380,7 +380,8 @@ class DACLoader:
                        - self._shift).astype(np.int32),
         }
 
-    def _iter_shuffled_rows(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _iter_shuffled_rows(self, epoch: int
+                            ) -> Iterator[Dict[str, np.ndarray]]:
         """Chunked-permutation row shuffle: marshal ``shuffle_window``
         batches' worth of consecutive rows at once, permute the rows, emit
         the window's batches from the permuted arrays.  Window order is
@@ -392,7 +393,7 @@ class DACLoader:
         w = self.shuffle_window
         n_windows = -(-n_batches // w)
         worder = np.random.default_rng(
-            (self.seed, 1, self._epoch)).permutation(n_windows)
+            (self.seed, 1, epoch)).permutation(n_windows)
         for wi in (int(x) for x in worder):
             first = wi * w           # first global batch of this window
             n_here = min(n_batches - first, w)
@@ -401,7 +402,7 @@ class DACLoader:
             # per-window rng keyed by (seed, epoch, window index): no
             # global index state, O(window) memory at any dataset scale
             perm = np.random.default_rng(
-                (self.seed, 2, self._epoch, wi)).permutation(count)
+                (self.seed, 2, epoch, wi)).permutation(count)
             for k in range(n_here):
                 rows_k = perm[k * b:min((k + 1) * b, count)]
                 if self.local_rows is not None:
@@ -410,8 +411,11 @@ class DACLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.shuffle_rows:
-            yield from self._iter_shuffled_rows()
+            # bump the epoch EAGERLY (like the shuffle branch below): a
+            # consumer that stops mid-epoch and re-iterates must get a
+            # fresh permutation, not a replay of the last one
             self._epoch += 1
+            yield from self._iter_shuffled_rows(self._epoch - 1)
             return
         b = self.batch_size
         order = None

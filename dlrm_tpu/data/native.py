@@ -97,25 +97,10 @@ def parse_buffer(text: bytes, num_threads: int = 0) -> np.ndarray:
     return out[:n].copy()
 
 
-def binarize_bytes(text: bytes, dst: Optional[str] = None) -> np.ndarray:
-    """Parse raw Criteo text bytes (already decompressed) multithreaded,
-    optionally writing the records to ``dst``."""
-    from dlrm_tpu.data.criteo import DAC_DTYPE
-
-    data = parse_buffer(text)
-    if dst is not None:
-        mm = np.memmap(dst, dtype=DAC_DTYPE, mode="w+", shape=(len(data),))
-        mm[:] = data
-        mm.flush()
-        return mm
-    return data
-
-
-def binarize(src: str, dst: Optional[str] = None) -> np.ndarray:
-    """Native-path binarize: reads the whole file, parses multithreaded."""
-    with open(src, "rb") as f:
-        text = f.read()
-    return binarize_bytes(text, dst)
+# NOTE: there is deliberately NO native-module binarize() here — the one
+# binarize entry point is data/criteo.binarize, which streams the file
+# through parse_buffer in bounded chunks (a Terabyte day is ~45 GB of
+# text; a whole-file read would OOM).
 
 
 def build_vocab_and_reindex(records: np.ndarray, *,
@@ -142,6 +127,10 @@ def build_vocab_and_reindex(records: np.ndarray, *,
     n = len(records)
     handle = lib.dlrm_vocab_build(
         records.ctypes.data_as(ctypes.c_void_p), n, build_threads)
+    if not handle:
+        # NULL from the C++ builder (allocation failure) — raise instead
+        # of segfaulting inside the next library call
+        raise RuntimeError("dlrm_vocab_build returned NULL")
     try:
         appear = []
         for j in range(26):

@@ -5,6 +5,7 @@ metric the reference lacks), and the ``Every`` periodic-callback combinator
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Iterable, List, Optional
 
 import jax
@@ -44,6 +45,16 @@ def auc_roc(preds, labels) -> float:
     return float((pos_rank_sum - pos * (pos + 1) / 2) / (pos * neg))
 
 
+@functools.partial(jax.jit, static_argnames=("num_buckets",))
+def _auc_device_update(preds, labels, *, num_buckets: int):
+    b = jnp.clip((preds * num_buckets).astype(jnp.int32), 0,
+                 num_buckets - 1)
+    labels = (labels >= 0.5).astype(jnp.float32)
+    pos = jnp.zeros(num_buckets, jnp.float32).at[b].add(labels)
+    neg = jnp.zeros(num_buckets, jnp.float32).at[b].add(1.0 - labels)
+    return pos, neg
+
+
 class StreamingAUC:
     """Histogram-bucketed streaming AUC for large eval sets: O(buckets)
     memory, device-side accumulation, one tiny transfer per batch.
@@ -57,20 +68,12 @@ class StreamingAUC:
         self.num_buckets = num_buckets
         self.pos = np.zeros(num_buckets, np.float64)
         self.neg = np.zeros(num_buckets, np.float64)
-        self._update = jax.jit(self._device_update,
-                               static_argnames=("num_buckets",))
-
-    @staticmethod
-    def _device_update(preds, labels, num_buckets: int):
-        b = jnp.clip((preds * num_buckets).astype(jnp.int32), 0,
-                     num_buckets - 1)
-        labels = (labels >= 0.5).astype(jnp.float32)
-        pos = jnp.zeros(num_buckets, jnp.float32).at[b].add(labels)
-        neg = jnp.zeros(num_buckets, jnp.float32).at[b].add(1.0 - labels)
-        return pos, neg
 
     def update(self, preds, labels) -> None:
-        pos, neg = self._update(preds, labels, num_buckets=self.num_buckets)
+        # module-level jit: every StreamingAUC instance (one per eval
+        # call) must reuse ONE compiled program, not retrace
+        pos, neg = _auc_device_update(preds, labels,
+                                      num_buckets=self.num_buckets)
         self.pos += np.asarray(pos, np.float64)
         self.neg += np.asarray(neg, np.float64)
 
@@ -123,10 +126,11 @@ def _accumulate(data: Iterable, predict_batch: Callable, *,
     for batch in data:
         preds = predict_batch(batch)
         labels = jnp.asarray(batch["labels"])
-        auc.update(np.asarray(preds), labels)
-        loss_sum += float(bce_loss(preds, labels)) * labels.shape[0]
+        # ONE device->host transfer of the predictions per batch
         p = np.asarray(preds)
         l = np.asarray(labels)
+        auc.update(p, l)
+        loss_sum += float(bce_loss(preds, labels)) * l.shape[0]
         correct += int(((p >= 0.5) == (l >= 0.5)).sum())
         total += l.shape[0]
     if mp_reduce and jax.process_count() > 1:

@@ -572,28 +572,34 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
         return dp, dense_state, st, loss, ids_big, d_rows_big
 
     ids_cat = drows_cat = scaled_cat = None
-    if big and not unroll:
+    if not unroll:
         # lax.scan over micro-steps: ~8x faster compile, ~5% slower
         # steady-state than the unrolled loop (no cross-step overlap) —
-        # measured 54.9 s / 25.7 ms vs 467 s / 24.4 ms at K=8 Kaggle
+        # measured 54.9 s / 25.7 ms vs 467 s / 24.4 ms at K=8 Kaggle.
+        # (With no big tables the ids/drows outputs are skipped — scan
+        # ys cannot carry None — but the micro-steps still scan.)
         def body(carry, xs):
             dp, dense_state, st = carry
             d, s, l, k = xs
             lr_k = lr(count + k) if scheduled else lr
             dp, dense_state, st, loss, ids_big, drb = micro_step(
                 dp, dense_state, st, d, s, l, lr_k)
-            ys = (loss, ids_big, drb) + (
-                ((lr_k * drb),) if scheduled else ())
+            ys = (loss,)
+            if big:
+                ys += (ids_big, drb) + (
+                    ((lr_k * drb),) if scheduled else ())
             return (dp, dense_state, st), ys
 
         (dp, dense_state, st), ys = jax.lax.scan(
             body, (dp, dense_state, st),
             (dense, sparse, labels, jnp.arange(block)))
-        losses, ids_ys, drb_ys = ys[0], ys[1], ys[2]
-        ids_cat = ids_ys.reshape((-1,) + ids_ys.shape[2:])
-        drows_cat = drb_ys.reshape((-1,) + drb_ys.shape[2:])
-        if scheduled:
-            scaled_cat = ys[3].reshape((-1,) + ys[3].shape[2:])
+        losses = ys[0]
+        if big:
+            ids_ys, drb_ys = ys[1], ys[2]
+            ids_cat = ids_ys.reshape((-1,) + ids_ys.shape[2:])
+            drows_cat = drb_ys.reshape((-1,) + drb_ys.shape[2:])
+            if scheduled:
+                scaled_cat = ys[3].reshape((-1,) + ys[3].shape[2:])
     else:
         losses, ids_acc, drows_acc, scaled_acc = [], [], [], []
         for k in range(block):
@@ -1146,11 +1152,6 @@ def make_sharded_train_step(config: DLRMConfig, lr: float, mesh, placement,
     step = functools.partial(sharded_train_step, config=config, lr=lr,
                              mesh=mesh, placement=placement, axis=axis)
     bs = batch_sharding(mesh, axis)
-    repl = NamedSharding(mesh, P())
-    pshard = {
-        "bottom": None, "top": None,
-        "emb": NamedSharding(mesh, P(axis)),
-    }
 
     def shardings_for(params):
         return param_shardings(mesh, params, axis)

@@ -260,6 +260,44 @@ def test_adagrad_block_disjoint_equals_sequential(scheduled, impl, unroll):
     _leaves_allclose(o_ref["emb"], o_blk["emb"], rtol=1e-5, atol=1e-6)
 
 
+def test_adagrad_block_scan_all_small_tables():
+    """unroll=False must use the lax.scan path even when EVERY table is
+    small (no big-table ids/drows to carry through the scan ys) — the
+    compile-time win is the flag's whole point and must not silently
+    fall back to the unrolled trace."""
+    import dataclasses
+    from dlrm_tpu.train.train import (init_opt_state,
+                                      make_jit_train_block_opt,
+                                      make_jit_train_step_opt)
+
+    config = dataclasses.replace(
+        dlrm_tpu.tiny_config(num_tables=3, rows=12, feature_size=8),
+        small_table_threshold=64, table_sizes=(12, 9, 12))
+    params = dlrm_tpu.init_params(jax.random.key(4), config)
+    rng = np.random.default_rng(4)
+    k = 3
+    dense, sparse, labels = _batches(config, k, 16, rng, disjoint=True)
+
+    step = make_jit_train_step_opt(config, optimizer="adagrad", lr=0.1)
+    p_ref = jax.tree.map(jnp.copy, params)
+    o_ref = init_opt_state(p_ref, config=config, optimizer="adagrad",
+                           lr=0.1)
+    ref_losses = []
+    for i in range(k):
+        (p_ref, o_ref), loss = step(p_ref, o_ref, dense[i], sparse[i],
+                                    labels[i])
+        ref_losses.append(float(loss))
+
+    blk = make_jit_train_block_opt(config, optimizer="adagrad", lr=0.1,
+                                   block=k, unroll=False)
+    p_blk = jax.tree.map(jnp.copy, params)
+    o_blk = init_opt_state(p_blk, config=config, optimizer="adagrad",
+                           lr=0.1)
+    (p_blk, o_blk), losses = blk(p_blk, o_blk, dense, sparse, labels)
+    np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-5)
+    _leaves_allclose(p_ref, p_blk, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("impl", ["dedup", "dense_g"])
 def test_adagrad_block_repeated_ids_dedups_before_accumulator(impl):
     """A row hit twice in one coalesced gradient gets ONE accumulator

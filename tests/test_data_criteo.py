@@ -271,6 +271,30 @@ def test_loader_row_shuffle_covers_all_rows_and_bounds_locality():
     assert again == ids1
 
 
+def test_loader_row_shuffle_early_stop_advances_epoch():
+    """A consumer that stops mid-epoch and re-iterates must get a FRESH
+    permutation (the epoch bumps eagerly, like the window-shuffle branch)
+    — not a replay of the aborted epoch's order."""
+    from dlrm_tpu.data import synthetic
+    from dlrm_tpu.data.criteo import DACLoader, parse_lines
+
+    data = parse_lines(synthetic.criteo_text_lines(96, seed=3))
+    loader = DACLoader(data, 8, shuffle_rows=True, shuffle_window=3,
+                       seed=5)
+
+    def first_batches(k):
+        out = []
+        for i, bt in enumerate(loader):
+            out.append(bt["dense"].tolist())
+            if i + 1 >= k:
+                break
+        return out
+
+    a = first_batches(3)
+    b = first_batches(3)
+    assert a != b  # aborted epoch still advanced the permutation
+
+
 def test_loader_row_shuffle_local_rows_stripe():
     """Multi-host feeding composes with the row shuffle: two processes'
     local stripes concatenate to exactly the single-process batch."""
