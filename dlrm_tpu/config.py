@@ -125,8 +125,6 @@ class DLRMConfig:
         object.__setattr__(self, "bottom_mlp_sizes", tuple(self.bottom_mlp_sizes))
         object.__setattr__(self, "top_mlp_sizes", tuple(self.top_mlp_sizes))
         object.__setattr__(self, "table_sizes", tuple(self.table_sizes))
-        if self.num_dense != self.bottom_mlp_sizes[0]:
-            pass  # input width is just bottom_mlp_sizes[0]; nothing to check
         if (self.feature_size * self.num_tables) % self.bottom_out != 0:
             raise ValueError(
                 "feature_size * num_tables must be divisible by the bottom MLP "

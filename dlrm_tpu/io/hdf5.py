@@ -64,8 +64,9 @@ def load_params(path: str) -> Tuple[dict, DLRMConfig]:
         tables = [np.asarray(f[n]) for n in emb_names]
         bottom = _mlp_from_file(f, "bot_")
         top = _mlp_from_file(f, "top_")
-        h = 1
+        h = int(f.attrs.get("n_hot", 1))  # save_params stamps this
         if "input_emb_0" in f and "labels" in f:
+            # fixtures carry no attr; infer from the input shapes
             b = np.asarray(f["labels"]).shape[0]
             h = np.asarray(f["input_emb_0"]).shape[0] // b
 
@@ -135,6 +136,9 @@ def save_params(path: str, params: dict, config: DLRMConfig) -> None:
 
     assert h5py is not None
     with h5py.File(path, "w") as f:
+        # the weight datasets alone cannot encode multi-hot lookup
+        # semantics; without this attr a reload would default to n_hot=1
+        f.attrs["n_hot"] = config.n_hot
         for i in range(config.num_tables):
             # f32 on disk: HDF5/PyTorch interop has no bfloat16
             f[f"emb_{i}"] = np.asarray(

@@ -73,7 +73,9 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--feature-size", type=int, default=16,
                    help="embedding dim (kaggle/terabyte presets)")
     p.add_argument("--interaction", default=None,
-                   help="interaction impl: gram|pairwise|pallas")
+                   choices=["gram", "pairwise", "pallas"],
+                   help="interaction impl (a typo would otherwise fall "
+                   "through to the forward pass's gram default silently)")
     p.add_argument("--n-hot", type=int, default=None,
                    help="multi-hot lookups per table (default preset)")
     p.add_argument("--bf16", action="store_true",
@@ -88,6 +90,15 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--platform", default=None,
                    help="force the jax platform (e.g. cpu for a virtual "
                    "device mesh while a TPU is attached)")
+
+
+def _strict_bool(s: str) -> bool:
+    """argparse bool that REJECTS anything but true/false — a lambda
+    comparing to 'true' silently maps typos ('1', 'yes') to False."""
+    v = s.lower()
+    if v not in ("true", "false"):
+        raise argparse.ArgumentTypeError(f"expected true|false, got {s!r}")
+    return v == "true"
 
 
 def _apply_platform(args) -> None:
@@ -260,16 +271,23 @@ def cmd_train(args) -> int:
     block = max(int(getattr(args, "update_interval", 1) or 1), 1)
     n_dev = len(jax.devices())
     sharded = args.sharded if args.sharded is not None else (n_dev > 1)
+    if args.hbm_budget_gb is not None and sharded:
+        # the two-tier branch below is an elif of the sharded one —
+        # silently ignoring the budget (and stamping two_tier=true into
+        # run_meta.json alongside sharded=true, which every later
+        # restore would trip over) is worse than refusing
+        raise SystemExit(
+            "--hbm-budget-gb is the single-chip two-tier layout and does "
+            "not compose with the sharded path (auto-enabled here: "
+            f"{n_dev} devices). Pass --sharded false for two-tier on one "
+            "device, or use --host-tables N,M for host-resident tables "
+            "under sharding")
     if multiproc:
         # multi-host: the global mesh spans every process's devices; the
         # single-chip and two-tier layouts are single-process by definition
         if not sharded:
             raise SystemExit("--distributed (multi-process) requires the "
                              "sharded path; drop --sharded=false")
-        if args.hbm_budget_gb is not None:
-            raise SystemExit("--distributed does not compose with "
-                             "--hbm-budget-gb (the two-tier layout is "
-                             "per-host; use --host-tables instead)")
         if args.batch_size % n_dev:
             raise SystemExit(f"--batch-size {args.batch_size} must divide "
                              f"evenly over the {n_dev}-device global mesh")
@@ -632,7 +650,12 @@ def cmd_train(args) -> int:
             argparse.Namespace(data=eval_data,
                                batch_size=args.batch_size,
                                synthetic=getattr(args, "synthetic",
-                                                 "uniform")),
+                                                 "uniform"),
+                               # single-chip eval covers the dataset's
+                               # trailing partial batch; the mesh paths
+                               # need full batches (they tile the mesh)
+                               keep_remainder=not sharded
+                               and feed_rows is None),
             config, steps=eval_steps, seed=10_000, rows=feed_rows)
         m = run_eval(eval_iter)
         m["step"] = step
@@ -676,8 +699,15 @@ def cmd_train(args) -> int:
                            else single_place)
         elif args.optimizer in ("adagrad", "rowwise_adagrad"):
             from dlrm_tpu.train.train import make_jit_train_block_opt
+            # block mode has two exact impls (dense_g = the measured
+            # optimum, dedup = low-memory); the per-chunk hybrid is an
+            # exact-K=1 construct, so the CLI default maps to dense_g
+            blk_impl = getattr(args, "adagrad_impl", "hybrid")
+            if blk_impl.startswith("hybrid"):
+                blk_impl = "dense_g"
             blk_opt = make_jit_train_block_opt(
                 config, optimizer=args.optimizer, lr=lr, block=block,
+                adagrad_impl=blk_impl,
                 unroll=not getattr(args, "block_scan", False))
 
             def blk_fn(p, d, s, l):
@@ -765,13 +795,22 @@ def cmd_train(args) -> int:
     if eval_record:
         result["eval_record"] = eval_record
     if args.eval_data or args.eval_after:
+        # same bounding rule as periodic_eval: only an all-synthetic eval
+        # needs the default 10-batch cap — a real --eval-data file must
+        # be consumed in full (bounding on args.data here would silently
+        # truncate it)
+        final_eval_data = args.eval_data or args.data
+        final_eval_steps = args.eval_steps
+        if final_eval_data is None and final_eval_steps is None:
+            final_eval_steps = 10
         eval_iter = _data_iter(
-            argparse.Namespace(data=args.eval_data or args.data,
+            argparse.Namespace(data=final_eval_data,
                                batch_size=args.batch_size,
                                synthetic=getattr(args, "synthetic",
-                                                 "uniform")),
-            config, steps=args.eval_steps or (None if args.data else 10),
-            seed=10_000, rows=feed_rows)
+                                                 "uniform"),
+                               keep_remainder=not sharded
+                               and feed_rows is None),
+            config, steps=final_eval_steps, seed=10_000, rows=feed_rows)
         result["eval"] = run_eval(eval_iter)
     if lead:
         print(json.dumps(result))
@@ -955,9 +994,23 @@ def cmd_eval(args) -> int:
     # synthetic fallback needs a bound or evaluate() would never terminate
     eval_steps = args.eval_steps or (None if args.data else 10)
     meta = _read_run_meta(args.ckpt_dir) if args.ckpt_dir else {}
-    ctx = (_try_load_sharded_ctx(args, config, meta=meta)
-           if meta.get("sharded")
-           and args.batch_size % int(meta["num_shards"]) == 0 else None)
+    ctx = None
+    if meta.get("sharded"):
+        n_sh = int(meta["num_shards"])
+        if args.batch_size % n_sh:
+            # fall back to the unshard path (tested behavior; fine when
+            # the tables fit one host) but say so LOUDLY — at Terabyte
+            # scale the unshard materializes the full logical stack on
+            # one host and the user should fix the batch size instead
+            if lead:
+                print(f"--batch-size {args.batch_size} is not divisible "
+                      f"by the checkpoint's {n_sh} shards; falling back "
+                      "to UNSHARDED eval (materializes the full table "
+                      "stack on this host — use e.g. --batch-size "
+                      f"{(args.batch_size // n_sh + 1) * n_sh} for "
+                      "on-mesh eval)", file=sys.stderr)
+        else:
+            ctx = _try_load_sharded_ctx(args, config, meta=meta)
     if multiproc and ctx is None:
         raise SystemExit("--distributed eval needs a SHARDED checkpoint "
                          "whose shard count fits the global mesh (on-mesh "
@@ -979,6 +1032,14 @@ def cmd_eval(args) -> int:
                                  f"{args.batch_size} must be divisible "
                                  f"by the {n_dev}-device mesh")
             rows = local_batch_rows(batch_sharding(mesh), args.batch_size)
+        if args.data:
+            from dlrm_tpu.data.criteo import load as _load_ds
+            tail = len(_load_ds(args.data)) % args.batch_size
+            if tail and lead:
+                print(f"on-mesh eval drops the trailing partial batch "
+                      f"({tail} records — the batch must tile the mesh); "
+                      "pick a batch size dividing the dataset to cover "
+                      "every row", file=sys.stderr)
         data = _data_iter(args, config, steps=eval_steps, rows=rows)
         m = sharded_evaluate(params, data, config, mesh=mesh,
                              placement=placement)
@@ -986,6 +1047,7 @@ def cmd_eval(args) -> int:
             print(json.dumps(m))
         return 0
     params, config = _load_eval_params(args, config)
+    args.keep_remainder = True  # metrics must cover every dataset row
     data = _data_iter(args, config, steps=eval_steps)
     print(json.dumps(evaluate(params, data, config)))
     return 0
@@ -1232,9 +1294,9 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--ckpt-dir", default=None)
     tr.add_argument("--save-interval", type=int, default=1000)
     tr.add_argument("--max-to-keep", type=int, default=3)
-    tr.add_argument("--sharded", type=lambda s: s.lower() == "true",
-                    default=None, help="force hybrid-parallel path "
-                    "(default: auto if >1 device)")
+    tr.add_argument("--sharded", type=_strict_bool,
+                    default=None, help="force hybrid-parallel path: "
+                    "true|false (default: auto if >1 device)")
     tr.add_argument("--paranoid", type=int, default=None,
                     help="hybrid mesh debug: every N steps, verify the "
                     "tables are bit-identical across DCN replicas (XOR "
