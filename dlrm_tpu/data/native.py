@@ -58,7 +58,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.dlrm_vocab_free.restype = None
         lib.dlrm_vocab_free.argtypes = [ctypes.c_void_p]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
+        # AttributeError = a STALE .so missing a newer symbol — the
+        # fallback contract (graceful Python degradation) must hold for
+        # that case too, not just a failed dlopen
         _load_failed = True
     return _lib
 
@@ -84,7 +87,8 @@ def parse_buffer(text: bytes, num_threads: int = 0) -> np.ndarray:
     from dlrm_tpu.data.criteo import DAC_DTYPE
 
     lib = _load()
-    assert lib is not None
+    if lib is None:
+        raise RuntimeError("native library unavailable")
     if num_threads <= 0:
         num_threads = min(os.cpu_count() or 1, 16)
     capacity = text.count(b"\n") + 2
@@ -94,7 +98,10 @@ def parse_buffer(text: bytes, num_threads: int = 0) -> np.ndarray:
         num_threads)
     if n < 0:
         raise ValueError("native parser: malformed Criteo line")
-    return out[:n].copy()
+    # slice VIEW, not copy: capacity exceeds n by <= 2 rows + blank
+    # lines, while a copy would add a full extra pass over ~hundreds of
+    # MB per chunk during Terabyte-day preprocessing
+    return out[:n]
 
 
 # NOTE: there is deliberately NO native-module binarize() here — the one
@@ -115,11 +122,17 @@ def build_vocab_and_reindex(records: np.ndarray, *,
     ``records`` must be a writable, contiguous DAC record array when
     ``reindex`` is on (memmap with mode='r+' works).
     """
+    from dlrm_tpu.data.criteo import DAC_DTYPE
+
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     if not records.flags["C_CONTIGUOUS"]:
         raise ValueError("records must be C-contiguous")
+    if records.dtype != DAC_DTYPE:
+        # the C++ side reads AND writes len(records) x 160-byte DacRecords
+        # — a wrong dtype would make it stride past the allocation
+        raise ValueError(f"records must be DAC_DTYPE, got {records.dtype}")
     cpus = os.cpu_count() or 1
     build_threads = (num_threads if num_threads > 0 else min(cpus, 26))
     # the reindex pass is row-parallel and scales past 26 columns
@@ -164,8 +177,18 @@ def marshal_batch(records: np.ndarray, start: int, count: int,
                   id_shift: int = 1):
     """C++ batch marshal: records[start:start+count] -> (labels, dense,
     sparse) with 0-based ids."""
+    from dlrm_tpu.data.criteo import DAC_DTYPE
+
     lib = _load()
-    assert lib is not None
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    if records.dtype != DAC_DTYPE:
+        raise ValueError(f"records must be DAC_DTYPE, got {records.dtype}")
+    if start < 0 or count < 0 or start + count > len(records):
+        # the C++ loop trusts these bounds; out-of-range would silently
+        # marshal stray heap memory into the batch
+        raise ValueError(f"marshal_batch range [{start}, {start + count}) "
+                         f"outside records[0, {len(records)})")
     labels = np.empty(count, np.float32)
     dense = np.empty((count, 13), np.float32)
     sparse = np.empty((count, 26), np.int32)

@@ -22,9 +22,8 @@ from __future__ import annotations
 
 import collections
 import contextlib
-import functools
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import jax
 import jax.numpy as jnp
@@ -71,9 +70,23 @@ def trace(logdir: str):
 class InstrumentedTrainer:
     """Stage-by-stage train step with per-phase host timing.
 
-    Numerically identical to train.train_step (same ops, same SGD), but each
-    phase is its own jitted program synchronized before the callback fires —
-    the morally-exact port of the reference's telemetry protocol.
+    Each phase is its own jitted program synchronized before the callback
+    fires — the morally-exact port of the reference's telemetry protocol.
+    Numerics match train.train_step for f32 configs with gather-path
+    tables; two DOCUMENTED deviations keep the phases clean: (1) the
+    :lookup/:embedding_update phases use the plain full-gather/scatter
+    strategy for ALL tables (the production step routes tables under
+    ``small_table_threshold`` through the one-hot MXU path instead), and
+    (2) under ``compute_dtype=bfloat16`` the full-gather lookup skips the
+    one-hot path's table cast, so bf16 runs are phase-representative, not
+    bit-identical.  For exact production numbers use train.train_step;
+    for zero-cost production profiling use the named_scope trace().
+
+    Timing caveat: each phase is timed by ONE ``block_until_ready`` +
+    ``perf_counter`` — fine on local devices; over a network-tunneled
+    device the per-phase sync costs an RTT, so treat absolute phase ms
+    there as upper bounds (bench.py's slope method is the throughput
+    ground truth).
     """
 
     def __init__(self, config: DLRMConfig, lr: float):
@@ -85,17 +98,14 @@ class InstrumentedTrainer:
 
         self.config = config
         self.lr = lr
-        off = config.table_offsets
 
         # Stage forwards and stage VJPs are separate jitted programs (jit
         # cannot return a closure); each _back stage rematerializes its
-        # forward inside the VJP — numerically identical, and the remat is
-        # the TPU-idiomatic trade anyway.  This path is for diagnostics;
+        # forward inside the VJP.  This path is for diagnostics;
         # production steps use the single fused jit in train/train.py.
-        # honor the config's interaction impl and compute dtype so the
-        # phase breakdown profiles the SAME math as train.train_step
-        # (the lookup stage uses the plain full-gather strategy, not the
-        # mixed gather/one-hot split, to keep one clean :lookup phase)
+        # The config's interaction impl and compute dtype are honored;
+        # see the class docstring for the two documented deviations from
+        # train_step (full-gather lookup for all tables).
         cd = config.compute_dtype
         cd = None if cd == config.weight_dtype else cd
 

@@ -2,13 +2,16 @@
 
 Port of the reference's validator (/root/reference/src/validation.jl:1-146):
 load a PyTorch-exported model + inputs from HDF5, check the inference loss,
-run ONE SGD step at lr=10, then assert per-layer gradients and updated
+run ONE SGD step at lr=10, then assert the updated
 weights/biases/embeddings match the PyTorch dump:
 
-  * pytorch_grad = (original - updated) / lr  must equal our gradient,
-  * our updated parameters must equal the dump's ``update_*`` datasets,
-  * and the dump's original != updated (guards against trivial passes,
-    validation.jl:97-121).
+  * our updated parameters must equal the dump's ``update_*`` datasets —
+    since both sides start from the SAME loaded originals and apply
+    p' = p - lr*g with the same lr, this is exactly a per-layer gradient
+    parity check (g_ours == (original - update_*) / lr) without forming
+    the quotient,
+  * and the dump's original != updated, for weights AND biases (guards
+    against trivial passes, validation.jl:97-121).
 """
 
 from __future__ import annotations
@@ -90,7 +93,11 @@ def _validate(path: str, learning_rate: float, atol: float, rtol: float
             upd_b = ref[f"{hprefix}_{lid}.bias"]
             if np.allclose(upd_w, ours_old[i]["w"]):
                 raise AssertionError(
-                    f"{key} layer {i}: PyTorch original == updated "
+                    f"{key} layer {i}: PyTorch original weight == updated "
+                    "(trivial pass guard, validation.jl:97)")
+            if np.allclose(upd_b, ours_old[i]["b"]):
+                raise AssertionError(
+                    f"{key} layer {i}: PyTorch original bias == updated "
                     "(trivial pass guard, validation.jl:97)")
             _check(f"{key}.{i}.weight", ours_new[i]["w"], upd_w, atol, rtol,
                    report)
