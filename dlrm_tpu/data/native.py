@@ -184,6 +184,10 @@ def marshal_batch(records: np.ndarray, start: int, count: int,
         raise RuntimeError("native library unavailable")
     if records.dtype != DAC_DTYPE:
         raise ValueError(f"records must be DAC_DTYPE, got {records.dtype}")
+    if not records.flags["C_CONTIGUOUS"]:
+        # a strided view's base pointer would make the C++ 160-byte
+        # stride walk the wrong rows
+        raise ValueError("records must be C-contiguous")
     if start < 0 or count < 0 or start + count > len(records):
         # the C++ loop trusts these bounds; out-of-range would silently
         # marshal stray heap memory into the batch

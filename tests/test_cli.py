@@ -73,7 +73,9 @@ def test_train_eval_cli_on_real_pipeline(tmp_path, capsys):
     assert res["steps"] == 120 // 16
     assert res["final_loss"] is not None and np.isfinite(res["final_loss"])
     assert 0.0 <= res["eval"]["accuracy"] <= 1.0
-    assert res["eval"]["examples"] == 112
+    # single-chip eval keeps the trailing partial batch: all 120 rows
+    # (training itself still consumes the 7 full batches)
+    assert res["eval"]["examples"] == 120
 
     # resume: another epoch starting from the saved step
     rc, res2 = _run(capsys, ["train", *train_common, "--data", out,

@@ -200,6 +200,31 @@ def test_native_parser_rejects_malformed():
         native.parse_buffer(b"1\t2\t3\n")  # too few fields
 
 
+def test_native_boundary_guards():
+    """The ctypes layer must refuse buffers the C++ side would stride
+    past: wrong dtype (it reads/writes n x 160-byte DacRecords),
+    strided views (wrong base-pointer walk), and out-of-range marshal
+    windows (it trusts [start, start+count))."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    data = np.ascontiguousarray(
+        criteo.parse_lines(synthetic.criteo_text_lines(20, seed=1)))
+    wrong = np.zeros(20, np.float32)
+    with pytest.raises(ValueError, match="DAC_DTYPE"):
+        native.build_vocab_and_reindex(wrong)
+    with pytest.raises(ValueError, match="DAC_DTYPE"):
+        native.marshal_batch(wrong, 0, 4)
+    with pytest.raises(ValueError, match="contiguous"):
+        native.marshal_batch(data[::2], 0, 4)
+    # (4, -1): start+count is in range, only the count<0 clause rejects
+    for start, count in ((-1, 4), (18, 4), (0, 21), (4, -1)):
+        with pytest.raises(ValueError, match="range"):
+            native.marshal_batch(data, start, count)
+    # in-range still works
+    got = native.marshal_batch(data, 16, 4)
+    assert got["labels"].shape == (4,)
+
+
 def test_loader_shuffle_covers_all_batches():
     """Shuffled loader yields every batch window exactly once per epoch, in
     a different (seeded, deterministic) order each epoch."""
