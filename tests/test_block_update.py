@@ -188,8 +188,8 @@ def test_sharded_block_disjoint_ids_equals_sequential(row_sharded):
     shardings = param_shardings(mesh, sh_params)
     sh_params = jax.device_put(sh_params, shardings)
     bs = batch_sharding(mesh)
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    bs2 = NamedSharding(mesh, P(None, "d"))
+    from dlrm_tpu.parallel.mesh import block_batch_sharding
+    bs2 = block_batch_sharding(mesh)
 
     step = make_sharded_train_step(config, 0.1, mesh, p)
     p_ref = jax.device_put(jax.tree.map(jnp.copy, sh_params), shardings)
@@ -293,6 +293,12 @@ def test_adagrad_block_scan_all_small_tables():
     p_blk = jax.tree.map(jnp.copy, params)
     o_blk = init_opt_state(p_blk, config=config, optimizer="adagrad",
                            lr=0.1)
+    # STRUCTURAL check: the lowered program must actually contain a scan
+    # over micro-steps (numeric parity alone cannot distinguish scan
+    # from a silent fallback to the unrolled trace)
+    hlo = blk.lower(p_blk, o_blk, dense, sparse, labels).as_text()
+    assert "while(" in hlo or "while " in hlo, \
+        "unroll=False lowered without a scan/while loop"
     (p_blk, o_blk), losses = blk(p_blk, o_blk, dense, sparse, labels)
     np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-5)
     _leaves_allclose(p_ref, p_blk, rtol=1e-5, atol=1e-6)

@@ -115,8 +115,10 @@ def test_tiered_train_step_parity(n_hot):
         atol=1e-5)
     for k in ("bottom", "top"):
         for ours, want in zip(new_tiered[k], ref_params[k]):
-            np.testing.assert_allclose(np.asarray(ours["w"]),
-                                       np.asarray(want["w"]), atol=1e-5)
+            for _k in ("w", "b"):
+                np.testing.assert_allclose(np.asarray(ours[_k]),
+                                           np.asarray(want[_k]),
+                                           atol=1e-5)
 
 
 def test_all_host_plan_trains():
@@ -124,6 +126,7 @@ def test_all_host_plan_trains():
     config, params, batch = _setup()
     plan = ht.plan_tiers(config, 0)
     tiered = ht.init_tiered_params(params, plan, config)
+    host0 = np.asarray(tiered["emb_host"]).copy()
     step = ht.make_tiered_train_step(config, 0.1, plan)
     losses = []
     for i in range(3):
@@ -132,6 +135,10 @@ def test_all_host_plan_trains():
                             jnp.asarray(batch["labels"]))
         losses.append(float(loss))
     assert all(np.isfinite(l) for l in losses)
+    # "learns" must mean the host tier actually moved — a step that
+    # silently dropped the host scatter would still print finite losses
+    assert not np.array_equal(np.asarray(tiered["emb_host"]), host0)
+    assert losses[-1] < losses[0]
 
 
 @pytest.mark.parametrize("n_hot", [1, 2])
@@ -196,9 +203,10 @@ def test_tiered_adagrad_matches_dense_oracle(n_hot):
                                atol=1e-5, rtol=1e-5)
     for side in ("bottom", "top"):
         for a, b in zip(state[0][side], dense_ref[side]):
-            np.testing.assert_allclose(np.asarray(a["w"]),
-                                       np.asarray(b["w"]),
-                                       atol=1e-5, rtol=1e-5)
+            for _k in ("w", "b"):
+                np.testing.assert_allclose(np.asarray(a[_k]),
+                                           np.asarray(b[_k]),
+                                           atol=1e-5, rtol=1e-5)
 
 
 @pytest.mark.parametrize("n_hot", [1, 2])
@@ -277,9 +285,10 @@ def test_tiered_rowwise_adagrad_matches_dense_oracle(n_hot):
             np.asarray(acc)[go:go + n], atol=1e-6, rtol=1e-5)
     for side in ("bottom", "top"):
         for a, b in zip(state[0][side], dense_ref[side]):
-            np.testing.assert_allclose(np.asarray(a["w"]),
-                                       np.asarray(b["w"]),
-                                       atol=1e-5, rtol=1e-5)
+            for _k in ("w", "b"):
+                np.testing.assert_allclose(np.asarray(a[_k]),
+                                           np.asarray(b[_k]),
+                                           atol=1e-5, rtol=1e-5)
 
 
 @pytest.mark.parametrize("n_hot", [1, 2])
@@ -339,9 +348,10 @@ def test_host_sharded_train_step_matches_single_device(n_hot):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
     for side in ("bottom", "top"):
         for a, b in zip(new_params[side], ref_params[side]):
-            np.testing.assert_allclose(np.asarray(a["w"]),
-                                       np.asarray(b["w"]),
-                                       atol=1e-5, rtol=1e-5)
+            for _k in ("w", "b"):
+                np.testing.assert_allclose(np.asarray(a[_k]),
+                                           np.asarray(b[_k]),
+                                           atol=1e-5, rtol=1e-5)
 
 
 def test_pipelined_host_prefetch_matches_inline():

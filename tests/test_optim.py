@@ -61,8 +61,10 @@ def test_sgd_opt_step_matches_fast_path():
                                _logical(want_params["emb"], c), atol=1e-6)
     for side in ("bottom", "top"):
         for a, b in zip(got_params[side], want_params[side]):
-            np.testing.assert_allclose(np.asarray(a["w"]),
-                                       np.asarray(b["w"]), atol=1e-6)
+            for _k in ("w", "b"):
+                np.testing.assert_allclose(np.asarray(a[_k]),
+                                           np.asarray(b[_k]),
+                                           atol=1e-6)
 
 
 @pytest.mark.parametrize("n_hot", [1, 2])
@@ -104,9 +106,10 @@ def test_adagrad_matches_dense_oracle(n_hot):
                                atol=5e-5, rtol=5e-5)
     for side in ("bottom", "top"):
         for a, b in zip(got_params[side], oracle_params[side]):
-            np.testing.assert_allclose(np.asarray(a["w"]),
-                                       np.asarray(b["w"]),
-                                       atol=5e-5, rtol=5e-5)
+            for _k in ("w", "b"):
+                np.testing.assert_allclose(np.asarray(a[_k]),
+                                           np.asarray(b[_k]),
+                                           atol=5e-5, rtol=5e-5)
 
 
 def test_adagrad_trains():
@@ -229,9 +232,10 @@ def test_sharded_adagrad_matches_single_device(n_hot, row_sharded):
                                atol=5e-4, rtol=5e-4)
     for side in ("bottom", "top"):
         for a, b in zip(state[0][side], ref_state[0][side]):
-            np.testing.assert_allclose(np.asarray(a["w"]),
-                                       np.asarray(b["w"]),
-                                       atol=5e-4, rtol=5e-4)
+            for _k in ("w", "b"):
+                np.testing.assert_allclose(np.asarray(a[_k]),
+                                           np.asarray(b[_k]),
+                                           atol=5e-4, rtol=5e-4)
 
 
 @pytest.mark.parametrize("n_hot", [1, 2])
@@ -325,9 +329,10 @@ def test_sharded_adagrad_col_sharded_matches_dense_oracle(n_hot):
                                    atol=1e-4, rtol=1e-4, err_msg=f"cs t={t}")
     for side in ("bottom", "top"):
         for a, b in zip(state[0][side], ref[side]):
-            np.testing.assert_allclose(np.asarray(a["w"]),
-                                       np.asarray(b["w"]),
-                                       atol=1e-4, rtol=1e-4)
+            for _k in ("w", "b"):
+                np.testing.assert_allclose(np.asarray(a[_k]),
+                                           np.asarray(b[_k]),
+                                           atol=1e-4, rtol=1e-4)
 
 
 @pytest.mark.parametrize("n_hot", [1, 2])
@@ -417,9 +422,10 @@ def test_sharded_adagrad_host_tables_matches_dense_oracle(n_hot):
                                atol=1e-4, rtol=1e-4)
     for side in ("bottom", "top"):
         for a, b in zip(state[0][side], dense_ref[side]):
-            np.testing.assert_allclose(np.asarray(a["w"]),
-                                       np.asarray(b["w"]),
-                                       atol=1e-4, rtol=1e-4)
+            for _k in ("w", "b"):
+                np.testing.assert_allclose(np.asarray(a[_k]),
+                                           np.asarray(b[_k]),
+                                           atol=1e-4, rtol=1e-4)
 
 
 @pytest.mark.parametrize("n_hot", [1, 2])
@@ -476,9 +482,10 @@ def test_rowwise_adagrad_matches_dense_oracle(n_hot):
                                atol=5e-5, rtol=5e-5)
     for side in ("bottom", "top"):
         for a, b in zip(got_params[side], oracle_dense[side]):
-            np.testing.assert_allclose(np.asarray(a["w"]),
-                                       np.asarray(b["w"]),
-                                       atol=5e-5, rtol=5e-5)
+            for _k in ("w", "b"):
+                np.testing.assert_allclose(np.asarray(a[_k]),
+                                           np.asarray(b[_k]),
+                                           atol=5e-5, rtol=5e-5)
 
 
 @pytest.mark.parametrize("impl,unroll", [("dense_g", True),
@@ -553,6 +560,8 @@ def test_sharded_rowwise_adagrad_matches_single_device(n_hot, row_sharded):
     mesh = make_mesh(8)
     p = plan_placement(c.table_sizes, 8, pack=c.pack,
                        max_rows_per_shard=100 if row_sharded else None)
+    if row_sharded:  # the parametrization must really exercise rs
+        assert p.row_sharded, p
     sh_params = {
         "bottom": jax.tree.map(jnp.copy, params["bottom"]),
         "emb": pemb.shard_tables(params["emb"], p, c),
@@ -577,9 +586,10 @@ def test_sharded_rowwise_adagrad_matches_single_device(n_hot, row_sharded):
                                atol=5e-4, rtol=5e-4)
     for side in ("bottom", "top"):
         for a, b in zip(state[0][side], ref_state[0][side]):
-            np.testing.assert_allclose(np.asarray(a["w"]),
-                                       np.asarray(b["w"]),
-                                       atol=5e-4, rtol=5e-4)
+            for _k in ("w", "b"):
+                np.testing.assert_allclose(np.asarray(a[_k]),
+                                           np.asarray(b[_k]),
+                                           atol=5e-4, rtol=5e-4)
 
 
 @pytest.mark.parametrize("n_hot", [1, 2])
@@ -676,9 +686,10 @@ def test_sharded_rowwise_col_sharded_matches_dense_oracle(n_hot):
             np.asarray(acc[off:off + rows]), atol=1e-5, rtol=1e-5)
     for side in ("bottom", "top"):
         for a, b in zip(state[0][side], ref[side]):
-            np.testing.assert_allclose(np.asarray(a["w"]),
-                                       np.asarray(b["w"]),
-                                       atol=1e-4, rtol=1e-4)
+            for _k in ("w", "b"):
+                np.testing.assert_allclose(np.asarray(a[_k]),
+                                           np.asarray(b[_k]),
+                                           atol=1e-4, rtol=1e-4)
 
 
 @pytest.mark.parametrize("n_hot", [1, 2])
@@ -768,9 +779,10 @@ def test_sharded_rowwise_host_tables_matches_dense_oracle(n_hot):
                                atol=1e-4, rtol=1e-4)
     for side in ("bottom", "top"):
         for a, b in zip(state[0][side], dense_ref[side]):
-            np.testing.assert_allclose(np.asarray(a["w"]),
-                                       np.asarray(b["w"]),
-                                       atol=1e-4, rtol=1e-4)
+            for _k in ("w", "b"):
+                np.testing.assert_allclose(np.asarray(a[_k]),
+                                           np.asarray(b[_k]),
+                                           atol=1e-4, rtol=1e-4)
 
 
 @pytest.mark.parametrize("scheduled,unroll", [(False, True),

@@ -31,9 +31,15 @@ def test_geometry():
     c = _config()
     assert c.pack == 8 and c.is_packed
     assert c.packed_table_rows == (5, 1, 8, 17, 5)
-    # 4096-byte budget = 8 physical rows of 512 B: bins (FFD by size):
-    # 17 -> own chunk; 8 -> chunk; 5,1 -> with 8? 8+5=13 > 8 rows...
-    assert c.num_chunks >= 2
+    # 4096-byte budget = 8 physical rows of 512 B; FFD by packed rows
+    # desc (17, 8, 5, 5, 1): 17 -> own oversize chunk 0; 8 -> chunk 1
+    # (exactly full); 5 -> chunk 2; second 5 doesn't fit anywhere ->
+    # chunk 3; 1 first-fits chunk 2 (5+1=6 <= 8).  Assert the exact
+    # deterministic binning so an FFD regression (e.g. one-table-per-
+    # chunk, which would still satisfy a weak num_chunks bound) fails.
+    assert c.table_chunk == (2, 2, 1, 0, 3)
+    assert c.num_chunks == 4
+    assert c.chunk_rows == (17, 8, 6, 5)
     # every chunk except oversize tables fits the budget
     row_bytes = c.row_width * 4
     for ci, rows in enumerate(c.chunk_rows):

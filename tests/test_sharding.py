@@ -12,7 +12,6 @@ import jax.numpy as jnp
 import pytest
 
 import dlrm_tpu
-from dlrm_tpu.models import dlrm as model_lib
 from dlrm_tpu.ops import embedding as emb_ops
 from dlrm_tpu.parallel import embedding as pemb
 from dlrm_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings
@@ -288,9 +287,6 @@ def test_terabyte_scale_placement_plans():
     placement handles 292.8M-row tables (criteo.jl:379-406) without
     materializing anything: row-shard everything over max_rows_per_shard,
     host-place the biggest, per-shard row counts cover every logical row."""
-    import dlrm_tpu
-    from dlrm_tpu.parallel.placement import plan_placement
-
     config = dlrm_tpu.terabyte_config(feature_size=128)
     assert max(config.table_sizes) == 292_775_614
     n = 64  # a pod-slice worth of chips
@@ -311,9 +307,18 @@ def test_terabyte_scale_placement_plans():
     # host stack bounded too (host RAM budget per chip)
     host_bytes = p.host_local_rows * w * 4
     assert host_bytes < 16 << 30, f"{host_bytes/2**30:.1f} GiB host"
-    # unsharded slot tables all fit their assigned shard
+    # unsharded slot tables actually FIT: per-table packed rows within
+    # the planner's per-shard cap, and each shard's slot occupancy within
+    # the shared local_rows extent (a real capacity check, not just
+    # "some shard was assigned")
+    pack = p.pack
+    occupancy = [0] * n
     for t in p.slot_table_list:
-        assert p.table_shard[t] >= 0
+        prows = -(-config.table_sizes[t] // pack)
+        assert prows * pack <= 8_000_000  # the planner's cap above
+        occupancy[p.table_shard[t]] += prows
+    for used in occupancy:
+        assert used <= p.local_rows
 
 
 @pytest.mark.parametrize("n_hot", [1, 2])
@@ -390,4 +395,8 @@ def test_all_placement_kinds_in_one_step(n_hot, rng):
     # AUC is bucketed (StreamingAUC): 1-ulp prediction differences can
     # cross a bucket edge, moving AUC by ~1/(pos*neg) — compare loosely
     np.testing.assert_allclose(m_sh["auc"], m_ref["auc"], atol=2e-2)
-    assert m_sh["accuracy"] == m_ref["accuracy"]
+    # accuracy thresholds at 0.5: a logit within f32 noise of 0 can flip
+    # one prediction under the sharded forward's different reduction
+    # order — allow one flipped example
+    n_eval = int(m_ref["examples"])
+    assert abs(m_sh["accuracy"] - m_ref["accuracy"]) <= 1.0 / n_eval + 1e-9
