@@ -24,6 +24,7 @@ WARMUP = 5
 ITERS = 20
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
+METRIC = f"dlrm_kaggle_fs{FEATURE_SIZE}_train_b{BATCH}"
 
 
 def log(*a):
@@ -48,7 +49,7 @@ def _init_devices(timeout_s: float = 300.0):
     if "devices" not in box:
         log(f"FATAL: jax backend init did not complete in {timeout_s:.0f}s "
             "— TPU transport down?")
-        print(json.dumps({"metric": "dlrm_kaggle_fs16_train_b32768",
+        print(json.dumps({"metric": METRIC,
                           "value": 0, "unit": "examples/s/chip",
                           "vs_baseline": 0,
                           "error": "device init timeout"}))
@@ -117,7 +118,7 @@ def main():
         baseline = throughput
         try:
             with open(BASELINE_PATH, "w") as f:
-                json.dump({"metric": "dlrm_kaggle_train_examples_per_s",
+                json.dump({"metric": METRIC,
                            "value": throughput,
                            "device": str(dev),
                            "batch": BATCH}, f)
@@ -225,20 +226,26 @@ def main():
         axis=1).astype(np.int32))
 
     @jax.jit
-    def lookup_probe(emb, ids_base, c):
-        ids = ids_base + (c.astype(jnp.int32) & 1)
+    def lookup_probe(emb, ids_base, c, k):
+        # k is a monotone device counter: every call's argument tuple is
+        # GUARANTEED distinct (a result-derived carry alone can enter a
+        # fixed point / 2-cycle once the result value repeats, re-enabling
+        # the identical-args memoization this probe exists to defeat);
+        # c still folds the previous RESULT in so the chain is also
+        # data-dependent, not just counter-dependent
+        ids = ids_base + ((c.astype(jnp.int32) ^ k) & 1)
         pooled = mixed_lookup(emb, ids, config)
-        return jnp.sum(pooled.astype(jnp.float32))
+        return jnp.sum(pooled.astype(jnp.float32)), k + 1
 
-    c = jnp.float32(0)
+    c, k = jnp.float32(0), jnp.int32(0)
     for _ in range(3):
-        c = lookup_probe(emb, ids_base, c)
+        c, k = lookup_probe(emb, ids_base, c, k)
     _ = float(c)
     totals = []
     for iters in (5, 20):
         t0 = time.perf_counter()
         for _ in range(iters):
-            c = lookup_probe(emb, ids_base, c)
+            c, k = lookup_probe(emb, ids_base, c, k)
         _ = float(c)
         totals.append(time.perf_counter() - t0)
     lk_t = (totals[1] - totals[0]) / 15
@@ -285,19 +292,22 @@ def main():
         axis=1).astype(np.int32))
 
     @jax.jit
-    def eval_probe(params, d, s_, c):
-        preds = forward(params, d, s_ + (c.astype(jnp.int32) & 1), config)
-        return jnp.sum(preds)
+    def eval_probe(params, d, s_, c, k):
+        # monotone counter k guarantees distinct args every call (see
+        # lookup_probe)
+        preds = forward(params, d,
+                        s_ + ((c.astype(jnp.int32) ^ k) & 1), config)
+        return jnp.sum(preds), k + 1
 
-    c = jnp.float32(0)
+    c, k = jnp.float32(0), jnp.int32(0)
     for _ in range(3):
-        c = eval_probe(params, de, se, c)
+        c, k = eval_probe(params, de, se, c, k)
     _ = float(c)
     totals = []
     for iters in (4, 12):
         t0 = time.perf_counter()
         for _ in range(iters):
-            c = eval_probe(params, de, se, c)
+            c, k = eval_probe(params, de, se, c, k)
         _ = float(c)
         totals.append(time.perf_counter() - t0)
     ev_t = (totals[1] - totals[0]) / 8
@@ -305,7 +315,7 @@ def main():
     log(f"eval b{BE}: {ev_t*1e3:.2f} ms -> {ev_tput:,.0f} examples/s")
 
     print(json.dumps({
-        "metric": f"dlrm_kaggle_fs{FEATURE_SIZE}_train_b{BATCH}",
+        "metric": METRIC,
         "value": round(throughput, 1),
         "unit": "examples/s/chip",
         "vs_baseline": round(throughput / baseline, 3),

@@ -73,7 +73,11 @@ def device_prefetch(source: Iterable, *, size: int = 2,
     if multiproc and (sharding is None or global_batch is None):
         raise ValueError("multi-process feeding needs sharding + "
                          "global_batch (see run.py --distributed wiring)")
-    q: "queue.Queue" = queue.Queue(maxsize=size)
+    q: "queue.Queue" = queue.Queue()
+    # the transfer slot is reserved BEFORE device_put, so at most ``size``
+    # batches have transfers issued / HBM pinned at any time (a bounded
+    # queue alone would let a size+1-th put() run before q.put blocks)
+    slots = threading.Semaphore(size)
 
     class _End:  # sentinel (carries the producer's exception, if any)
         def __init__(self, exc):
@@ -90,6 +94,7 @@ def device_prefetch(source: Iterable, *, size: int = 2,
     def producer():
         try:
             for batch in source:
+                slots.acquire()
                 q.put(put(batch))
         except BaseException as e:  # noqa: BLE001 — re-raised consumer-side
             q.put(_End(e))
@@ -106,4 +111,5 @@ def device_prefetch(source: Iterable, *, size: int = 2,
             if item.exc is not None:
                 raise item.exc
             return
+        slots.release()  # consumer took ownership; free a transfer slot
         yield item

@@ -28,10 +28,16 @@ def main() -> int:
     a = ap.parse_args()
 
     # the harness env pins JAX_PLATFORMS=axon and an 8-device XLA flag;
-    # each worker gets its own slice of 8 total virtual devices
+    # each worker gets its own slice of 8 total virtual devices.  Replace
+    # ONLY the device-count flag (conftest's pattern) — clobbering
+    # XLA_FLAGS wholesale would drop any other flags the session carries
+    # and run the gang under different XLA config than the in-process
+    # suite
     os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
-                               f"{8 // a.nproc}")
+    kept = [f for f in os.environ.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f]
+    os.environ["XLA_FLAGS"] = " ".join(
+        kept + [f"--xla_force_host_platform_device_count={8 // a.nproc}"])
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
 
