@@ -92,43 +92,60 @@ def _bwd_kernel(g_ref, t_ref, dt_ref, dz_scratch, *, f: int, d: int,
 
 
 def _pick_tile(b: int, cap: int = 256) -> int:
+    # Callers pad b to a multiple of 8 first, so this always terminates
+    # with a bounded tile; a whole-batch fallback would be a VMEM OOM
+    # grenade for a large batch with no small divisor.
     for tb in (256, 128, 64, 32, 16, 8):
         if tb <= cap and b % tb == 0:
             return tb
-    return b
+    raise ValueError(f"batch {b} must be a multiple of 8 (pad first)")
+
+
+def _pad_batch(x: jax.Array, b: int, bp: int) -> jax.Array:
+    if bp == b:
+        return x
+    return jnp.pad(x, ((0, bp - b),) + ((0, 0),) * (x.ndim - 1))
 
 
 def _fwd_call(t: jax.Array, pad_to: int, interpret: bool) -> jax.Array:
     b, f, d = t.shape
     p = (f * f - f) // 2
     width = _round_up(d + p, pad_to)
-    tb = _pick_tile(b)
+    # Pad ragged batches to a multiple of 8 (zero rows produce zero
+    # outputs and are sliced away) so the tile never exceeds the cap.
+    bp = _round_up(b, 8)
+    t = _pad_batch(t, b, bp)
+    tb = _pick_tile(bp)
     kern = functools.partial(_fwd_kernel, f=f, d=d, p=p, width=width)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        grid=(b // tb,),
+        grid=(bp // tb,),
         in_specs=[
             pl.BlockSpec((tb, f, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tb, width), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, width), t.dtype),
+        out_shape=jax.ShapeDtypeStruct((bp, width), t.dtype),
         interpret=interpret,
     )(t)
+    return out[:b] if bp != b else out
 
 
 def _bwd_call(g: jax.Array, t: jax.Array, interpret: bool) -> jax.Array:
     b, f, d = t.shape
     p = (f * f - f) // 2
     width = g.shape[1]
+    bp = _round_up(b, 8)
+    g = _pad_batch(g, b, bp)
+    t = _pad_batch(t, b, bp)
     # Smaller tile than forward: the batched (F,F)@(F,D) matmul pads F to
     # full 128-lane tiles per batch element, so VMEM grows as TB*128*128.
-    tb = _pick_tile(b, cap=64)
+    tb = _pick_tile(bp, cap=64)
     kern = functools.partial(_bwd_kernel, f=f, d=d, p=p)
-    return pl.pallas_call(
+    dt = pl.pallas_call(
         kern,
-        grid=(b // tb,),
+        grid=(bp // tb,),
         in_specs=[
             pl.BlockSpec((tb, width), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -137,10 +154,11 @@ def _bwd_call(g: jax.Array, t: jax.Array, interpret: bool) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((tb, f, d), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, f, d), t.dtype),
+        out_shape=jax.ShapeDtypeStruct((bp, f, d), t.dtype),
         scratch_shapes=[pltpu.VMEM((tb, f, f), jnp.float32)],
         interpret=interpret,
     )(g, t)
+    return dt[:b] if bp != b else dt
 
 
 def _use_interpret() -> bool:

@@ -738,12 +738,16 @@ def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
 def sharded_train_step_opt(params: dict, opt_state: dict, dense, sparse,
                            labels, *, config: DLRMConfig, optimizer: str,
                            lr, mesh, placement, axis: str = "d"):
-    """Hybrid-parallel step with a pluggable optimizer (sgd | adagrad).
+    """Hybrid-parallel step with a pluggable optimizer (sgd | adagrad |
+    rowwise_adagrad).
 
     For adagrad the accumulator lives in the same (N, local_rows, W)
     sharded layout as the tables and each shard applies an exact
-    dedup-then-apply update to the rows it owns (column sharding is
-    SGD-only for now).
+    dedup-then-apply update to the rows it owns.  Column-sharded tables
+    run adagrad on per-lane-slice accumulators (``_cs_adagrad_local``)
+    and rowwise via a psum'd full-D row mean (``_cs_rowwise_local``);
+    see parallel/embedding.py and tests/test_optim.py per-placement
+    oracles.
     """
     from dlrm_tpu.parallel import embedding as pemb
     from dlrm_tpu.train import optim

@@ -118,3 +118,32 @@ def test_pallas_odd_batches(batch, rng):
     got = fused_dot_interaction(jnp.asarray(x), jnp.asarray(feats), 1)
     np.testing.assert_allclose(np.asarray(got), _oracle(x, feats, 1),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("batch", [7, 13, 107])  # not multiples of 8
+def test_pallas_ragged_batches(batch, rng):
+    """Batches not divisible by 8 are zero-padded to a tiled grid and
+    sliced back — never a whole-batch VMEM tile (fwd AND bwd)."""
+    x = rng.normal(size=(batch, 8)).astype(np.float32)
+    feats = rng.normal(size=(batch, 3, 8)).astype(np.float32)
+    got = fused_dot_interaction(jnp.asarray(x), jnp.asarray(feats), 1)
+    np.testing.assert_allclose(np.asarray(got), _oracle(x, feats, 1),
+                               atol=1e-5, rtol=1e-5)
+
+    def loss(x, feats):
+        return jnp.sum(jnp.sin(
+            fused_dot_interaction(x, feats, 1).astype(jnp.float32)))
+
+    def oracle_loss(x, feats):
+        from dlrm_tpu.ops.interaction import dot_interaction
+        return jnp.sum(jnp.sin(
+            dot_interaction(x, feats, 1).astype(jnp.float32)))
+
+    gx, gf = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x),
+                                            jnp.asarray(feats))
+    ox, of = jax.grad(oracle_loss, argnums=(0, 1))(jnp.asarray(x),
+                                                   jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(ox),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(of),
+                               atol=1e-4, rtol=1e-4)
