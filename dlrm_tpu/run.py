@@ -651,11 +651,11 @@ def cmd_train(args) -> int:
                                batch_size=args.batch_size,
                                synthetic=getattr(args, "synthetic",
                                                  "uniform"),
-                               # single-chip eval covers the dataset's
-                               # trailing partial batch; the mesh paths
-                               # need full batches (they tile the mesh)
-                               keep_remainder=not sharded
-                               and feed_rows is None),
+                               # eval covers the dataset's trailing
+                               # partial batch (sharded_evaluate pads it
+                               # to a mesh multiple); multi-host feeding
+                               # needs even stripes -> full batches
+                               keep_remainder=feed_rows is None),
             config, steps=eval_steps, seed=10_000, rows=feed_rows)
         m = run_eval(eval_iter)
         m["step"] = step
@@ -808,8 +808,7 @@ def cmd_train(args) -> int:
                                batch_size=args.batch_size,
                                synthetic=getattr(args, "synthetic",
                                                  "uniform"),
-                               keep_remainder=not sharded
-                               and feed_rows is None),
+                               keep_remainder=feed_rows is None),
             config, steps=final_eval_steps, seed=10_000, rows=feed_rows)
         result["eval"] = run_eval(eval_iter)
     if lead:
@@ -1032,14 +1031,10 @@ def cmd_eval(args) -> int:
                                  f"{args.batch_size} must be divisible "
                                  f"by the {n_dev}-device mesh")
             rows = local_batch_rows(batch_sharding(mesh), args.batch_size)
-        if args.data:
-            from dlrm_tpu.data.criteo import load as _load_ds
-            tail = len(_load_ds(args.data)) % args.batch_size
-            if tail and lead:
-                print(f"on-mesh eval drops the trailing partial batch "
-                      f"({tail} records — the batch must tile the mesh); "
-                      "pick a batch size dividing the dataset to cover "
-                      "every row", file=sys.stderr)
+        # single-process on-mesh eval pads the ragged tail batch to a
+        # mesh multiple inside sharded_evaluate, so it covers EVERY row;
+        # multi-host feeding needs even per-process stripes (full batches)
+        args.keep_remainder = not multiproc
         data = _data_iter(args, config, steps=eval_steps, rows=rows)
         m = sharded_evaluate(params, data, config, mesh=mesh,
                              placement=placement)

@@ -221,7 +221,14 @@ def sharded_evaluate(params: dict, data: Iterable, config, *, mesh,
     vector comes to host per batch, so the tables are never gathered (they
     may not fit one host for Terabyte-scale configs).  Pass ``fwd`` from
     :func:`make_sharded_eval_forward` to reuse the compiled program across
-    periodic evals."""
+    periodic evals.
+
+    Ragged trailing batches (dataset size not a multiple of the batch
+    size) are padded to a mesh multiple by repeating the last row and the
+    padded predictions are trimmed before accumulation, so every dataset
+    row counts exactly once — matching the reference's ``test()`` which
+    covers every row (utils.jl:31-46).  Multi-host feeding requires even
+    per-process stripes and keeps full batches (run.py enforces it)."""
     from dlrm_tpu.parallel.mesh import batch_sharding
 
     if fwd is None:
@@ -229,10 +236,17 @@ def sharded_evaluate(params: dict, data: Iterable, config, *, mesh,
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     bs = batch_sharding(mesh, axis)
     multiproc = jax.process_count() > 1
+    n_dev = mesh.devices.size
 
     def predict_batch(batch):
         dense = np.asarray(batch["dense"])
         sparse = np.asarray(batch["sparse"])
+        b = dense.shape[0]
+        pad = 0 if multiproc else (-b) % n_dev
+        if pad:  # repeat the last row; predictions trimmed below
+            dense = np.concatenate([dense, np.repeat(dense[-1:], pad, 0)])
+            sparse = np.concatenate([sparse,
+                                     np.repeat(sparse[-1:], pad, 0)])
         if multiproc:
             # multi-host: ``batch`` holds this process's LOCAL rows; build
             # the global batch from every process's slice, run the mesh
@@ -261,7 +275,7 @@ def sharded_evaluate(params: dict, data: Iterable, config, *, mesh,
                     "output sharding no longer stripes the batch per "
                     "process")
             return local
-        return preds
+        return np.asarray(preds)[:b] if pad else preds
 
     return _accumulate(data, predict_batch, record=record,
                        auc_buckets=auc_buckets, mp_reduce=multiproc)

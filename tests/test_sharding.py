@@ -400,3 +400,41 @@ def test_all_placement_kinds_in_one_step(n_hot, rng):
     # order — allow one flipped example
     n_eval = int(m_ref["examples"])
     assert abs(m_sh["accuracy"] - m_ref["accuracy"]) <= 1.0 / n_eval + 1e-9
+
+
+def test_sharded_eval_ragged_tail_covers_every_row(rng):
+    """On-mesh eval over a dataset that does NOT divide the batch size
+    pads the trailing batch to a mesh multiple, trims the padded
+    predictions, and reports metrics over EVERY row — exactly equal to
+    single-chip eval (reference test() covers every row, utils.jl:31-46)."""
+    from dlrm_tpu.train.metrics import evaluate, sharded_evaluate
+
+    config = dlrm_tpu.tiny_config(num_tables=5, rows=64, feature_size=8)
+    params = dlrm_tpu.init_params(jax.random.key(3), config)
+    mesh = make_mesh(8)
+    p = plan_placement(config.table_sizes, 8, pack=config.pack)
+    sh_params = {
+        "bottom": jax.tree.map(jnp.copy, params["bottom"]),
+        "emb": pemb.shard_tables(params["emb"], p, config),
+        "top": jax.tree.map(jnp.copy, params["top"]),
+    }
+    sh_params = jax.device_put(sh_params, param_shardings(mesh, sh_params))
+
+    # 83 rows at B=32 -> batches of 32, 32, and a ragged 19 (19 % 8 != 0)
+    n, b = 83, 32
+    dense = rng.normal(size=(n, config.num_dense)).astype(np.float32)
+    sparse = np.stack(
+        [rng.integers(0, s, size=n) for s in config.table_sizes],
+        axis=1).astype(np.int32)
+    labels = (rng.random(n) > 0.5).astype(np.float32)
+    batches = [{"dense": dense[i:i + b], "sparse": sparse[i:i + b],
+                "labels": labels[i:i + b]} for i in range(0, n, b)]
+    assert batches[-1]["dense"].shape[0] == 19
+
+    m_sh = sharded_evaluate(sh_params, batches, config, mesh=mesh,
+                            placement=p)
+    m_ref = evaluate(params, batches, config)
+    assert m_sh["examples"] == n == m_ref["examples"]
+    np.testing.assert_allclose(m_sh["loss"], m_ref["loss"], rtol=1e-5)
+    np.testing.assert_allclose(m_sh["auc"], m_ref["auc"], atol=2e-2)
+    assert abs(m_sh["accuracy"] - m_ref["accuracy"]) <= 1.0 / n + 1e-9
