@@ -283,6 +283,23 @@ class DLRMConfig:
         return ((self.total_rows, self.feature_size),)
 
 
+def auto_chunk_budget_bytes(batch_size: int) -> int:
+    """Batch-size-keyed chunk budget.
+
+    The 16 MB default was swept at B=32768 (config.py chunk_budget_bytes
+    note) where per-chunk scatter fixed costs amortize over 32k ids; at
+    small batches each chunk sees few ids and per-op dispatch cost weighs
+    more, so the optimum may shift to fewer/larger chunks.  The committed
+    sweep is bench_b2048.py — as of round 4 the TPU transport was down, so
+    this map carries only the measured B=32768 point and returns it for
+    every batch size; re-run the sweep and key small batches here when a
+    measured win exists.  run.py applies this when --chunk-budget-mb is
+    not given; library callers opt in explicitly.
+    """
+    del batch_size  # single measured operating point so far (see above)
+    return 16 << 20
+
+
 # -- presets -----------------------------------------------------------------
 
 def fixture_config() -> DLRMConfig:

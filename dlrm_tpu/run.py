@@ -64,6 +64,14 @@ def _build_config(args) -> "DLRMConfig":
     if args.table_sizes:
         over["table_sizes"] = tuple(
             int(s) for s in args.table_sizes.split(","))
+    if getattr(args, "chunk_budget_mb", None) is not None:
+        over["chunk_budget_bytes"] = args.chunk_budget_mb << 20
+        over["deep_chunk_budget_bytes"] = args.chunk_budget_mb << 20
+    elif getattr(args, "batch_size", None) is not None:
+        # batch-size-keyed default (swept per batch size; bench_b2048.py)
+        auto = cfg.auto_chunk_budget_bytes(args.batch_size)
+        over["chunk_budget_bytes"] = auto
+        over["deep_chunk_budget_bytes"] = auto
     return dataclasses.replace(c, **over) if over else c
 
 
@@ -87,6 +95,9 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
                    help="pad interaction output width to a multiple")
     p.add_argument("--table-sizes", default=None,
                    help="comma-separated table row counts (overrides preset)")
+    p.add_argument("--chunk-budget-mb", type=int, default=None,
+                   help="embedding chunk budget in MB (default: "
+                   "batch-size-keyed, config.auto_chunk_budget_bytes)")
     p.add_argument("--platform", default=None,
                    help="force the jax platform (e.g. cpu for a virtual "
                    "device mesh while a TPU is attached)")
@@ -365,6 +376,11 @@ def cmd_train(args) -> int:
                                         and callable(lr))),
                 "table_sizes": list(config.table_sizes),
                 "bf16_tables": bool(getattr(args, "bf16_tables", False)),
+                # chunk geometry is batch-size-keyed (auto_chunk_budget);
+                # eval/predict must rebuild the TRAINING run's layout even
+                # when invoked with a different batch size
+                "chunk_budget_bytes": config.chunk_budget_bytes,
+                "deep_chunk_budget_bytes": config.deep_chunk_budget_bytes,
         }
         if lead:  # one writer; orbax array writes stay collective
             with open(meta_path, "w") as f:
@@ -926,6 +942,16 @@ def _load_eval_params(args, config):
             # chunk_budget math) — apply the training run's choice
             config = dataclasses.replace(config,
                                          embedding_dtype=jnp.bfloat16)
+        if meta.get("chunk_budget_bytes"):
+            # ditto for the chunk budget itself (batch-size-keyed default
+            # means eval at a different batch size would otherwise rebuild
+            # a different chunk split than the checkpoint's)
+            config = dataclasses.replace(
+                config,
+                chunk_budget_bytes=int(meta["chunk_budget_bytes"]),
+                deep_chunk_budget_bytes=int(
+                    meta.get("deep_chunk_budget_bytes",
+                             meta["chunk_budget_bytes"])))
         # template-less restore is topology-independent (metadata-driven
         # abstract template in io/checkpoint.py); optimizer-state runs wrap
         # the params as {"params": ..., "opt": ...}

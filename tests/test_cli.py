@@ -620,3 +620,43 @@ def test_train_cli_epochs(tmp_path, capsys):
         "--sharded", "false", "--shuffle", "--log-every", "5"])
     assert rc == 0
     assert res["steps"] == 2 * (120 // 16)
+
+
+def test_chunk_budget_flag_and_ckpt_geometry_roundtrip(tmp_path, capsys):
+    """--chunk-budget-mb changes the chunk split; eval --ckpt-dir rebuilds
+    the TRAINING run's geometry from run_meta.json even when its own
+    (batch-size-keyed) default budget differs."""
+    import argparse
+    from dlrm_tpu.run import _build_config
+
+    # flag plumbing: 4 tables x ~1.9 MB packed -> 2 MB budget = 4 chunks,
+    # default 16 MB = 1 chunk
+    sizes = ",".join("60000" for _ in range(4))
+    base = dict(config="tiny", feature_size=16, interaction=None,
+                n_hot=None, bf16=False, pad_to=None, table_sizes=sizes,
+                batch_size=16)
+    c_small = _build_config(argparse.Namespace(**base, chunk_budget_mb=2))
+    c_auto = _build_config(argparse.Namespace(**base, chunk_budget_mb=None))
+    assert c_small.chunk_budget_bytes == 2 << 20
+    assert c_small.num_chunks > c_auto.num_chunks == 1
+
+    paths = _write_text_shards(tmp_path)
+    out = str(tmp_path / "data.bin")
+    _run(capsys, ["preprocess", *paths, "--out", out])
+    ckpt = str(tmp_path / "ck")
+    common = ["--config", "tiny", "--table-sizes", sizes,
+              "--batch-size", "16"]
+    rc, res = _run(capsys, [
+        "train", *common, "--data", out, "--chunk-budget-mb", "2",
+        "--ckpt-dir", ckpt, "--save-interval", "4", "--eval-after"])
+    assert rc == 0
+    meta = json.loads(open(os.path.join(ckpt, "run_meta.json")).read())
+    assert meta["chunk_budget_bytes"] == 2 << 20
+
+    # eval WITHOUT the flag must restore the 2 MB-geometry checkpoint
+    rc, ev = _run(capsys, ["eval", *common, "--data", out,
+                           "--ckpt-dir", ckpt])
+    assert rc == 0
+    np.testing.assert_allclose(ev["loss"], res["eval"]["loss"],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(ev["auc"], res["eval"]["auc"], atol=1e-9)
