@@ -119,3 +119,53 @@ def test_bf16_storage_multi_step_finite():
     out = dlrm_tpu.forward(params, jnp.asarray(batch["dense"]),
                            jnp.asarray(batch["sparse"]), cb)
     assert np.all(np.isfinite(np.asarray(out, np.float32)))
+
+
+def test_fs128_bf16_rowwise_path_smoke():
+    """The bench.py fs=128 operating point at tiny scale: pack=1 (128-lane
+    physical rows hold exactly one logical row), bf16 chunked storage,
+    exact SGD + rowwise adagrad + mixed_lookup all compile and stay
+    finite.  Kaggle fs=128 itself is 8.6 GB bf16 — bench-only."""
+    import dataclasses
+    import numpy as np
+    from dlrm_tpu.ops.embedding import mixed_lookup
+    from dlrm_tpu.train.train import init_opt_state, make_jit_train_step_opt
+
+    config = dataclasses.replace(
+        dlrm_tpu.DLRMConfig(
+            bottom_mlp_sizes=(13, 32, 128),
+            top_mlp_sizes=(32, 1),
+            feature_size=128,
+            table_sizes=(64, 4000, 120, 9000),
+            small_table_threshold=100,
+            chunk_budget_bytes=1 << 20,  # force a multi-chunk split
+            deep_chunk_budget_bytes=1 << 20,
+        ),
+        embedding_dtype=jnp.bfloat16)
+    assert config.pack == 1 and config.is_packed
+    assert config.num_chunks >= 3  # 4000- and 9000-row tables ~1-2.2 MB
+    params = dlrm_tpu.init_params(jax.random.key(0), config)
+    assert all(c.dtype == jnp.bfloat16 for c in params["emb"])
+
+    rng = np.random.default_rng(0)
+    b = 32
+    dense = jnp.asarray(rng.normal(size=(b, 13)).astype(np.float32))
+    sparse = jnp.asarray(np.stack(
+        [rng.integers(0, s, size=b) for s in config.table_sizes],
+        axis=1).astype(np.int32))
+    labels = jnp.asarray((rng.random(b) > 0.5).astype(np.float32))
+
+    pooled = mixed_lookup(params["emb"], sparse, config)
+    assert pooled.shape == (b, 4, 128) and np.isfinite(
+        np.asarray(pooled, np.float32)).all()
+
+    step = dlrm_tpu.make_jit_train_step(config, lr=0.1)
+    p2, loss = step(jax.tree.map(jnp.copy, params), dense, sparse, labels)
+    assert np.isfinite(float(loss))
+
+    opt = init_opt_state(params, config=config, optimizer="rowwise_adagrad",
+                         lr=0.01)
+    astep = make_jit_train_step_opt(config, optimizer="rowwise_adagrad",
+                                    lr=0.01)
+    (p3, opt), loss2 = astep(params, opt, dense, sparse, labels)
+    assert np.isfinite(float(loss2))
