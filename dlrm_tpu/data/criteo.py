@@ -409,6 +409,27 @@ class DACLoader:
                     rows_k = rows_k[self.local_rows[0]:self.local_rows[1]]
                 yield {key: v[rows_k] for key, v in batch.items()}
 
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        """Random access to batch ``i`` in dataset order — the reference's
+        extractor-style ``getindex(batch_i)`` (train/data.jl:37-56), which
+        marshals an arbitrary batch on demand.  Indexing is over the
+        UNSHUFFLED sequence (the reference extractor is a plain indexed
+        view; shuffle orders only apply to iteration).  Supports negative
+        indices; honors ``local_rows`` striping and the ragged tail when
+        ``drop_remainder=False``."""
+        n = len(self)
+        if i < 0:
+            i += n
+        if not 0 <= i < n:
+            raise IndexError(f"batch index {i} out of range for {n} "
+                             "batches")
+        b = self.batch_size
+        count = min(b, len(self.dataset) - i * b)
+        lo, hi = self.local_rows if self.local_rows is not None else (0, b)
+        start = i * b + min(lo, count)
+        count = min(hi, count) - min(lo, count)
+        return self._marshal(start, count)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.shuffle_rows:
             # bump the epoch EAGERLY (like the shuffle branch below): a

@@ -339,3 +339,38 @@ def test_loader_row_shuffle_local_rows_stripe():
         for k in f:
             np.testing.assert_array_equal(
                 np.concatenate([a[k], c[k]]), f[k])
+
+
+def test_loader_random_access_getitem(text_lines):
+    """Extractor-style random access (reference train/data.jl:37-56):
+    loader[i] marshals batch i on demand, equal to the i-th sequential
+    batch; negative indices and the ragged tail work; out-of-range
+    raises."""
+    data = criteo.parse_lines(text_lines[:83])
+    loader = criteo.DACLoader(data, 16, drop_remainder=False,
+                              use_native=False)
+    seq = list(loader)
+    assert len(loader) == 6 and len(seq[-1]["labels"]) == 3
+    for i in range(len(loader)):
+        got = loader[i]
+        for k in ("labels", "dense", "sparse"):
+            np.testing.assert_array_equal(got[k], seq[i][k])
+    np.testing.assert_array_equal(loader[-1]["labels"], seq[-1]["labels"])
+    with pytest.raises(IndexError):
+        loader[6]
+    with pytest.raises(IndexError):
+        loader[-7]
+    # native marshal agrees (when built)
+    if native.available():
+        loader_n = criteo.DACLoader(data, 16, drop_remainder=False)
+        for i in (0, 3, 5):
+            got = loader_n[i]
+            for k in ("labels", "dense", "sparse"):
+                np.testing.assert_array_equal(got[k], seq[i][k])
+    # local_rows striping: loader[i] returns this process's stripe
+    lr = criteo.DACLoader(data[:80], 16, local_rows=(4, 12),
+                          use_native=False)
+    np.testing.assert_array_equal(
+        lr[2]["labels"],
+        criteo.DACLoader(data[:80], 16, use_native=False)[2]
+        ["labels"][4:12])
