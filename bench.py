@@ -449,6 +449,35 @@ def _bench_fs128(rng, log):
             log(f"fs128 pooled lookup: {lk_t*1e3:.2f} ms -> "
                 f"{out['fs128_lookup_gb_s_logical']:.1f} GB/s logical")
             del emb, ids_base
+
+            # coalesced SGD block K=8 — the production schedule; at
+            # fs=128 the deep-table scatters are the most expensive in
+            # the whole config (density law: 32k ids into 2.5 GB bf16
+            # operands), so one-scatter-per-chunk-per-K matters most here
+            from dlrm_tpu.train.train import make_jit_train_block
+            Kb = 8
+            kd = jnp.asarray(rng.normal(
+                size=(Kb, B, 13)).astype(np.float32))
+            ks = jnp.asarray(np.stack(
+                [np.stack([rng.integers(0, s, size=B)
+                           for s in config.table_sizes], axis=1)
+                 for _ in range(Kb)]).astype(np.int32))
+            kl = jnp.asarray(
+                (rng.random((Kb, B)) > 0.5).astype(np.float32))
+            params = dlrm_tpu.init_params(jax.random.key(0), config)
+            blk = make_jit_train_block(config, lr=0.1)
+
+            def blk_step(p, d, s_, l):
+                return blk(p, d, s_, l)
+
+            t0 = time.perf_counter()
+            tb = slope_step(blk_step, params, (kd, ks, kl),
+                            iters=(2, 6)) / Kb
+            log(f"fs128 sgd block K={Kb}: {tb*1e3:.2f} ms/step -> "
+                f"{B/tb:,.0f} examples/s "
+                f"(compile+measure {time.perf_counter()-t0:.0f}s)")
+            out[f"fs128_sgd_block{Kb}_examples_per_s"] = round(B / tb, 1)
+            del kd, ks, kl, blk
         del params, step
     return out
 
