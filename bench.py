@@ -32,29 +32,9 @@ def log(*a):
 
 
 def _init_devices(timeout_s: float = 300.0):
-    """Backend init with a watchdog: if the TPU transport is down,
-    jax.devices() blocks forever retrying the dial — fail fast with a
-    diagnostic instead of hanging the driver."""
-    import threading
+    from bench_util import init_devices
 
-    box = {}
-
-    def _init():
-        import jax
-        box["devices"] = jax.devices()
-
-    t = threading.Thread(target=_init, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if "devices" not in box:
-        log(f"FATAL: jax backend init did not complete in {timeout_s:.0f}s "
-            "— TPU transport down?")
-        print(json.dumps({"metric": METRIC,
-                          "value": 0, "unit": "examples/s/chip",
-                          "vs_baseline": 0,
-                          "error": "device init timeout"}))
-        sys.exit(2)
-    return box["devices"]
+    return init_devices(METRIC, timeout_s=timeout_s)
 
 
 def main():

@@ -22,24 +22,9 @@ DEFAULT_BUDGETS_MB = (16, 64, 256, 1024, 4096)
 
 
 def _init_devices(timeout_s: float = 300.0):
-    """Same fail-fast watchdog as bench.py: a dead TPU transport makes
-    jax.devices() block forever in the dial retry."""
-    import threading
+    from bench_util import init_devices
 
-    box = {}
-
-    def _init():
-        import jax
-        box["devices"] = jax.devices()
-
-    t = threading.Thread(target=_init, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if "devices" not in box:
-        print(json.dumps({"metric": f"b{B}_chunk_sweep", "value": 0,
-                          "error": "device init timeout"}))
-        sys.exit(2)
-    return box["devices"]
+    return init_devices(f"b{B}_chunk_sweep", timeout_s=timeout_s)
 
 
 def slope(fn, state, n1=10, n2=40):

@@ -31,22 +31,9 @@ B = 32768
 
 
 def _init_devices(timeout_s: float = 300.0):
-    import threading
+    from bench_util import init_devices
 
-    box = {}
-
-    def _init():
-        import jax
-        box["devices"] = jax.devices()
-
-    t = threading.Thread(target=_init, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if "devices" not in box:
-        print(json.dumps({"metric": "fs128_tune", "value": 0,
-                          "error": "device init timeout"}))
-        sys.exit(2)
-    return box["devices"]
+    return init_devices("fs128_tune", timeout_s=timeout_s)
 
 
 def measure_step(config, rng, n1=3, n2=9):
@@ -77,10 +64,14 @@ def measure_step(config, rng, n1=3, n2=9):
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "budgets"
-    points = [int(a) for a in sys.argv[2:]] or {
+    defaults = {
         "budgets": [16, 64, 256, 1024],
         "thresholds": [0, 2048, 8192, 32768],
-    }[mode]
+    }
+    if mode not in defaults:
+        raise SystemExit(f"mode must be one of {sorted(defaults)}, "
+                         f"got {mode!r}")
+    points = [int(a) for a in sys.argv[2:]] or defaults[mode]
     _init_devices()
     import jax
     import jax.numpy as jnp

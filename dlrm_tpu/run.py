@@ -69,9 +69,12 @@ def _build_config(args) -> "DLRMConfig":
         over["deep_chunk_budget_bytes"] = args.chunk_budget_mb << 20
     elif getattr(args, "batch_size", None) is not None:
         # batch-size-keyed default (swept per batch size; bench_b2048.py)
+        # — only when it actually differs from the preset's choice, and
+        # only the general budget (the deep budget is an independent knob
+        # a preset may set on its own)
         auto = cfg.auto_chunk_budget_bytes(args.batch_size)
-        over["chunk_budget_bytes"] = auto
-        over["deep_chunk_budget_bytes"] = auto
+        if auto != c.chunk_budget_bytes:
+            over["chunk_budget_bytes"] = auto
     return dataclasses.replace(c, **over) if over else c
 
 
