@@ -808,6 +808,11 @@ def cmd_train(args) -> int:
         mgr.wait_until_finished()
         mgr.close()
 
+    # ``losses`` records only --log-every crossings; a short run (fewer
+    # steps than log_every) must still report its final loss — append it
+    # unless the last iteration just logged this very value
+    if step > start_step and not _crossed(prev, step, args.log_every):
+        losses.append(float(loss))
     result = {"steps": step - start_step,
               "final_loss": losses[-1] if losses else None,
               "seconds": round(time.time() - t_start, 2)}

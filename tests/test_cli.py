@@ -660,3 +660,31 @@ def test_chunk_budget_flag_and_ckpt_geometry_roundtrip(tmp_path, capsys):
     np.testing.assert_allclose(ev["loss"], res["eval"]["loss"],
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(ev["auc"], res["eval"]["auc"], atol=1e-9)
+
+
+def test_terabyte_preset_cli_scaled_down(tmp_path, capsys):
+    """The terabyte preset (fs=128 default, criteo.jl:379-406) drives the
+    production CLI end-to-end at scaled-down table sizes: pack=1 chunked
+    storage, sharded rowwise-adagrad blocks, eval-after."""
+    sizes = ",".join(str(s) for s in (4000, 120, 9000, 64) * 2)
+    rc, res = _run(capsys, [
+        "train", "--config", "terabyte", "--table-sizes", sizes,
+        "--batch-size", "32", "--steps", "6", "--sharded", "true",
+        "--optimizer", "rowwise_adagrad", "--update-interval", "2",
+        "--block-scan", "--lr", "0.002", "--eval-after",
+        "--eval-steps", "2"])
+    assert rc == 0 and res["steps"] == 6
+    assert np.isfinite(res["final_loss"])
+    # sane, non-saturated model (adagrad first steps are sign-updates of
+    # magnitude lr per element: at fs=128's wide rows lr=0.05 saturates
+    # the interaction inputs within steps — hence the small lr here)
+    assert res["eval"]["loss"] < 1.5
+    assert 0.0 <= res["eval"]["accuracy"] <= 1.0
+    # the preset's fs=128 geometry: pack=1, engine storage still chunked
+    import argparse
+    from dlrm_tpu.run import _build_config
+    c = _build_config(argparse.Namespace(
+        config="terabyte", feature_size=128, interaction=None, n_hot=None,
+        bf16=False, pad_to=None, table_sizes=sizes, batch_size=32,
+        chunk_budget_mb=None))
+    assert c.feature_size == 128 and c.pack == 1 and c.is_packed
