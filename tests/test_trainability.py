@@ -97,3 +97,41 @@ def test_train_sync_every():
         for a, b in zip(r1["params"][k], r3["params"][k]):
             np.testing.assert_array_equal(np.asarray(a["w"]),
                                           np.asarray(b["w"]))
+
+
+def test_auc_climbs_at_fs128_bf16():
+    """The fs=128 operating point LEARNS, not just runs: pack=1 chunked
+    bf16 storage + rowwise adagrad (the bench.py fs=128 production combo)
+    lifts held-out AUC on the planted-truth CTR task.  Also guards the
+    wide-row lr regime (adagrad sign-steps saturate at fs=128 with the
+    fs=16 lr; see ROUND4_NOTES)."""
+    import dataclasses
+    config = dataclasses.replace(
+        dlrm_tpu.DLRMConfig(
+            bottom_mlp_sizes=(13, 32, 128),
+            top_mlp_sizes=(32, 1),
+            feature_size=128,
+            table_sizes=(200, 12, 500, 40, 1000, 8),
+            small_table_threshold=16,
+            chunk_budget_bytes=64 << 10,
+            deep_chunk_budget_bytes=64 << 10),
+        embedding_dtype=jnp.bfloat16)
+    assert config.pack == 1 and config.num_chunks >= 2
+    truth = ClickthroughModel(config, seed=3)
+    params = dlrm_tpu.init_params(jax.random.key(0), config)
+    lr = 0.005  # fs=128-appropriate (0.05 saturates the interaction)
+    step = make_jit_train_step_opt(config, optimizer="rowwise_adagrad",
+                                   lr=lr)
+    opt_state = init_opt_state(params, config=config,
+                               optimizer="rowwise_adagrad", lr=lr)
+
+    heldout = list(truth.stream(512, steps=4, seed=999))
+    before = evaluate(params, heldout, config)
+    for batch in truth.stream(256, steps=150, seed=1):
+        (params, opt_state), loss = step(
+            params, opt_state, jnp.asarray(batch["dense"]),
+            jnp.asarray(batch["sparse"]), jnp.asarray(batch["labels"]))
+    after = evaluate(params, heldout, config)
+    assert np.isfinite(after["loss"])
+    assert after["auc"] > max(before["auc"], 0.5) + 0.1, (before, after)
+    assert after["loss"] < before["loss"]
