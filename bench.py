@@ -433,31 +433,40 @@ def _bench_fs128(rng, log):
             # coalesced SGD block K=8 — the production schedule; at
             # fs=128 the deep-table scatters are the most expensive in
             # the whole config (density law: 32k ids into 2.5 GB bf16
-            # operands), so one-scatter-per-chunk-per-K matters most here
-            from dlrm_tpu.train.train import make_jit_train_block
-            Kb = 8
-            kd = jnp.asarray(rng.normal(
-                size=(Kb, B, 13)).astype(np.float32))
-            ks = jnp.asarray(np.stack(
-                [np.stack([rng.integers(0, s, size=B)
-                           for s in config.table_sizes], axis=1)
-                 for _ in range(Kb)]).astype(np.int32))
-            kl = jnp.asarray(
-                (rng.random((Kb, B)) > 0.5).astype(np.float32))
-            params = dlrm_tpu.init_params(jax.random.key(0), config)
-            blk = make_jit_train_block(config, lr=0.1)
+            # operands), so one-scatter-per-chunk-per-K matters most
+            # here.  Sub-isolated: the K-step payload (~1.3 GB of
+            # accumulated f32 grad rows) is the most OOM-prone point of
+            # the whole bench, and a failure here must not lose the
+            # pallas measurement that follows.
+            try:
+                from dlrm_tpu.train.train import make_jit_train_block
+                Kb = 8
+                kd = jnp.asarray(rng.normal(
+                    size=(Kb, B, 13)).astype(np.float32))
+                ks = jnp.asarray(np.stack(
+                    [np.stack([rng.integers(0, s, size=B)
+                               for s in config.table_sizes], axis=1)
+                     for _ in range(Kb)]).astype(np.int32))
+                kl = jnp.asarray(
+                    (rng.random((Kb, B)) > 0.5).astype(np.float32))
+                params = dlrm_tpu.init_params(jax.random.key(0), config)
+                blk = make_jit_train_block(config, lr=0.1)
 
-            def blk_step(p, d, s_, l):
-                return blk(p, d, s_, l)
+                def blk_step(p, d, s_, l):
+                    return blk(p, d, s_, l)
 
-            t0 = time.perf_counter()
-            tb = slope_step(blk_step, params, (kd, ks, kl),
-                            iters=(2, 6)) / Kb
-            log(f"fs128 sgd block K={Kb}: {tb*1e3:.2f} ms/step -> "
-                f"{B/tb:,.0f} examples/s "
-                f"(compile+measure {time.perf_counter()-t0:.0f}s)")
-            out[f"fs128_sgd_block{Kb}_examples_per_s"] = round(B / tb, 1)
-            del kd, ks, kl, blk
+                t0 = time.perf_counter()
+                tb = slope_step(blk_step, params, (kd, ks, kl),
+                                iters=(2, 6)) / Kb
+                log(f"fs128 sgd block K={Kb}: {tb*1e3:.2f} ms/step -> "
+                    f"{B/tb:,.0f} examples/s "
+                    f"(compile+measure {time.perf_counter()-t0:.0f}s)")
+                out[f"fs128_sgd_block{Kb}_examples_per_s"] = round(
+                    B / tb, 1)
+                del kd, ks, kl, blk
+            except Exception as e:  # pragma: no cover - device HBM
+                log(f"fs128 block failed: {type(e).__name__}: {e}")
+                out["fs128_block_error"] = f"{type(e).__name__}: {e}"
         del params, step
     return out
 
