@@ -82,3 +82,32 @@ def test_one_step_training_parity(path):
     """Full validate() protocol: grads + post-SGD-step weights vs PyTorch."""
     report = validation.validate(path, learning_rate=10.0)
     assert all(v["ok"] for v in report.values()), report
+
+
+def test_model_zoo_constants_and_size_math():
+    """Pin the model-zoo constants and derived size math to the reference
+    spec (criteo.jl:350-433, model.jl:220-229): a drive-by edit to a
+    table size or MLP shape must fail a test, not silently change the
+    model."""
+    import dlrm_tpu
+
+    assert len(dlrm_tpu.KAGGLE_TABLE_SIZES) == 26
+    assert sum(dlrm_tpu.KAGGLE_TABLE_SIZES) == 33_762_577  # ~33.76M rows
+    assert len(dlrm_tpu.TERABYTE_TABLE_SIZES) == 26
+    assert sum(dlrm_tpu.TERABYTE_TABLE_SIZES) == 882_774_559
+
+    k = dlrm_tpu.kaggle_config()
+    # bottom [13,512,256,fs]; top input = fs + F(F-1)/2 with F = 27
+    # (26 tables + the dense feature row), criteo.jl:408-433
+    assert k.feature_size == 16 and k.top_input == 16 + 27 * 26 // 2
+    assert k.bottom_mlp_sizes == (13, 512, 256, 16)
+    assert k.top_mlp_sizes == (1024, 1024, 512, 256, 1)
+    assert k.total_rows == 33_762_577
+
+    t = dlrm_tpu.terabyte_config()
+    assert t.feature_size == 128 and t.top_input == 128 + 27 * 26 // 2
+    assert t.pack == 1 and t.is_packed  # chunked storage stays on
+
+    f = dlrm_tpu.fixture_config()
+    m = dlrm_tpu.multi_fixture_config()
+    assert f.table_sizes == (1000,) * 7 and f.n_hot == 1 and m.n_hot == 10
