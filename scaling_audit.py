@@ -1,0 +1,195 @@
+"""Compiler-measured communication audit for the sharded train step.
+
+The north star asks for >80% examples/s scaling efficiency from 1 to N
+chips.  With one tunneled chip, scaling cannot be *measured* — but the
+per-step collective traffic can, exactly: XLA's SPMD partitioner emits
+the same collective ops on the N-device virtual CPU mesh as on a real
+slice, so this tool lowers the production hybrid step for several mesh
+sizes, parses every collective out of the optimized HLO, and reports
+
+  * the collective inventory (op kind, dtype/shape, bytes), and
+  * estimated per-chip ICI link traffic per step (standard ring/edge
+    cost model: all-gather / reduce-scatter / all-to-all move
+    (N-1)/N x payload per chip; all-reduce ~ 2 x (N-1)/N), and
+  * projected weak-scaling efficiency  t_comp / (t_comp + t_comm)  as a
+    function of ICI bandwidth — bandwidth is a PARAMETER (plug in the
+    part's datasheet number), the byte counts are measured facts.
+
+Collective volumes for DLRM depend on (batch/chip, feature size, table
+count), not table rows, so the audit uses scaled-down rows (CPU-memory
+friendly) with the production batch, feature size, and MLP shapes.
+
+Run:  XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+      python scaling_audit.py [--batch-per-chip 4096] [--mesh 2 4 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import re
+import sys
+from collections import defaultdict
+
+import numpy as np
+
+DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+               "s64": 8, "u64": 8, "f64": 8, "pred": 1, "s8": 1, "u8": 1,
+               "s16": 2, "u16": 2}
+
+COLLECTIVES = ("all-to-all", "all-gather", "all-reduce", "reduce-scatter",
+               "collective-permute")
+
+
+def _shape_bytes(type_str: str) -> int:
+    """Bytes of an HLO type string like 'f32[8,4096,16]' or a tuple
+    '(f32[8], f32[8,16])'."""
+    total = 0
+    for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", type_str):
+        if dt not in DTYPE_BYTES:
+            continue
+        n = 1
+        if dims:
+            for d in dims.split(","):
+                n *= int(d)
+        total += n * DTYPE_BYTES[dt]
+    return total
+
+
+def collect_collectives(hlo_text: str):
+    """[(kind, result_bytes, type_str)] for every collective in the HLO
+    (fusion-proof: collectives are never fused into other ops)."""
+    out = []
+    for m in re.finditer(
+            r"=\s+((?:\([^)]*\)|\S+))\s+(%?)("
+            + "|".join(COLLECTIVES) + r")(\.\d+)?\(", hlo_text):
+        type_str, kind = m.group(1), m.group(3)
+        out.append((kind, _shape_bytes(type_str), type_str))
+    return out
+
+
+def link_bytes(kind: str, result_bytes: int, n: int) -> float:
+    """Per-chip ICI traffic for one collective (ring/edge cost model).
+
+    all-gather: result is the FULL gathered buffer; each chip receives
+    (n-1)/n of it.  reduce-scatter: result is the 1/n shard; each chip
+    sends/receives (n-1)x the shard.  all-reduce = reduce-scatter +
+    all-gather over the full buffer: 2(n-1)/n x result.  all-to-all:
+    result is this chip's post-exchange buffer; (n-1)/n of it crossed a
+    link.  collective-permute: the whole result crossed one link."""
+    if n <= 1:
+        return 0.0
+    if kind == "all-gather":
+        return result_bytes * (n - 1) / n
+    if kind == "reduce-scatter":
+        return result_bytes * (n - 1)
+    if kind == "all-reduce":
+        return 2 * result_bytes * (n - 1) / n
+    if kind == "all-to-all":
+        return result_bytes * (n - 1) / n
+    return float(result_bytes)  # collective-permute
+
+
+def audit(n_devices: int, batch_per_chip: int, feature_size: int = 16,
+          row_shard: bool = False):
+    import jax
+    import jax.numpy as jnp
+    import dlrm_tpu
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.train import sharded_train_step
+
+    # production MLP shapes + feature size + 26 tables; scaled-down rows
+    # (collective volumes don't depend on rows — see module docstring)
+    rows = 4000
+    config = dlrm_tpu.DLRMConfig(
+        bottom_mlp_sizes=(13, 512, 256, feature_size),
+        top_mlp_sizes=(1024, 1024, 512, 256, 1),
+        feature_size=feature_size,
+        table_sizes=(rows,) * 26,
+        small_table_threshold=0,  # production deep tables: gather path
+    )
+    mesh = make_mesh(n_devices)
+    p = plan_placement(
+        config.table_sizes, n_devices, pack=config.pack,
+        max_rows_per_shard=rows // 2 if row_shard else None)
+    params = dlrm_tpu.init_params(jax.random.key(0), config)
+    sh = {"bottom": params["bottom"],
+          "emb": pemb.shard_tables(params["emb"], p, config),
+          "top": params["top"]}
+    sh = jax.device_put(sh, param_shardings(mesh, sh))
+    b = batch_per_chip * n_devices
+    rng = np.random.default_rng(0)
+    bs = batch_sharding(mesh)
+    dense = jax.device_put(jnp.asarray(
+        rng.normal(size=(b, 13)).astype(np.float32)), bs)
+    sparse = jax.device_put(jnp.asarray(np.stack(
+        [rng.integers(0, s, size=b) for s in config.table_sizes],
+        axis=1).astype(np.int32)), bs)
+    labels = jax.device_put(jnp.asarray(
+        (rng.random(b) > 0.5).astype(np.float32)), bs)
+
+    step = functools.partial(sharded_train_step, config=config, lr=0.1,
+                             mesh=mesh, placement=p, axis="d")
+    hlo = jax.jit(step).lower(sh, dense, sparse, labels).compile().as_text()
+    cols = collect_collectives(hlo)
+    by_kind = defaultdict(lambda: [0, 0.0])
+    total_link = 0.0
+    for kind, rb, _ in cols:
+        lb = link_bytes(kind, rb, n_devices)
+        by_kind[kind][0] += 1
+        by_kind[kind][1] += lb
+        total_link += lb
+    return by_kind, total_link, len(cols)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch-per-chip", type=int, default=4096)
+    ap.add_argument("--feature-size", type=int, default=16)
+    ap.add_argument("--mesh", type=int, nargs="*", default=[2, 4, 8])
+    ap.add_argument("--row-shard", action="store_true")
+    ap.add_argument("--step-ms", type=float, default=31.5,
+                    help="measured single-chip step time at B=32768 for "
+                    "the compute side of the projection (default: the "
+                    "fs=16 exact-SGD headline; pass the fs=128 number "
+                    "when auditing fs=128)")
+    args = ap.parse_args()
+
+    import os
+    need = max(args.mesh)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count={need}"
+        ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    # measured single-chip step time at B=32768 (PERFORMANCE.md): the
+    # compute side of the efficiency projection, scaled to batch/chip
+    t_comp_ms = args.step_ms * args.batch_per_chip / 32768
+
+    print(f"batch/chip={args.batch_per_chip} fs={args.feature_size} "
+          f"(26 tables, production MLP shapes); compute side assumes "
+          f"{args.step_ms} ms/step at B=32768 (--step-ms)")
+    for n in args.mesh:
+        by_kind, total_link, n_ops = audit(n, args.batch_per_chip,
+                                           args.feature_size,
+                                           row_shard=args.row_shard)
+        print(f"\nmesh={n}: {n_ops} collectives, "
+              f"{total_link / 1e6:.1f} MB/chip/step link traffic")
+        for kind, (cnt, bts) in sorted(by_kind.items()):
+            print(f"  {kind:20s} x{cnt:3d}  {bts / 1e6:8.2f} MB/chip")
+        for bw in (100, 200, 400):  # GB/s — PARAMETER, not a claim
+            t_comm_ms = total_link / (bw * 1e9) * 1e3
+            eff = t_comp_ms / (t_comp_ms + t_comm_ms)
+            print(f"  projected weak-scaling eff @ {bw:3d} GB/s ICI: "
+                  f"{eff * 100:.1f}%  (comm {t_comm_ms:.2f} ms vs comp "
+                  f"{t_comp_ms:.2f} ms, zero overlap assumed)")
+
+
+if __name__ == "__main__":
+    main()
