@@ -56,15 +56,55 @@ def _shape_bytes(type_str: str) -> int:
     return total
 
 
-def collect_collectives(hlo_text: str):
-    """[(kind, result_bytes, type_str)] for every collective in the HLO
-    (fusion-proof: collectives are never fused into other ops)."""
+def _parse_groups(line: str):
+    """Replica groups of one collective: list of device-id lists, or None
+    when absent.  Handles both the explicit ``{{0,1},{2,3}}`` form and
+    the iota ``[n,m]`` form (n groups of m consecutive global ids)."""
+    m = re.search(r"replica_groups=(\{\{[^}]*\}(?:,\{[^}]*\})*\}"
+                  r"|\[[\d,]*\])", line)
+    if not m:
+        return None
+    s = m.group(1)
+    if s.startswith("["):
+        n, sz = (int(x) for x in s[1:-1].split(","))
+        return [list(range(g * sz, (g + 1) * sz)) for g in range(n)]
+    return [[int(x) for x in g.split(",") if x]
+            for g in re.findall(r"\{([\d,]*)\}", s[1:-1])]
+
+
+def _group_axis(groups, ici: int) -> str:
+    """'ici' when every group stays within one ICI row of a (dcn, ici)
+    device grid, 'dcn' when every group spans rows at a fixed ICI
+    column, 'mesh' otherwise (e.g. a hierarchical whole-mesh reduce)."""
+    axes = set()
+    for g in groups:
+        if len(g) <= 1:
+            continue
+        rows = {d // ici for d in g}
+        cols = {d % ici for d in g}
+        if len(rows) == 1:
+            axes.add("ici")
+        elif len(cols) == 1:
+            axes.add("dcn")
+        else:
+            axes.add("mesh")
+    return axes.pop() if len(axes) == 1 else "mesh"
+
+
+def collect_collectives(hlo_text: str, ici: int = None):
+    """[(kind, result_bytes, group_size, axis)] for every collective in
+    the HLO (fusion-proof: collectives are never fused into other ops).
+    ``axis`` classifies which mesh axis the op rides when ``ici`` (the
+    ICI-axis length of a (dcn, ici) grid) is given."""
     out = []
     for m in re.finditer(
             r"=\s+((?:\([^)]*\)|\S+))\s+(%?)("
-            + "|".join(COLLECTIVES) + r")(\.\d+)?\(", hlo_text):
-        type_str, kind = m.group(1), m.group(3)
-        out.append((kind, _shape_bytes(type_str), type_str))
+            + "|".join(COLLECTIVES) + r")(\.\d+)?\(([^\n]*)", hlo_text):
+        type_str, kind, line = m.group(1), m.group(3), m.group(5)
+        groups = _parse_groups(line)
+        gsz = max(len(g) for g in groups) if groups else 0
+        axis = _group_axis(groups, ici) if (groups and ici) else "-"
+        out.append((kind, _shape_bytes(type_str), gsz, axis))
     return out
 
 
@@ -137,12 +177,67 @@ def audit(n_devices: int, batch_per_chip: int, feature_size: int = 16,
     cols = collect_collectives(hlo)
     by_kind = defaultdict(lambda: [0, 0.0])
     total_link = 0.0
-    for kind, rb, _ in cols:
-        lb = link_bytes(kind, rb, n_devices)
+    for kind, rb, gsz, _ in cols:
+        lb = link_bytes(kind, rb, gsz or n_devices)
         by_kind[kind][0] += 1
         by_kind[kind][1] += lb
         total_link += lb
     return by_kind, total_link, len(cols)
+
+
+def audit_hybrid(dcn: int, ici: int, batch_per_chip: int,
+                 feature_size: int = 16):
+    """The 2-D DCN x ICI hybrid step (tables sharded over ICI only,
+    batch over both axes, sparse updates DCN-folded): classify every
+    collective by the mesh axis it rides and total the traffic per axis.
+    Quantifies the compressed `_dcn_fold` claim — DCN carries (ids,
+    grad-rows) pairs proportional to the batch, never table-sized
+    payloads."""
+    import jax
+    import jax.numpy as jnp
+    import dlrm_tpu
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh_2d,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.train import sharded_train_step
+
+    rows = 4000
+    config = dlrm_tpu.DLRMConfig(
+        bottom_mlp_sizes=(13, 512, 256, feature_size),
+        top_mlp_sizes=(1024, 1024, 512, 256, 1),
+        feature_size=feature_size,
+        table_sizes=(rows,) * 26,
+        small_table_threshold=0,
+    )
+    mesh = make_mesh_2d(dcn, ici)
+    p = plan_placement(config.table_sizes, ici, pack=config.pack)
+    params = dlrm_tpu.init_params(jax.random.key(0), config)
+    sh = {"bottom": params["bottom"],
+          "emb": pemb.shard_tables(params["emb"], p, config),
+          "top": params["top"]}
+    sh = jax.device_put(sh, param_shardings(mesh, sh))
+    b = batch_per_chip * dcn * ici
+    rng = np.random.default_rng(0)
+    bs = batch_sharding(mesh)
+    dense = jax.device_put(jnp.asarray(
+        rng.normal(size=(b, 13)).astype(np.float32)), bs)
+    sparse = jax.device_put(jnp.asarray(np.stack(
+        [rng.integers(0, s, size=b) for s in config.table_sizes],
+        axis=1).astype(np.int32)), bs)
+    labels = jax.device_put(jnp.asarray(
+        (rng.random(b) > 0.5).astype(np.float32)), bs)
+    step = functools.partial(sharded_train_step, config=config, lr=0.1,
+                             mesh=mesh, placement=p, axis="d")
+    hlo = jax.jit(step).lower(sh, dense, sparse, labels).compile().as_text()
+    per_axis = defaultdict(lambda: defaultdict(lambda: [0, 0.0]))
+    totals = defaultdict(float)
+    for kind, rb, gsz, axis in collect_collectives(hlo, ici=ici):
+        lb = link_bytes(kind, rb, gsz or dcn * ici)
+        per_axis[axis][kind][0] += 1
+        per_axis[axis][kind][1] += lb
+        totals[axis] += lb
+    return per_axis, totals
 
 
 def main():
@@ -150,6 +245,9 @@ def main():
     ap.add_argument("--batch-per-chip", type=int, default=4096)
     ap.add_argument("--feature-size", type=int, default=16)
     ap.add_argument("--mesh", type=int, nargs="*", default=[2, 4, 8])
+    ap.add_argument("--hybrid", type=int, nargs=2, metavar=("DCN", "ICI"),
+                    default=None, help="audit the 2-D DCN x ICI hybrid "
+                    "step instead, classifying traffic per mesh axis")
     ap.add_argument("--row-shard", action="store_true")
     ap.add_argument("--step-ms", type=float, default=31.5,
                     help="measured single-chip step time at B=32768 for "
@@ -160,6 +258,8 @@ def main():
 
     import os
     need = max(args.mesh)
+    if args.hybrid:
+        need = max(need, args.hybrid[0] * args.hybrid[1])
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -175,6 +275,18 @@ def main():
     print(f"batch/chip={args.batch_per_chip} fs={args.feature_size} "
           f"(26 tables, production MLP shapes); compute side assumes "
           f"{args.step_ms} ms/step at B=32768 (--step-ms)")
+    if args.hybrid:
+        dcn, ici = args.hybrid
+        per_axis, totals = audit_hybrid(dcn, ici, args.batch_per_chip,
+                                        args.feature_size)
+        print(f"\nhybrid mesh {dcn}x{ici} (dcn x ici):")
+        for axis in ("ici", "dcn", "mesh"):
+            if axis not in per_axis:
+                continue
+            print(f"  [{axis}] {totals[axis] / 1e6:.2f} MB/chip/step")
+            for kind, (cnt, bts) in sorted(per_axis[axis].items()):
+                print(f"    {kind:20s} x{cnt:3d}  {bts / 1e6:8.2f} MB/chip")
+        return
     for n in args.mesh:
         by_kind, total_link, n_ops = audit(n, args.batch_per_chip,
                                            args.feature_size,
