@@ -1,0 +1,42 @@
+"""scaling_audit.py smoke: the HLO collective extraction keeps working
+(the SCALING.md numbers are reproducible) and the classifier puts the
+hybrid mesh's folded update on the DCN axis."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from scaling_audit import (_group_axis, _parse_groups, _shape_bytes,
+                           audit, audit_hybrid, link_bytes)
+
+
+def test_hlo_parsing_helpers():
+    assert _shape_bytes("f32[8,4096,16]") == 8 * 4096 * 16 * 4
+    assert _shape_bytes("(f32[8], bf16[4,2])") == 32 + 16
+    assert _parse_groups("replica_groups={{0,4},{1,5}}, x") == [[0, 4],
+                                                                [1, 5]]
+    assert _parse_groups("replica_groups=[2,4], y") == [[0, 1, 2, 3],
+                                                        [4, 5, 6, 7]]
+    # (dcn=2, ici=4) grid: rows {0..3} / {4..7}
+    assert _group_axis([[0, 1, 2, 3], [4, 5, 6, 7]], ici=4) == "ici"
+    assert _group_axis([[0, 4], [1, 5]], ici=4) == "dcn"
+    assert _group_axis([[0, 1, 4, 5]], ici=4) == "mesh"
+    assert link_bytes("all-reduce", 100, 4) == 150.0
+    assert link_bytes("all-gather", 100, 4) == 75.0
+    assert link_bytes("reduce-scatter", 100, 4) == 300.0
+
+
+def test_audit_finds_the_production_collectives():
+    by_kind, total_link, n_ops = audit(4, batch_per_chip=64)
+    assert "all-to-all" in by_kind  # the pooled exchange
+    assert "all-reduce" in by_kind  # the MLP-grad reduce
+    assert total_link > 0 and n_ops >= 3
+
+
+def test_hybrid_audit_classifies_dcn_fold():
+    per_axis, totals = audit_hybrid(2, 4, batch_per_chip=64)
+    # the folded sparse update rides DCN as all-gathers, and the pooled
+    # a2a stays on ICI
+    assert totals.get("dcn", 0) > 0
+    assert "all-gather" in per_axis["dcn"]
+    assert "all-to-all" in per_axis["ici"]
