@@ -80,6 +80,12 @@ class DLRMConfig:
     table_sizes: Tuple[int, ...]
     n_hot: int = 1
     interaction_pad_to: int = 1
+    # Rematerialize the dense tower on backward (jax.checkpoint around
+    # forward_from_pooled): recompute interaction + MLP activations
+    # instead of storing them — trades FLOPs for HBM at big batches /
+    # feature sizes.  Semantically the identity; off by default (the
+    # fs=16 B=32k step is scatter-bound, not activation-bound).
+    remat: bool = False
     weight_dtype: jnp.dtype = jnp.float32
     embedding_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32

@@ -61,6 +61,8 @@ def _build_config(args) -> "DLRMConfig":
         over["embedding_dtype"] = jnp.bfloat16
     if args.pad_to is not None:
         over["interaction_pad_to"] = args.pad_to
+    if getattr(args, "remat", False):
+        over["remat"] = True
     if args.table_sizes:
         over["table_sizes"] = tuple(
             int(s) for s in args.table_sizes.split(","))
@@ -101,6 +103,10 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--chunk-budget-mb", type=int, default=None,
                    help="embedding chunk budget in MB (default: "
                    "batch-size-keyed, config.auto_chunk_budget_bytes)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the dense tower on backward "
+                   "(jax.checkpoint): trade FLOPs for activation HBM at "
+                   "big batches / feature sizes")
     p.add_argument("--platform", default=None,
                    help="force the jax platform (e.g. cpu for a virtual "
                    "device mesh while a TPU is attached)")

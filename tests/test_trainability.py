@@ -135,3 +135,56 @@ def test_auc_climbs_at_fs128_bf16():
     assert np.isfinite(after["loss"])
     assert after["auc"] > max(before["auc"], 0.5) + 0.1, (before, after)
     assert after["loss"] < before["loss"]
+
+
+def test_remat_is_the_identity():
+    """config.remat (jax.checkpoint around the dense tower) must be
+    bit-identical in loss AND updated params to the non-remat step —
+    single-chip and sharded."""
+    import dataclasses
+    from dlrm_tpu.train.train import make_jit_train_step
+
+    config = _config()
+    config_r = dataclasses.replace(config, remat=True)
+    params = dlrm_tpu.init_params(jax.random.key(7), config)
+    rng = np.random.default_rng(5)
+    b = 64
+    dense = jnp.asarray(rng.normal(size=(b, 13)).astype(np.float32))
+    sparse = jnp.asarray(np.stack(
+        [rng.integers(0, s, size=b) for s in config.table_sizes],
+        axis=1).astype(np.int32))
+    labels = jnp.asarray((rng.random(b) > 0.5).astype(np.float32))
+
+    p1, l1 = make_jit_train_step(config, lr=0.1)(
+        jax.tree.map(jnp.copy, params), dense, sparse, labels)
+    p2, l2 = make_jit_train_step(config_r, lr=0.1)(
+        jax.tree.map(jnp.copy, params), dense, sparse, labels)
+    assert float(l1) == float(l2)
+    for a, b_ in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+    # sharded step goes through the same _loss_from_pooled closure
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.train import make_sharded_train_step
+    mesh = make_mesh(4)
+    p = plan_placement(config.table_sizes, 4, pack=config.pack)
+    bs = batch_sharding(mesh)
+
+    def sharded_loss(cfg):
+        sh = {"bottom": jax.tree.map(jnp.copy, params["bottom"]),
+              "emb": pemb.shard_tables(params["emb"], p, cfg),
+              "top": jax.tree.map(jnp.copy, params["top"])}
+        sh = jax.device_put(sh, param_shardings(mesh, sh))
+        step = make_sharded_train_step(cfg, 0.1, mesh, p)
+        new, loss = step(sh, jax.device_put(dense, bs),
+                         jax.device_put(sparse, bs),
+                         jax.device_put(labels, bs))
+        return float(loss), pemb.unshard_tables(np.asarray(new["emb"]),
+                                                p, cfg)
+
+    (ls1, e1), (ls2, e2) = sharded_loss(config), sharded_loss(config_r)
+    assert ls1 == ls2
+    np.testing.assert_array_equal(e1, e2)
