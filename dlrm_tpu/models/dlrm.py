@@ -65,6 +65,15 @@ def init_params(key: jax.Array, config: DLRMConfig,
 
         @functools.partial(jax.jit, static_argnames=("shape",))
         def _init_one(key, scale, shape):
+            # generate directly in the storage dtype for sub-f32 tables:
+            # a full-chunk f32 temporary would double the deepest Kaggle
+            # fs=128 chunk's footprint (5.2 GB transient next to 8.6 GB
+            # of bf16 tables) during init
+            dt = jnp.dtype(config.embedding_dtype)
+            if dt.itemsize < 4:
+                u = jax.random.uniform(key, shape, dt,
+                                       minval=-1.0, maxval=1.0)
+                return u * scale[:, None].astype(dt)
             u = jax.random.uniform(key, shape, jnp.float32,
                                    minval=-1.0, maxval=1.0)
             return (u * scale[:, None]).astype(config.embedding_dtype)
