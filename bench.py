@@ -463,10 +463,13 @@ def _bench_fs128(rng, log):
                     f"(compile+measure {time.perf_counter()-t0:.0f}s)")
                 out[f"fs128_sgd_block{Kb}_examples_per_s"] = round(
                     B / tb, 1)
-                del kd, ks, kl, blk
             except Exception as e:  # pragma: no cover - device HBM
                 log(f"fs128 block failed: {type(e).__name__}: {e}")
                 out["fs128_block_error"] = f"{type(e).__name__}: {e}"
+            finally:
+                # drop the block payload references even on the OOM this
+                # guard exists for — the pallas measurement follows
+                kd = ks = kl = blk = None  # noqa: F841
         del params, step
     return out
 

@@ -132,6 +132,30 @@ def forward_from_pooled(dense_params: dict, pooled: jax.Array,
     return out[:, 0]
 
 
+def loss_from_pooled(dense_params: dict, pooled: jax.Array,
+                     dense: jax.Array, labels: jax.Array,
+                     config: DLRMConfig) -> jax.Array:
+    """BCE loss of the dense tower given pooled embeddings — the ONE
+    loss closure every training path (single-chip, sharded, blocks,
+    two-tier) must use, so ``config.remat`` covers them all.
+
+    remat: jax.checkpoint around the dense tower recomputes the
+    interaction + MLP activations (the largest per-batch buffers) on
+    backward instead of storing them — the standard FLOPs-for-HBM trade
+    for big batches / feature sizes.  Semantically the identity (grad
+    parity tested)."""
+    from dlrm_tpu.ops.loss import bce_loss
+
+    if config.remat:
+        def fwd(dp, p, d):
+            return forward_from_pooled(dp, p, d, config)
+
+        out = jax.checkpoint(fwd)(dense_params, pooled, dense)
+    else:
+        out = forward_from_pooled(dense_params, pooled, dense, config)
+    return bce_loss(out, labels)
+
+
 def forward(params: dict, dense: jax.Array, sparse: jax.Array,
             config: DLRMConfig) -> jax.Array:
     """Full forward: (dense (B,13), sparse ids (B,T[,H])) -> CTR (B,).

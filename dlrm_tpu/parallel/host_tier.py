@@ -306,8 +306,9 @@ def _tier_forward_backward(dense_params, emb_dev, emb_host, dense, sparse,
             [g if g.ndim == 3 else jnp.sum(g, axis=2) for g in gathered],
             axis=1)
         pooled = jnp.take(pooled, inv, axis=1)
-        out = model_lib.forward_from_pooled(dp, pooled, dense, config)
-        return bce_loss(out, labels)
+        # the shared loss closure: config.remat covers this path too
+        return model_lib.loss_from_pooled(dp, pooled, dense, labels,
+                                          config)
 
     loss, (dgrads, d_gathered) = jax.value_and_grad(
         inner, argnums=(0, 1))(dense_params, gathered)

@@ -41,20 +41,8 @@ def init_train_state(key: jax.Array, config: DLRMConfig) -> TrainState:
 
 
 def _loss_from_pooled(dense_params, pooled, dense, labels, config):
-    if config.remat:
-        # rematerialize the dense tower on backward: activations
-        # (interaction + top-MLP hiddens, the largest per-batch buffers)
-        # are recomputed instead of stored — the standard FLOPs-for-HBM
-        # trade for big batches / big feature sizes.  Semantically the
-        # identity (grad parity tested).
-        def fwd(dp, p, d):
-            return model_lib.forward_from_pooled(dp, p, d, config)
-
-        out = jax.checkpoint(fwd)(dense_params, pooled, dense)
-    else:
-        out = model_lib.forward_from_pooled(dense_params, pooled, dense,
-                                            config)
-    return bce_loss(out, labels)
+    return model_lib.loss_from_pooled(dense_params, pooled, dense, labels,
+                                      config)
 
 
 def train_step(params: dict, dense: jax.Array, sparse: jax.Array,

@@ -40,6 +40,8 @@ DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
 COLLECTIVES = ("all-to-all", "all-gather", "all-reduce", "reduce-scatter",
                "collective-permute")
 
+AUDIT_ROWS = 4000  # scaled-down rows; volumes don't depend on rows
+
 
 def _shape_bytes(type_str: str) -> int:
     """Bytes of an HLO type string like 'f32[8,4096,16]' or a tuple
@@ -58,16 +60,29 @@ def _shape_bytes(type_str: str) -> int:
 
 def _parse_groups(line: str):
     """Replica groups of one collective: list of device-id lists, or None
-    when absent.  Handles both the explicit ``{{0,1},{2,3}}`` form and
-    the iota ``[n,m]`` form (n groups of m consecutive global ids)."""
+    when absent.  Handles the explicit ``{{0,1},{2,3}}`` form and the v2
+    iota form ``[n,m]`` / ``[n,m]<=[d0,d1]T(p0,p1)`` (device ids = iota
+    over the ``<=`` dims, transposed by T, reshaped (n, m) — XLA may
+    print strided groups this way, so decoding it wrong would silently
+    misclassify DCN traffic as ICI)."""
     m = re.search(r"replica_groups=(\{\{[^}]*\}(?:,\{[^}]*\})*\}"
-                  r"|\[[\d,]*\])", line)
+                  r"|\[[\d,]*\](?:<=\[[\d,]*\](?:T\([\d,]*\))?)?)", line)
     if not m:
         return None
     s = m.group(1)
     if s.startswith("["):
-        n, sz = (int(x) for x in s[1:-1].split(","))
-        return [list(range(g * sz, (g + 1) * sz)) for g in range(n)]
+        head = re.match(r"\[([\d,]*)\]", s)
+        n, sz = (int(x) for x in head.group(1).split(","))
+        suffix = s[head.end():]
+        ids = np.arange(n * sz)
+        if suffix:
+            sm = re.match(r"<=\[([\d,]*)\](?:T\(([\d,]*)\))?", suffix)
+            dims = [int(x) for x in sm.group(1).split(",")]
+            ids = ids.reshape(dims)
+            if sm.group(2):
+                perm = [int(x) for x in sm.group(2).split(",")]
+                ids = ids.transpose(perm)
+        return [list(map(int, g)) for g in ids.reshape(n, sz)]
     return [[int(x) for x in g.split(",") if x]
             for g in re.findall(r"\{([\d,]*)\}", s[1:-1])]
 
@@ -96,11 +111,21 @@ def collect_collectives(hlo_text: str, ici: int = None):
     the HLO (fusion-proof: collectives are never fused into other ops).
     ``axis`` classifies which mesh axis the op rides when ``ici`` (the
     ICI-axis length of a (dcn, ici) grid) is given."""
+    unknown = re.findall(r"\b(ragged-all-to-all|collective-broadcast"
+                         r"|all-to-all-start)\b", hlo_text)
+    if unknown:
+        raise NotImplementedError(
+            f"HLO contains unmodeled collectives {sorted(set(unknown))}; "
+            "extend scaling_audit before trusting its totals")
     out = []
     for m in re.finditer(
             r"=\s+((?:\([^)]*\)|\S+))\s+(%?)("
-            + "|".join(COLLECTIVES) + r")(\.\d+)?\(([^\n]*)", hlo_text):
-        type_str, kind, line = m.group(1), m.group(3), m.group(5)
+            + "|".join(COLLECTIVES) + r")(-start|-done)?(\.\d+)?\(([^\n]*)",
+            hlo_text):
+        type_str, kind, async_part, line = (m.group(1), m.group(3),
+                                            m.group(4), m.group(6))
+        if async_part == "-done":
+            continue  # async pair: counted once, at the matching -start
         groups = _parse_groups(line)
         gsz = max(len(g) for g in groups) if groups else 0
         axis = _group_axis(groups, ici) if (groups and ici) else "-"
@@ -130,37 +155,33 @@ def link_bytes(kind: str, result_bytes: int, n: int) -> float:
     return float(result_bytes)  # collective-permute
 
 
-def audit(n_devices: int, batch_per_chip: int, feature_size: int = 16,
-          row_shard: bool = False):
+def _lower_step_hlo(mesh, placement, batch_per_chip: int,
+                    feature_size: int):
+    """Build the production-shaped model on ``mesh``/``placement``, lower
+    one hybrid train step, and return the optimized HLO text.
+
+    Production MLP shapes + feature size + 26 tables; scaled-down rows
+    (collective volumes don't depend on rows — see module docstring)."""
     import jax
     import jax.numpy as jnp
     import dlrm_tpu
     from dlrm_tpu.parallel import embedding as pemb
-    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                        param_shardings)
-    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.parallel.mesh import batch_sharding, param_shardings
     from dlrm_tpu.train.train import sharded_train_step
 
-    # production MLP shapes + feature size + 26 tables; scaled-down rows
-    # (collective volumes don't depend on rows — see module docstring)
-    rows = 4000
     config = dlrm_tpu.DLRMConfig(
         bottom_mlp_sizes=(13, 512, 256, feature_size),
         top_mlp_sizes=(1024, 1024, 512, 256, 1),
         feature_size=feature_size,
-        table_sizes=(rows,) * 26,
+        table_sizes=(AUDIT_ROWS,) * 26,
         small_table_threshold=0,  # production deep tables: gather path
     )
-    mesh = make_mesh(n_devices)
-    p = plan_placement(
-        config.table_sizes, n_devices, pack=config.pack,
-        max_rows_per_shard=rows // 2 if row_shard else None)
     params = dlrm_tpu.init_params(jax.random.key(0), config)
     sh = {"bottom": params["bottom"],
-          "emb": pemb.shard_tables(params["emb"], p, config),
+          "emb": pemb.shard_tables(params["emb"], placement, config),
           "top": params["top"]}
     sh = jax.device_put(sh, param_shardings(mesh, sh))
-    b = batch_per_chip * n_devices
+    b = batch_per_chip * mesh.devices.size
     rng = np.random.default_rng(0)
     bs = batch_sharding(mesh)
     dense = jax.device_put(jnp.asarray(
@@ -170,10 +191,28 @@ def audit(n_devices: int, batch_per_chip: int, feature_size: int = 16,
         axis=1).astype(np.int32)), bs)
     labels = jax.device_put(jnp.asarray(
         (rng.random(b) > 0.5).astype(np.float32)), bs)
-
     step = functools.partial(sharded_train_step, config=config, lr=0.1,
-                             mesh=mesh, placement=p, axis="d")
-    hlo = jax.jit(step).lower(sh, dense, sparse, labels).compile().as_text()
+                             mesh=mesh, placement=placement, axis="d")
+    return jax.jit(step).lower(sh, dense, sparse,
+                               labels).compile().as_text()
+
+
+def audit(n_devices: int, batch_per_chip: int, feature_size: int = 16,
+          row_shard: bool = False):
+    import dlrm_tpu
+    from dlrm_tpu.parallel.mesh import make_mesh
+    from dlrm_tpu.parallel.placement import plan_placement
+
+    config_pack = dlrm_tpu.DLRMConfig(
+        bottom_mlp_sizes=(13, 512, 256, feature_size),
+        top_mlp_sizes=(1024, 1024, 512, 256, 1),
+        feature_size=feature_size,
+        table_sizes=(AUDIT_ROWS,) * 26).pack
+    mesh = make_mesh(n_devices)
+    p = plan_placement(
+        (AUDIT_ROWS,) * 26, n_devices, pack=config_pack,
+        max_rows_per_shard=AUDIT_ROWS // 2 if row_shard else None)
+    hlo = _lower_step_hlo(mesh, p, batch_per_chip, feature_size)
     cols = collect_collectives(hlo)
     by_kind = defaultdict(lambda: [0, 0.0])
     total_link = 0.0
@@ -193,43 +232,18 @@ def audit_hybrid(dcn: int, ici: int, batch_per_chip: int,
     Quantifies the compressed `_dcn_fold` claim — DCN carries (ids,
     grad-rows) pairs proportional to the batch, never table-sized
     payloads."""
-    import jax
-    import jax.numpy as jnp
     import dlrm_tpu
-    from dlrm_tpu.parallel import embedding as pemb
-    from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh_2d,
-                                        param_shardings)
+    from dlrm_tpu.parallel.mesh import make_mesh_2d
     from dlrm_tpu.parallel.placement import plan_placement
-    from dlrm_tpu.train.train import sharded_train_step
 
-    rows = 4000
-    config = dlrm_tpu.DLRMConfig(
+    config_pack = dlrm_tpu.DLRMConfig(
         bottom_mlp_sizes=(13, 512, 256, feature_size),
         top_mlp_sizes=(1024, 1024, 512, 256, 1),
         feature_size=feature_size,
-        table_sizes=(rows,) * 26,
-        small_table_threshold=0,
-    )
+        table_sizes=(AUDIT_ROWS,) * 26).pack
     mesh = make_mesh_2d(dcn, ici)
-    p = plan_placement(config.table_sizes, ici, pack=config.pack)
-    params = dlrm_tpu.init_params(jax.random.key(0), config)
-    sh = {"bottom": params["bottom"],
-          "emb": pemb.shard_tables(params["emb"], p, config),
-          "top": params["top"]}
-    sh = jax.device_put(sh, param_shardings(mesh, sh))
-    b = batch_per_chip * dcn * ici
-    rng = np.random.default_rng(0)
-    bs = batch_sharding(mesh)
-    dense = jax.device_put(jnp.asarray(
-        rng.normal(size=(b, 13)).astype(np.float32)), bs)
-    sparse = jax.device_put(jnp.asarray(np.stack(
-        [rng.integers(0, s, size=b) for s in config.table_sizes],
-        axis=1).astype(np.int32)), bs)
-    labels = jax.device_put(jnp.asarray(
-        (rng.random(b) > 0.5).astype(np.float32)), bs)
-    step = functools.partial(sharded_train_step, config=config, lr=0.1,
-                             mesh=mesh, placement=p, axis="d")
-    hlo = jax.jit(step).lower(sh, dense, sparse, labels).compile().as_text()
+    p = plan_placement((AUDIT_ROWS,) * 26, ici, pack=config_pack)
+    hlo = _lower_step_hlo(mesh, p, batch_per_chip, feature_size)
     per_axis = defaultdict(lambda: defaultdict(lambda: [0, 0.0]))
     totals = defaultdict(float)
     for kind, rb, gsz, axis in collect_collectives(hlo, ici=ici):
@@ -257,7 +271,7 @@ def main():
     args = ap.parse_args()
 
     import os
-    need = max(args.mesh)
+    need = max(args.mesh, default=1)
     if args.hybrid:
         need = max(need, args.hybrid[0] * args.hybrid[1])
     flags = os.environ.get("XLA_FLAGS", "")

@@ -403,3 +403,28 @@ def test_pipelined_host_prefetch_matches_inline():
         for a, c in zip(inline[side], piped[side]):
             np.testing.assert_array_equal(np.asarray(a["w"]),
                                           np.asarray(c["w"]))
+
+
+def test_tiered_step_remat_identity():
+    """config.remat must cover the two-tier path too (it routes through
+    the shared models.dlrm.loss_from_pooled): bit-equal loss and merged
+    tables vs the non-remat tiered step."""
+    import dataclasses
+
+    config, params, batch = _setup()
+    config_r = dataclasses.replace(config, remat=True)
+    plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
+
+    def run(cfg):
+        tiered = ht.init_tiered_params(jax.tree.map(np.asarray, params),
+                                       plan, cfg)
+        step = ht.make_tiered_train_step(cfg, 0.1, plan)
+        new, loss = step(tiered, jnp.asarray(batch["dense"]),
+                         jnp.asarray(batch["sparse"]),
+                         jnp.asarray(batch["labels"]))
+        return float(loss), ht.merge_tiers(new["emb_dev"],
+                                           new["emb_host"], plan, cfg)
+
+    (l1, m1), (l2, m2) = run(config), run(config_r)
+    assert l1 == l2
+    np.testing.assert_array_equal(m1, m2)

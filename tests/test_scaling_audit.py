@@ -2,9 +2,11 @@
 (the SCALING.md numbers are reproducible) and the classifier puts the
 hybrid mesh's folded update on the DCN axis."""
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # repo root (portable, like conftest)
 
 from scaling_audit import (_group_axis, _parse_groups, _shape_bytes,
                            audit, audit_hybrid, link_bytes)
@@ -17,6 +19,12 @@ def test_hlo_parsing_helpers():
                                                                 [1, 5]]
     assert _parse_groups("replica_groups=[2,4], y") == [[0, 1, 2, 3],
                                                         [4, 5, 6, 7]]
+    # v2 iota with transpose: strided (DCN-axis) groups on a 2x4 grid —
+    # decoding this wrong would silently classify DCN traffic as ICI
+    assert _parse_groups("replica_groups=[4,2]<=[2,4]T(1,0), z") == [
+        [0, 4], [1, 5], [2, 6], [3, 7]]
+    assert _parse_groups("replica_groups=[1,8]<=[8], w") == [
+        list(range(8))]
     # (dcn=2, ici=4) grid: rows {0..3} / {4..7}
     assert _group_axis([[0, 1, 2, 3], [4, 5, 6, 7]], ici=4) == "ici"
     assert _group_axis([[0, 4], [1, 5]], ici=4) == "dcn"
