@@ -428,3 +428,41 @@ def test_tiered_step_remat_identity():
     (l1, m1), (l2, m2) = run(config), run(config_r)
     assert l1 == l2
     np.testing.assert_array_equal(m1, m2)
+
+
+def test_tiered_step_at_fs128_pack1():
+    """The f32 fs=128 Kaggle config only fits a 16 GB chip via the host
+    tier (17.3 GB of tables): guard the tiered step at the fs=128 shape
+    — pack=1, 128-lane physical rows — against the all-device oracle."""
+    import dataclasses
+
+    config = dataclasses.replace(
+        dlrm_tpu.tiny_config(num_tables=4, rows=64, feature_size=128),
+        table_sizes=(64, 1000, 16, 2048),
+        bottom_mlp_sizes=(13, 32, 128))
+    assert config.pack == 1 and config.is_packed
+    params = dlrm_tpu.init_params(jax.random.key(2), config)
+    rng = np.random.default_rng(2)
+    batch = synthetic.random_batch(rng, config, 32)
+
+    plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
+    assert plan.host_tables  # the deep tables actually spilled
+    tiered = ht.init_tiered_params(jax.tree.map(np.asarray, params), plan,
+                                   config)
+    ref_step = dlrm_tpu.make_jit_train_step(config, lr=0.1)
+    ref_params, ref_loss = ref_step(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(batch["dense"]),
+        jnp.asarray(batch["sparse"]), jnp.asarray(batch["labels"]))
+    step = ht.make_tiered_train_step(config, 0.1, plan)
+    new_tiered, loss = step(tiered, jnp.asarray(batch["dense"]),
+                            jnp.asarray(batch["sparse"]),
+                            jnp.asarray(batch["labels"]))
+    np.testing.assert_allclose(float(loss), float(ref_loss), atol=1e-6)
+    from dlrm_tpu.ops import embedding as emb_ops
+    merged = ht.merge_tiers(new_tiered["emb_dev"], new_tiered["emb_host"],
+                            plan, config)
+    np.testing.assert_allclose(
+        merged,
+        emb_ops.unpack_tables(
+            jax.tree.map(np.asarray, ref_params["emb"]), config),
+        atol=1e-5)
