@@ -94,6 +94,26 @@ def checkpoint_metadata(ckpt_dir: str, *, step: Optional[int] = None):
     return _abstract_from_metadata(md)["params"]
 
 
+def _abstract_template(template, shardings):
+    """ShapeDtypeStruct tree from a template (+ optional shardings).
+    ``shardings`` without ``template`` would be silently dropped by the
+    metadata-driven branch — reject it loudly."""
+    if template is None:
+        if shardings is not None:
+            raise ValueError(
+                "shardings requires template (a metadata-driven restore "
+                "would silently ignore the shardings and materialize "
+                "host-replicated arrays)")
+        return None
+    if shardings is not None:
+        return jax.tree.map(
+            lambda x, s: jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                              sharding=s),
+            template, shardings)
+    return jax.tree.map(lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                        template)
+
+
 def restore_checkpoint(ckpt_dir: str, *, step: Optional[int] = None,
                        template: Any = None, shardings: Any = None):
     """Restore (params, step) from ``ckpt_dir``.
@@ -118,20 +138,12 @@ def restore_checkpoint(ckpt_dir: str, *, step: Optional[int] = None,
     # layouts so save_checkpoint and CheckpointManager interoperate.
     if os.path.isdir(os.path.join(path, "default")):
         path = os.path.join(path, "default")
+    abstract = _abstract_template(template, shardings)
     with ocp.StandardCheckpointer() as ckptr:
-        if template is None:
+        if abstract is None:
             md = ckptr.metadata(path).item_metadata.tree
             state = ckptr.restore(path, _abstract_from_metadata(md))
         else:
-            if shardings is not None:
-                abstract = jax.tree.map(
-                    lambda x, s: jax.ShapeDtypeStruct(
-                        x.shape, x.dtype, sharding=s),
-                    template, shardings)
-            else:
-                abstract = jax.tree.map(
-                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                    template)
             state = ckptr.restore(path, _as_state(abstract, 0))
     return state["params"], int(state["step"])
 
@@ -178,23 +190,19 @@ class CheckpointManager:
         step = self._mgr.latest_step()
         if step is None:
             return None
-        if template is None:
-            path = os.path.join(self.ckpt_dir, str(step), "default")
+        abstract = _abstract_template(template, shardings)
+        if abstract is None:
+            # accept both layouts (flat save_checkpoint dirs and the
+            # manager's <step>/default nesting), like restore_checkpoint;
+            # restore through the resolved path too — the manager's own
+            # restore assumes its nested layout
+            path = os.path.join(self.ckpt_dir, str(step))
+            if os.path.isdir(os.path.join(path, "default")):
+                path = os.path.join(path, "default")
             with ocp.StandardCheckpointer() as ckptr:
                 md = ckptr.metadata(path).item_metadata.tree
-            state = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(
-                    _abstract_from_metadata(md)))
+                state = ckptr.restore(path, _abstract_from_metadata(md))
         else:
-            if shardings is not None:
-                abstract = jax.tree.map(
-                    lambda x, s: jax.ShapeDtypeStruct(
-                        x.shape, x.dtype, sharding=s),
-                    template, shardings)
-            else:
-                abstract = jax.tree.map(
-                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                    template)
             state = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(_as_state(abstract, 0)))
         return state["params"], int(state["step"])

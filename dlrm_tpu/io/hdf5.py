@@ -57,10 +57,8 @@ def load_params(path: str) -> Tuple[dict, DLRMConfig]:
     """Load a PyTorch-exported model into our parameter pytree + config."""
     assert h5py is not None, "h5py required for HDF5 model loading"
     with h5py.File(path, "r") as f:
-        emb_names = sorted(
-            (k for k in f.keys()
-             if k.startswith("emb") and not k.startswith("update")),
-            key=_natural_key)
+        emb_names = sorted((k for k in f.keys() if k.startswith("emb")),
+                           key=_natural_key)
         tables = [np.asarray(f[n]) for n in emb_names]
         bottom = _mlp_from_file(f, "bot_")
         top = _mlp_from_file(f, "top_")
@@ -71,6 +69,19 @@ def load_params(path: str) -> Tuple[dict, DLRMConfig]:
             h = np.asarray(f["input_emb_0"]).shape[0] // b
 
     feature_size = tables[0].shape[1]
+    num_tables = len(tables)
+    # infer interaction padding from the top MLP's input width: the
+    # config computes top_input = fs + F(F-1)/2 rounded up to
+    # interaction_pad_to, so a file exported from a --pad-to run carries
+    # a wider first top layer than the raw width (round-trip would
+    # otherwise silently rebuild a mismatched topology)
+    raw_top_in = feature_size + (num_tables + 1) * num_tables // 2
+    file_top_in = top[0]["w"].shape[0]
+    if file_top_in < raw_top_in:
+        raise ValueError(
+            f"top MLP input width {file_top_in} is smaller than the "
+            f"interaction output {raw_top_in} implied by {num_tables} "
+            "tables — not a DLRM export this loader understands")
     config = DLRMConfig(
         bottom_mlp_sizes=tuple(l["w"].shape[0] for l in bottom)
         + (bottom[-1]["w"].shape[1],),
@@ -78,12 +89,19 @@ def load_params(path: str) -> Tuple[dict, DLRMConfig]:
         feature_size=feature_size,
         table_sizes=tuple(t.shape[0] for t in tables),
         n_hot=h,
+        # round_up(raw, W) == W for any W >= raw, so the padded width
+        # itself serves as the multiple (the model only depends on the
+        # resulting width, not on which multiple produced it)
+        interaction_pad_to=(file_top_in if file_top_in > raw_top_in
+                            else 1),
     )
     from dlrm_tpu.ops import embedding as emb_ops
 
+    stacked = np.concatenate(tables, axis=0)
+    del tables  # drop the per-table copies before packing (peak memory)
     params = {
         "bottom": bottom,
-        "emb": emb_ops.pack_tables(np.concatenate(tables, axis=0), config),
+        "emb": emb_ops.pack_tables(stacked, config),
         "top": top,
     }
     return params, config

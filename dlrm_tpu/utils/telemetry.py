@@ -36,7 +36,13 @@ def donothing(sym: str) -> None:  # reference default cb (utils.jl:27)
 
 
 class Recorder:
-    """Timestamps every phase symbol; summarizes ns per phase."""
+    """Timestamps every phase symbol; summarizes ns per phase.
+
+    Attach only AFTER one warm-up step of the trainer: each phase's
+    first execution includes its jit trace+compile (hundreds of ms), so
+    recording from a cold trainer folds compile time into the phase
+    means.  ``cmd_instrument`` passes a no-op callback for step 0 for
+    exactly this reason."""
 
     def __init__(self):
         self.events: List[tuple] = []

@@ -111,3 +111,60 @@ def test_model_zoo_constants_and_size_math():
     f = dlrm_tpu.fixture_config()
     m = dlrm_tpu.multi_fixture_config()
     assert f.table_sizes == (1000,) * 7 and f.n_hot == 1 and m.n_hot == 10
+
+
+def test_hdf5_roundtrip_preserves_interaction_padding(tmp_path):
+    """A model exported from a --pad-to run must reload with the same
+    (padded) topology: load_params infers the padding from the top MLP's
+    input width, so forward() reproduces the original outputs exactly."""
+    import dataclasses
+    import dlrm_tpu
+
+    config = dataclasses.replace(
+        dlrm_tpu.tiny_config(num_tables=4, rows=32, feature_size=8),
+        interaction_pad_to=64)
+    params = dlrm_tpu.init_params(jax.random.key(4), config)
+    path = str(tmp_path / "m.h5")
+    h5io.save_params(path, params, config)
+    params2, config2 = h5io.load_params(path)
+    # raw width 8 + 5*4/2 = 18 -> padded to 64; reloaded config must
+    # reproduce the padded width (the multiple itself is not recoverable
+    # and does not matter — only the width does)
+    assert config2.top_input == config.top_input == 64
+    rng = np.random.default_rng(0)
+    dense = jnp.asarray(rng.normal(size=(16, 13)).astype(np.float32))
+    sparse = jnp.asarray(np.stack(
+        [rng.integers(0, s, size=16) for s in config.table_sizes],
+        axis=1).astype(np.int32))
+    np.testing.assert_allclose(
+        np.asarray(model_lib.forward(params, dense, sparse, config)),
+        np.asarray(model_lib.forward(
+            jax.tree.map(jnp.asarray, params2), dense, sparse, config2)),
+        atol=1e-6)
+
+
+def test_checkpoint_layout_interop(tmp_path):
+    """save_checkpoint's flat <dir>/<step> layout and CheckpointManager's
+    <step>/default nesting restore through BOTH entry points, and
+    shardings-without-template is rejected loudly."""
+    import dlrm_tpu
+    from dlrm_tpu.io.checkpoint import (CheckpointManager,
+                                        restore_checkpoint,
+                                        save_checkpoint)
+
+    config = dlrm_tpu.tiny_config(num_tables=3, rows=16, feature_size=8)
+    params = dlrm_tpu.init_params(jax.random.key(0), config)
+    flat = str(tmp_path / "flat")
+    save_checkpoint(flat, 5, params)
+    # module-level restore (already supported)
+    p1, step1 = restore_checkpoint(flat)
+    assert step1 == 5
+    # manager restore over the flat layout (the interop fix)
+    mgr = CheckpointManager(flat, save_interval=1)
+    p2, step2 = mgr.restore_latest()
+    mgr.close()
+    assert step2 == 5
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="shardings requires template"):
+        restore_checkpoint(flat, shardings={"x": None})
