@@ -36,6 +36,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.dlrm_parse_buffer.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
         ]
         lib.dlrm_marshal_batch.restype = None
         lib.dlrm_marshal_batch.argtypes = [
@@ -74,7 +75,13 @@ def build() -> bool:
                        capture_output=True)
         _load_failed = False
         return _load() is not None
-    except (subprocess.CalledProcessError, FileNotFoundError):
+    except FileNotFoundError:
+        return False
+    except subprocess.CalledProcessError as e:
+        # surface the compiler's complaint — a bare False hides why
+        import sys
+        print(f"native build failed:\n{e.stderr.decode(errors='replace')}",
+              file=sys.stderr)
         return False
 
 
@@ -93,10 +100,18 @@ def parse_buffer(text: bytes, num_threads: int = 0) -> np.ndarray:
         num_threads = min(os.cpu_count() or 1, 16)
     capacity = text.count(b"\n") + 2
     out = np.zeros(capacity, dtype=DAC_DTYPE)
+    err_off = ctypes.c_int64(-1)
     n = lib.dlrm_parse_buffer(
         text, len(text), out.ctypes.data_as(ctypes.c_void_p), capacity,
-        num_threads)
+        num_threads, ctypes.byref(err_off))
     if n < 0:
+        if err_off.value >= 0:
+            line_no = text.count(b"\n", 0, err_off.value) + 1
+            snippet = text[err_off.value:err_off.value + 80]
+            raise ValueError(
+                f"native parser: malformed Criteo line {line_no} "
+                f"(byte offset {err_off.value} of this chunk): "
+                f"{snippet!r}")
         raise ValueError("native parser: malformed Criteo line")
     # slice VIEW, not copy: capacity exceeds n by <= 2 rows + blank
     # lines, while a copy would add a full extra pass over ~hundreds of
@@ -133,6 +148,10 @@ def build_vocab_and_reindex(records: np.ndarray, *,
         # the C++ side reads AND writes len(records) x 160-byte DacRecords
         # — a wrong dtype would make it stride past the allocation
         raise ValueError(f"records must be DAC_DTYPE, got {records.dtype}")
+    if reindex and not records.flags["WRITEABLE"]:
+        # check BEFORE the build: discovering it after minutes of
+        # Terabyte-scale vocabulary work wastes the whole pass
+        raise ValueError("records must be writable to reindex in place")
     cpus = os.cpu_count() or 1
     build_threads = (num_threads if num_threads > 0 else min(cpus, 26))
     # the reindex pass is row-parallel and scales past 26 columns
@@ -153,9 +172,6 @@ def build_vocab_and_reindex(records: np.ndarray, *,
                                   out.ctypes.data_as(ctypes.c_void_p))
             appear.append(out)
         if reindex:
-            if not records.flags["WRITEABLE"]:
-                raise ValueError("records must be writable to reindex "
-                                 "in place")
             rc = lib.dlrm_vocab_reindex(
                 handle, records.ctypes.data_as(ctypes.c_void_p), n,
                 reindex_threads)

@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <new>
 #include <string>
 #include <thread>
 #include <vector>
@@ -35,24 +36,40 @@ struct DacRecord {
 #pragma pack(pop)
 static_assert(sizeof(DacRecord) == 160, "record layout must be 160 bytes");
 
-// Parse a base-10 integer field ending at '\t'/'\n'/end; empty -> 0.
-inline const char* parse_i64(const char* p, const char* end, int64_t* out) {
+// Parse a base-10 integer field ending at '\t'/'\n'/end.  *digits is
+// the digit count, or -1 on overflow (>18 digits — numpy's int64
+// conversion raises there on the Python path; silently wrapping here
+// would be signed-overflow UB AND a silent divergence).  Empty (0
+// digits) is left to the caller's policy: dense fields allow it
+// (empty -> 0, criteo.jl:55), the label does not.
+inline const char* parse_i64(const char* p, const char* end, int64_t* out,
+                             int* digits) {
   int64_t v = 0;
   bool neg = false;
+  int nd = 0;
   if (p < end && *p == '-') {
     neg = true;
     ++p;
   }
   while (p < end && *p >= '0' && *p <= '9') {
+    if (++nd > 18) {
+      *digits = -1;
+      return p;
+    }
     v = v * 10 + (*p - '0');
     ++p;
   }
   *out = neg ? -v : v;
+  *digits = nd;
   return p;
 }
 
-// Parse a base-16 field; empty -> 0.
-inline const char* parse_hex(const char* p, const char* end, uint32_t* out) {
+// Parse a base-16 field; empty -> 0.  Values over 32 bits are malformed
+// (*ok = false) — the Python path raises OverflowError there; silently
+// truncating to the low 32 bits would corrupt ids on only one path.
+// Leading zeros are fine (the value, not the digit count, is bounded).
+inline const char* parse_hex(const char* p, const char* end, uint32_t* out,
+                             bool* ok) {
   uint64_t v = 0;
   while (p < end) {
     char c = *p;
@@ -62,22 +79,32 @@ inline const char* parse_hex(const char* p, const char* end, uint32_t* out) {
     else if (c >= 'A' && c <= 'F') d = c - 'A' + 10;
     else break;
     v = (v << 4) | d;
+    if (v > 0xFFFFFFFFull) {
+      *ok = false;
+      return p;
+    }
     ++p;
   }
   *out = static_cast<uint32_t>(v);
+  *ok = true;
   return p;
 }
 
 // Parse one line [p, nl) into rec. Returns false on malformed line.
 bool parse_line(const char* p, const char* nl, DacRecord* rec) {
   int64_t label;
-  p = parse_i64(p, nl, &label);
+  int nd;
+  p = parse_i64(p, nl, &label, &nd);
+  // the label must actually be present (Python: int('') raises) and fit
+  // int32 (numpy's i4 field assignment raises past that)
+  if (nd <= 0 || label > INT32_MAX || label < INT32_MIN) return false;
   if (p >= nl || *p != '\t') return false;
   ++p;
   rec->label = static_cast<int32_t>(label);
   for (int i = 0; i < kDense; ++i) {
     int64_t v;
-    p = parse_i64(p, nl, &v);
+    p = parse_i64(p, nl, &v, &nd);
+    if (nd < 0) return false;  // overflow
     if (p >= nl || *p != '\t') return false;
     ++p;
     // Compute in double, round once to f32 — keeps the C++ and numpy
@@ -86,7 +113,9 @@ bool parse_line(const char* p, const char* nl, DacRecord* rec) {
     rec->dense[i] = static_cast<float>(std::log1p(x));
   }
   for (int i = 0; i < kSparse; ++i) {
-    p = parse_hex(p, nl, &rec->cat[i]);
+    bool ok;
+    p = parse_hex(p, nl, &rec->cat[i], &ok);
+    if (!ok) return false;
     if (i + 1 < kSparse) {
       if (p >= nl || *p != '\t') return false;
       ++p;
@@ -96,8 +125,10 @@ bool parse_line(const char* p, const char* nl, DacRecord* rec) {
 }
 
 // Parse text[lo, hi) (must start/end at line boundaries) into out.
+// On a malformed line, returns -1 and stores the line's byte offset
+// (relative to `text`) in *err_off so the caller can locate it.
 int64_t parse_span(const char* text, size_t lo, size_t hi,
-                   std::vector<DacRecord>* out) {
+                   std::vector<DacRecord>* out, int64_t* err_off) {
   const char* p = text + lo;
   const char* end = text + hi;
   while (p < end) {
@@ -105,7 +136,10 @@ int64_t parse_span(const char* text, size_t lo, size_t hi,
     if (nl == nullptr) nl = end;
     if (nl > p) {
       DacRecord rec;
-      if (!parse_line(p, nl, &rec)) return -1;
+      if (!parse_line(p, nl, &rec)) {
+        *err_off = static_cast<int64_t>(p - text);
+        return -1;
+      }
       out->push_back(rec);
     }
     p = nl + 1;
@@ -188,20 +222,35 @@ extern "C" {
 void* dlrm_vocab_build(const void* records, int64_t n,
                        int32_t num_threads) {
   const auto* recs = static_cast<const DacRecord*>(records);
-  auto* v = new Vocab();
+  auto* v = new (std::nothrow) Vocab();
+  if (v == nullptr) return nullptr;
   if (num_threads < 1) num_threads = 1;
   if (num_threads > kSparse) num_threads = kSparse;
   std::vector<std::thread> threads;
+  std::vector<int32_t> failed(num_threads, 0);
   for (int t = 0; t < num_threads; ++t) {
-    threads.emplace_back([=]() {
-      for (int j = t; j < kSparse; j += num_threads) {
-        ColMap& m = v->cols[j];
-        m.init(1024);
-        for (int64_t i = 0; i < n; ++i) m.get_or_add(recs[i].cat[j]);
+    threads.emplace_back([=, &failed]() {
+      // an exception escaping a std::thread is std::terminate — a
+      // bad_alloc during a Terabyte-scale build must surface as a NULL
+      // handle (Python raises RuntimeError), not kill the process
+      try {
+        for (int j = t; j < kSparse; j += num_threads) {
+          ColMap& m = v->cols[j];
+          m.init(1024);
+          for (int64_t i = 0; i < n; ++i) m.get_or_add(recs[i].cat[j]);
+        }
+      } catch (...) {
+        failed[t] = 1;
       }
     });
   }
   for (auto& th : threads) th.join();
+  for (int t = 0; t < num_threads; ++t) {
+    if (failed[t]) {
+      delete v;
+      return nullptr;
+    }
+  }
   return v;
 }
 
@@ -253,10 +302,14 @@ void dlrm_vocab_free(void* handle) { delete static_cast<Vocab*>(handle); }
 
 // Parse an in-memory text buffer into caller-allocated records (capacity
 // records).  Multithreaded: the buffer is split at line boundaries.
-// Returns the number of records written, or -1 on parse error / overflow.
+// Returns the number of records written, or -1 on parse error /
+// overflow; on a malformed line, *err_off (when non-NULL) receives the
+// byte offset of the line's start within `text` (else -1) so a bad line
+// hours into a 45 GB day file is locatable.
 int64_t dlrm_parse_buffer(const char* text, int64_t text_len,
                           void* records_out, int64_t capacity,
-                          int32_t num_threads) {
+                          int32_t num_threads, int64_t* err_off) {
+  if (err_off != nullptr) *err_off = -1;
   if (num_threads < 1) num_threads = 1;
   size_t len = static_cast<size_t>(text_len);
   // Split points at line boundaries.
@@ -271,11 +324,17 @@ int64_t dlrm_parse_buffer(const char* text, int64_t text_len,
 
   std::vector<std::vector<DacRecord>> parts(num_threads);
   std::vector<int64_t> status(num_threads, 0);
+  std::vector<int64_t> offs(num_threads, -1);
   std::vector<std::thread> threads;
   for (int t = 0; t < num_threads; ++t) {
     threads.emplace_back([&, t]() {
-      if (splits[t + 1] > splits[t]) {
-        status[t] = parse_span(text, splits[t], splits[t + 1], &parts[t]);
+      try {
+        if (splits[t + 1] > splits[t]) {
+          status[t] = parse_span(text, splits[t], splits[t + 1],
+                                 &parts[t], &offs[t]);
+        }
+      } catch (...) {
+        status[t] = -1;  // bad_alloc etc.: fail the call, not the process
       }
     });
   }
@@ -283,7 +342,10 @@ int64_t dlrm_parse_buffer(const char* text, int64_t text_len,
 
   int64_t total = 0;
   for (int t = 0; t < num_threads; ++t) {
-    if (status[t] < 0) return -1;
+    if (status[t] < 0) {
+      if (err_off != nullptr) *err_off = offs[t];
+      return -1;
+    }
     total += static_cast<int64_t>(parts[t].size());
   }
   if (total > capacity) return -1;

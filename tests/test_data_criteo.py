@@ -374,3 +374,45 @@ def test_loader_random_access_getitem(text_lines):
         lr[2]["labels"],
         criteo.DACLoader(data[:80], 16, use_native=False)[2]
         ["labels"][4:12])
+
+
+def test_native_parser_strictness_matches_python():
+    """Malformed inputs that the Python path rejects must not parse
+    SILENTLY differently on the C++ path (empty label -> 0, >32-bit hex
+    ids truncated, >18-digit dense overflow were all silent divergences):
+    both paths now raise."""
+    if not native.available():
+        pytest.skip("native library not built")
+    good = "1\t" + "\t".join(["2"] * 13) + "\t" + "\t".join(["a"] * 26)
+
+    def mutate(field_i, value):
+        f = good.split("\t")
+        f[field_i] = value
+        return "\t".join(f)
+
+    bad_lines = [
+        mutate(0, ""),             # empty label
+        mutate(0, "99999999999999999999"),  # label overflow
+        mutate(5, "99999999999999999999"),  # dense overflow (>18 digits)
+        mutate(20, "fffffffff"),   # 36-bit hex id (> uint32)
+    ]
+    for line in bad_lines:
+        with pytest.raises((ValueError, OverflowError)):
+            criteo.parse_lines([line])
+        with pytest.raises(ValueError):
+            native.parse_buffer((line + "\n").encode())
+    # leading zeros in hex stay fine (value-bounded, not digit-bounded)
+    ok = mutate(20, "00000000000000ff")
+    got = native.parse_buffer((ok + "\n").encode())
+    assert int(got[0]["cat"][6]) == 0xFF
+    np.testing.assert_array_equal(got.tobytes(),
+                                  criteo.parse_lines([ok]).tobytes())
+
+
+def test_native_parser_error_reports_line_number():
+    if not native.available():
+        pytest.skip("native library not built")
+    good = "0\t" + "\t".join(["1"] * 13) + "\t" + "\t".join(["b"] * 26)
+    text = (good + "\n") * 3 + "garbage line\n" + (good + "\n")
+    with pytest.raises(ValueError, match="line 4"):
+        native.parse_buffer(text.encode())
