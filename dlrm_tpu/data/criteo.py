@@ -295,6 +295,35 @@ def process(paths, binpath: Optional[str] = None,
     return data
 
 
+def validate_ids(data: np.ndarray, table_sizes: Sequence[int], *,
+                 chunk: int = 1 << 20, one_based: bool = True) -> None:
+    """Scan every categorical id against its table size (bounded-memory
+    chunks; a Terabyte-scale mmap streams through).
+
+    The compute engine deliberately has NO per-id bound check in the hot
+    path (one compare per id on every lookup/scatter); an id past its
+    table's size but inside the table's storage chunk would silently
+    read/corrupt the NEXT table.  This scan is the loud, off-hot-path
+    guard for config/dataset mismatches — run it once per (dataset,
+    config) pairing (run.py --validate-data).
+    """
+    sizes = np.asarray(table_sizes, np.int64)
+    if sizes.shape[0] != NUM_SPARSE:
+        raise ValueError(f"expected {NUM_SPARSE} table sizes, got "
+                         f"{sizes.shape[0]}")
+    lo = 1 if one_based else 0
+    for start in range(0, len(data), chunk):
+        cat = data["cat"][start:start + chunk].astype(np.int64)
+        bad = (cat < lo) | (cat >= sizes[None, :] + lo)
+        if bad.any():
+            i, j = map(int, np.argwhere(bad)[0])
+            raise ValueError(
+                f"record {start + i}, column {j}: id {int(cat[i, j])} "
+                f"outside [{lo}, {int(sizes[j]) + lo}) — the dataset does "
+                "not match this config's table sizes (wrong --table-sizes/"
+                "--config, or the file was never vocab-reindexed)")
+
+
 class DACLoader:
     """Batched iterator over a binarized dataset.
 

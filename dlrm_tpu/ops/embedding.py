@@ -134,6 +134,11 @@ def dedup_sparse_grad(grad: SparseGrad, *, max_unique: int | None = None
     where surplus slots carry id ``-1`` and zero rows (dropped by
     ``.at[].add(mode='drop')``).  Static output shape: sort ids, segment-sum
     runs of equal ids into the position of each run head.
+
+    CALLER INVARIANT: ``max_unique`` must be >= the true number of
+    distinct ids — segment ids past it are silently dropped by
+    segment_sum (gradient mass lost, no error).  The default (the input
+    length) is always safe; every in-repo caller uses it.
     """
     n = grad.ids.shape[0]
     if max_unique is None:
@@ -366,6 +371,16 @@ def onehot_lookup(table: jax.Array, ids: jax.Array,
     onehot^T @ d_pooled — a DENSE (R, D) gradient, which is fine (and
     faster than scatter) precisely because R is small.  Multi-hot ids sum
     via the matmul itself.
+
+    Precision note: under ``compute_dtype=bfloat16`` (the --bf16 mode)
+    the table operand is bf16-rounded, so small-table lookups lose
+    mantissa bits that big tables' gathers keep — consistent with bf16
+    compute everywhere else in that mode (MLPs, interaction), but it
+    makes results discontinuous in table size at small_table_threshold.
+    f32 configs (the default) keep f32 operands with f32 accumulation
+    (preferred_element_type); bit-exactness additionally needs the MXU
+    not to round operands — validation.py pins
+    default_matmul_precision('highest') for its parity runs.
     """
     r = table.shape[0]
     oh = jax.nn.one_hot(ids, r, dtype=compute_dtype)

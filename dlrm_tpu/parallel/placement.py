@@ -142,12 +142,22 @@ def plan_placement(table_sizes: Sequence[int], num_shards: int,
     phys_sizes = tuple(-(-s // pack) for s in table_sizes)
     t = len(table_sizes)
 
-    col_sharded = tuple(sorted(int(x) for x in col_sharded_tables))
+    # dedupe + validate the index lists up front: these come straight
+    # from CLI strings, and an out-of-range host-table index used to be
+    # silently ignored (the HBM offload the flag asked for never
+    # happened), while a duplicate cs index built two full replicas
+    col_sharded = tuple(sorted(set(int(x) for x in col_sharded_tables)))
+    host_set = set(int(x) for x in host_tables)
+    for name, idxs in (("col_sharded_tables", col_sharded),
+                       ("host_tables", host_set)):
+        bad = [x for x in idxs if not 0 <= x < t]
+        if bad:
+            raise ValueError(f"{name} indices {sorted(bad)} out of range "
+                             f"for {t} tables")
     if col_sharded and pack != 1:
         raise ValueError(
             "column sharding requires pack == 1 (split lanes cannot be "
             "lane-packed); use feature_size >= 128 or packed_tables=False")
-    host_set = set(int(x) for x in host_tables)
     if host_set & set(col_sharded):
         raise ValueError("a table cannot be both host-resident and "
                          "column-sharded")

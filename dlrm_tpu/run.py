@@ -103,6 +103,11 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--chunk-budget-mb", type=int, default=None,
                    help="embedding chunk budget in MB (default: "
                    "batch-size-keyed, config.auto_chunk_budget_bytes)")
+    p.add_argument("--validate-data", action="store_true",
+                   help="scan every categorical id in --data against the "
+                   "config's table sizes before running (one streaming "
+                   "pass; catches config/dataset mismatches the hot path "
+                   "deliberately does not check)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the dense tower on backward "
                    "(jax.checkpoint): trade FLOPs for activation HBM at "
@@ -189,8 +194,12 @@ def _data_iter(args, config, *, steps: Optional[int], seed: int = 0,
     from dlrm_tpu.data.criteo import DACLoader, load
 
     if args.data:
+        dataset = load(args.data)
+        if getattr(args, "validate_data", False):
+            from dlrm_tpu.data.criteo import validate_ids
+            validate_ids(dataset, config.table_sizes)
         loader = DACLoader(
-            load(args.data), args.batch_size,
+            dataset, args.batch_size,
             drop_remainder=not getattr(args, "keep_remainder", False),
             shuffle=getattr(args, "shuffle", False),
             shuffle_rows=getattr(args, "shuffle_rows", False),

@@ -416,3 +416,21 @@ def test_native_parser_error_reports_line_number():
     text = (good + "\n") * 3 + "garbage line\n" + (good + "\n")
     with pytest.raises(ValueError, match="line 4"):
         native.parse_buffer(text.encode())
+
+
+def test_validate_ids_catches_config_mismatch(text_lines):
+    """validate_ids: the loud off-hot-path guard for ids that would
+    silently read/corrupt a NEIGHBORING table inside a shared storage
+    chunk (the engine has no per-id bound check by design)."""
+    data = criteo.parse_lines(text_lines[:50]).copy()
+    vocab = criteo.build_vocabulary([data])
+    criteo.reindex(data, vocab)
+    criteo.validate_ids(data, vocab.sizes)  # matching config: clean
+    too_small = list(vocab.sizes)
+    too_small[7] -= 1  # config claims one fewer row than the data uses
+    with pytest.raises(ValueError, match="column 7"):
+        criteo.validate_ids(data, too_small)
+    # raw (not reindexed) hex ids vs vocab sizes fail immediately
+    with pytest.raises(ValueError, match="column 0"):
+        criteo.validate_ids(criteo.parse_lines(text_lines[:50]),
+                            vocab.sizes)
