@@ -232,6 +232,10 @@ def check_storage(emb, config) -> None:
     (chunk_budget_bytes), so arrays packed under one config are silently
     wrong under another — convert via unpack -> cast -> pack_tables.
     """
+    from dlrm_tpu.ops import quant
+    if isinstance(emb, quant.QuantEmb):
+        quant.check_quant_storage(emb, config)
+        return
     if not isinstance(emb, (tuple, list)):
         if config.is_packed:
             raise ValueError(
@@ -434,7 +438,15 @@ def mixed_lookup(emb: jax.Array, ids: jax.Array, config,
     tables (one fused take, lane-packed when config.is_packed), one-hot MXU
     matmul for small ones.  Differentiable end-to-end (big-table grads
     densify under plain jax.grad — training uses the machinery in
-    train/train.py to keep them compressed)."""
+    train/train.py to keep them compressed).
+
+    Dispatches on the storage type: int8-quantized storage (ops/quant.py
+    QuantEmb, the serving path) routes to the dequantizing lookup so the
+    model forward — and everything built on it — serves quantized tables
+    unchanged."""
+    from dlrm_tpu.ops import quant
+    if isinstance(emb, quant.QuantEmb):
+        return quant.quant_mixed_lookup(emb, ids, config)
     small, big = partition_tables(config.table_sizes,
                                   config.small_table_threshold)
     if not small:

@@ -1030,6 +1030,15 @@ def _load_eval_params(args, config):
     return params, config
 
 
+def _maybe_quantize(args, params, config):
+    """Apply --quantize-tables (post-training int8) to loaded params."""
+    if getattr(args, "quantize_tables", None) == "int8":
+        from dlrm_tpu.ops.quant import quantize_params
+
+        params = quantize_params(params, config)
+    return params
+
+
 def cmd_eval(args) -> int:
     _apply_platform(args)
     multiproc = _maybe_init_distributed(args)
@@ -1042,8 +1051,12 @@ def cmd_eval(args) -> int:
     # synthetic fallback needs a bound or evaluate() would never terminate
     eval_steps = args.eval_steps or (None if args.data else 10)
     meta = _read_run_meta(args.ckpt_dir) if args.ckpt_dir else {}
+    if multiproc and args.quantize_tables:
+        raise SystemExit("--quantize-tables is a single-host serving path "
+                         "(quantized on-mesh placement is not implemented); "
+                         "drop --distributed")
     ctx = None
-    if meta.get("sharded"):
+    if meta.get("sharded") and not args.quantize_tables:
         n_sh = int(meta["num_shards"])
         if args.batch_size % n_sh:
             # fall back to the unshard path (tested behavior; fine when
@@ -1091,6 +1104,7 @@ def cmd_eval(args) -> int:
             print(json.dumps(m))
         return 0
     params, config = _load_eval_params(args, config)
+    params = _maybe_quantize(args, params, config)
     args.keep_remainder = True  # metrics must cover every dataset row
     data = _data_iter(args, config, steps=eval_steps)
     print(json.dumps(evaluate(params, data, config)))
@@ -1115,7 +1129,10 @@ def cmd_predict(args) -> int:
                          ".npy); run it on one host — a sharded checkpoint "
                          "still serves on-mesh there")
     config = _build_config(args)
-    ctx = _try_load_sharded_ctx(args, config)
+    # quantized serving is the single-host path: unshard (if needed),
+    # quantize, score with the ordinary jitted forward
+    ctx = None if args.quantize_tables else _try_load_sharded_ctx(args,
+                                                                  config)
     args.keep_remainder = True  # serving must score EVERY row
     t0 = time.time()
     if ctx is not None:
@@ -1146,6 +1163,7 @@ def cmd_predict(args) -> int:
             return np.asarray(preds)[:b]
     else:
         params, config = _load_eval_params(args, config)
+        params = _maybe_quantize(args, params, config)
         fwd = jax.jit(lambda p, d, s: forward(p, d, s, config))
 
         def score(batch):
@@ -1372,6 +1390,9 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--hdf5", default=None)
     ev.add_argument("--batch-size", type=int, default=16384)
     ev.add_argument("--eval-steps", type=int, default=None)
+    ev.add_argument("--quantize-tables", default=None, choices=["int8"],
+                    help="post-training table quantization for serving "
+                    "(symmetric per-row int8; ~4x smaller than f32)")
     _add_dist_flags(ev)
     ev.set_defaults(fn=cmd_eval)
 
@@ -1382,6 +1403,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--hdf5", default=None)
     pr.add_argument("--batch-size", type=int, default=16384)
     pr.add_argument("--out", required=True, help="output .npy path")
+    pr.add_argument("--quantize-tables", default=None, choices=["int8"],
+                    help="post-training table quantization for serving "
+                    "(symmetric per-row int8; ~4x smaller than f32)")
     _add_dist_flags(pr)
     pr.set_defaults(fn=cmd_predict)
 
