@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import cached_property
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 
@@ -86,6 +86,14 @@ class DLRMConfig:
     # feature sizes.  Semantically the identity; off by default (the
     # fs=16 B=32k step is scatter-bound, not activation-bound).
     remat: bool = False
+    # Wire dtype for the sharded embedding exchanges (slot/cs all_to_all,
+    # rs psum_scatter/all_gather, DCN gradient fold) — None keeps the
+    # operand dtype; jnp.bfloat16 halves the per-step ICI/DCN collective
+    # bytes (SCALING.md: the fs=128 pooled a2a is 117 MB/chip at an
+    # 8-mesh, the dominant collective).  Numerics: exactly one rounding
+    # at each exchange boundary (parallel/embedding._xc; multi-hot
+    # row-sharded partials take one extra rounding per owning shard).
+    exchange_dtype: Optional[jnp.dtype] = None
     weight_dtype: jnp.dtype = jnp.float32
     embedding_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32

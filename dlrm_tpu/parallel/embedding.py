@@ -213,17 +213,22 @@ def _batch_spec(mesh: Mesh, axis: str, leading: bool = False):
     return P(None, b) if leading else P(b)
 
 
-def _dcn_fold(ids, d_pooled, dcn_axis):
+def _dcn_fold(ids, d_pooled, dcn_axis, exchange_dtype=None):
     """Fold the DCN data-parallel axis into the local batch for the update:
     all-gather ids + compressed pooled gradients over ``dcn_axis`` so every
     DCN replica applies the IDENTICAL global sparse update — the tables
     stay bit-replicated across the DCN axis without ever materializing a
     dense table gradient (per-device DCN traffic is B*T*D/ici bytes, the
-    compressed gradient, vs the full table a dense psum would move)."""
+    compressed gradient, vs the full table a dense psum would move).
+    ``exchange_dtype`` halves that traffic again (bf16 wire format); the
+    gathered gradient is identical on every replica either way, so the
+    replication invariant is unaffected."""
+    dt = d_pooled.dtype
     with jax.named_scope("dcn_grad_allgather"):
         ids = jax.lax.all_gather(ids, dcn_axis, axis=0, tiled=True)
-        d_pooled = jax.lax.all_gather(d_pooled, dcn_axis, axis=0,
-                                      tiled=True)
+        d_pooled = jax.lax.all_gather(_xc(d_pooled, exchange_dtype),
+                                      dcn_axis, axis=0,
+                                      tiled=True).astype(dt)
     return ids, d_pooled
 
 
@@ -235,6 +240,21 @@ def _update_check_kw(dcn_axis):
     through the scatter chain, so the check is disabled for these bodies
     only.  tests/test_hybrid_mesh.py asserts replica equality numerically."""
     return {} if dcn_axis is None else {"check_vma": False}
+
+
+def _xc(x, exchange_dtype):
+    """Compress a collective operand to the wire dtype (``exchange_dtype``,
+    e.g. bf16 — half the ICI/DCN bytes of f32) before the exchange; the
+    caller casts the result back.  None = uncompressed.  The compression
+    is exactly one rounding applied at the exchange boundary: collectives
+    only MOVE data (all_to_all/all_gather) or add disjoint-support
+    partials (the rs psum_scatter with one-hot lookups; multi-hot rs
+    partials take one extra rounding per owning shard — see the
+    rs_reduce_scatter note) — no other precision is lost inside the
+    collective itself.  Measured inventory in SCALING.md: the fs=128
+    pooled a2a is the dominant per-step collective (117 MB/chip at an
+    8-mesh), which is exactly the operand this halves."""
+    return x if exchange_dtype is None else x.astype(exchange_dtype)
 
 
 # -- shard_map bodies ----------------------------------------------------------
@@ -331,21 +351,23 @@ def _host_scatter_add_rows(emb_h_local, phys, upd):
         return _raw_scatter_add(emb_h_local, flat, upd_h)
 
 
-def _cs_lookup(cs_local, ids_t, axis: str):
+def _cs_lookup(cs_local, ids_t, axis: str, exchange_dtype=None):
     """Column-sharded table: local gather of the lane slice for ALL ids,
     then one all-to-all that splits the batch and concatenates the lane
     slices: (B, D/N) per shard -> (B/N, D) batch-sharded."""
     rows = jnp.take(cs_local[0], ids_t, axis=0)   # (B[, H], D/N)
     if rows.ndim == 3:
         rows = jnp.sum(rows, axis=1)              # pool multi-hot
+    dt = rows.dtype
     with jax.named_scope("cs_a2a_fwd"):
-        return jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=1,
-                                  tiled=True)     # (B/N, D)
+        return jax.lax.all_to_all(
+            _xc(rows, exchange_dtype), axis, split_axis=0, concat_axis=1,
+            tiled=True).astype(dt)                # (B/N, D)
 
 
 def _lookup_body(emb, emb_h, cs, ids, meta, *, axis: str,
                  out_column: np.ndarray, pack: int, dim: int,
-                 placement: "TablePlacement"):
+                 placement: "TablePlacement", exchange_dtype=None):
     """SPMD body: emb (1, R, D*pack), emb_h (1, H, D*pack) host-resident
     (or None), cs per-table (1, R_t, D/N) lane slices, ids (B/N, T[,H])
     -> pooled (B/N, T, D) in GLOBAL table order.
@@ -373,9 +395,11 @@ def _lookup_body(emb, emb_h, cs, ids, meta, *, axis: str,
             with jax.named_scope("pool"):
                 rows = jnp.sum(rows, axis=2)     # pool before the exchange
         with jax.named_scope("a2a_fwd"):
-            ex = jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=1,
-                                    tiled=True)  # (B/N, N*K, D)
-        parts.append(jnp.take(ex, jnp.asarray(out_column), axis=1))
+            ex = jax.lax.all_to_all(
+                _xc(rows, exchange_dtype), axis, split_axis=0,
+                concat_axis=1, tiled=True)       # (B/N, N*K, D)
+        parts.append(jnp.take(ex, jnp.asarray(out_column),
+                              axis=1).astype(rows.dtype))
     if placement.row_sharded:
         my_idx = jax.lax.axis_index(axis)
         rs_parts = []
@@ -394,16 +418,25 @@ def _lookup_body(emb, emb_h, cs, ids, meta, *, axis: str,
             rs_parts.append(rows)                # (B, D)
         stacked = jnp.stack(rs_parts, axis=1)    # (B, n_rs, D)
         with jax.named_scope("rs_reduce_scatter"):
-            # sum partials over shards AND split the batch in one collective
-            part = jax.lax.psum_scatter(stacked, axis, scatter_dimension=0,
-                                        tiled=True)  # (B/N, n_rs, D)
+            # sum partials over shards AND split the batch in one
+            # collective.  Exchange compression: one-hot partials have
+            # disjoint support (each id owned by exactly one shard), so
+            # the compressed psum only adds exact zeros — a single
+            # rounding, same as the a2a paths.  Multi-hot partials may be
+            # nonzero on several shards (a sample's H hits can straddle
+            # owners), so their sum accumulates in the wire dtype — one
+            # extra bf16 rounding per owning shard, bounded and tested.
+            part = jax.lax.psum_scatter(
+                _xc(stacked, exchange_dtype), axis, scatter_dimension=0,
+                tiled=True).astype(stacked.dtype)  # (B/N, n_rs, D)
         parts.append(part)
     if placement.col_sharded:
         cs_parts = []
         for k, t in enumerate(placement.col_sharded):
             ids_t = (ids_all[:, t] if ids_all.ndim == 2
                      else ids_all[:, t, :])
-            cs_parts.append(_cs_lookup(cs[k], ids_t, axis))  # (B/N, D)
+            cs_parts.append(_cs_lookup(cs[k], ids_t, axis,
+                                       exchange_dtype))  # (B/N, D)
         parts.append(jnp.stack(cs_parts, axis=1))            # (B/N, n_cs, D)
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     return jnp.take(out, jnp.asarray(placement.output_order()), axis=1)
@@ -412,7 +445,7 @@ def _lookup_body(emb, emb_h, cs, ids, meta, *, axis: str,
 def _update_body(emb, emb_h, cs, ids, d_pooled, lr, meta, *, axis: str,
                  out_column: np.ndarray, num_slots: int, pack: int,
                  placement: "TablePlacement", block_leading: bool = False,
-                 dcn_axis=None):
+                 dcn_axis=None, exchange_dtype=None):
     """SPMD body of the sparse SGD update.
 
     emb (1, R, D*pack), ids (B/N, T[,H]), d_pooled (B/N, T, D) -> new emb.
@@ -433,7 +466,7 @@ def _update_body(emb, emb_h, cs, ids, d_pooled, lr, meta, *, axis: str,
         ids = ids.reshape((-1,) + ids.shape[2:])
         d_pooled = d_pooled.reshape((-1,) + d_pooled.shape[2:])
     if dcn_axis is not None:
-        ids, d_pooled = _dcn_fold(ids, d_pooled, dcn_axis)
+        ids, d_pooled = _dcn_fold(ids, d_pooled, dcn_axis, exchange_dtype)
     dim = d_pooled.shape[-1]
     b_local = d_pooled.shape[0]
     ids_all = jax.lax.all_gather(ids, axis, axis=0, tiled=True)
@@ -444,8 +477,10 @@ def _update_body(emb, emb_h, cs, ids, d_pooled, lr, meta, *, axis: str,
         scat = jnp.zeros((b_local, num_slots, dim), d_pooled.dtype)
         scat = scat.at[:, jnp.asarray(out_column), :].set(d_slots)
         with jax.named_scope("a2a_bwd"):
-            back = jax.lax.all_to_all(scat, axis, split_axis=1,
-                                      concat_axis=0, tiled=True)  # (B,K,D)
+            back = jax.lax.all_to_all(
+                _xc(scat, exchange_dtype), axis, split_axis=1,
+                concat_axis=0, tiled=True).astype(
+                    d_pooled.dtype)  # (B,K,D)
         phys, slot = _local_rows_for_slots(ids_all, meta, pack)
         if phys.ndim == 3:
             # sum-pooled multi-hot: every hot row gets the pooled gradient
@@ -460,8 +495,9 @@ def _update_body(emb, emb_h, cs, ids, d_pooled, lr, meta, *, axis: str,
         d_rs = jnp.take(d_pooled, jnp.asarray(placement.row_sharded,
                                               jnp.int32), axis=1)
         with jax.named_scope("rs_allgather_bwd"):
-            d_rs_all = jax.lax.all_gather(d_rs, axis, axis=0,
-                                          tiled=True)  # (B, n_rs, D)
+            d_rs_all = jax.lax.all_gather(
+                _xc(d_rs, exchange_dtype), axis, axis=0,
+                tiled=True).astype(d_pooled.dtype)  # (B, n_rs, D)
         for k, t in enumerate(placement.row_sharded):
             ids_t = (ids_all[:, t] if ids_all.ndim == 2
                      else ids_all[:, t, :])
@@ -481,8 +517,10 @@ def _update_body(emb, emb_h, cs, ids, d_pooled, lr, meta, *, axis: str,
     for k, t in enumerate(placement.col_sharded):
         d_t = d_pooled[:, t, :]  # (B/N, D), global table order
         with jax.named_scope("cs_a2a_bwd"):
-            back = jax.lax.all_to_all(d_t, axis, split_axis=1,
-                                      concat_axis=0, tiled=True)  # (B, D/N)
+            back = jax.lax.all_to_all(
+                _xc(d_t, exchange_dtype), axis, split_axis=1,
+                concat_axis=0, tiled=True).astype(
+                    d_pooled.dtype)  # (B, D/N)
         ids_t = (ids_all[:, t] if ids_all.ndim == 2
                  else ids_all[:, t, :])
         g = back
@@ -500,12 +538,17 @@ def _update_body(emb, emb_h, cs, ids, d_pooled, lr, meta, *, axis: str,
 
 def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
                    placement: TablePlacement, axis: str = "d",
-                   cs=(), emb_h=None) -> jax.Array:
+                   cs=(), emb_h=None, exchange_dtype=None) -> jax.Array:
     """Pooled lookup: emb (N, R, W) sharded on ``axis``; ids (B, T[,H])
     batch-sharded on ``axis``; ``cs`` the column-sharded per-table
     (N, R_t, D/N) arrays; ``emb_h`` the (N, host_local_rows, W) pinned-host
     stack for host-resident row-sharded tables.  Returns (B, T, D)
-    batch-sharded."""
+    batch-sharded.
+
+    ``exchange_dtype`` (e.g. jnp.bfloat16) compresses the activation
+    exchanges (slot/cs all_to_all, rs psum_scatter) to half the ICI
+    bytes; the result equals the f32 lookup rounded once to the wire
+    dtype (see :func:`_xc`)."""
     meta = placement_arrays(placement)
     if emb_h is None:
         emb_h = _dummy_host_stack(emb, placement)
@@ -513,7 +556,8 @@ def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
                              out_column=placement.out_column(),
                              pack=placement.pack,
                              dim=emb.shape[-1] // placement.pack,
-                             placement=placement)
+                             placement=placement,
+                             exchange_dtype=exchange_dtype)
     # hybrid (dcn, ici) mesh: the lookup needs NO dcn communication at all
     # — each dcn replica holds full tables (sharded over `axis` only) and
     # serves its own batch slice; only the batch spec spans both axes
@@ -748,7 +792,7 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
                          num_slots: int, pack: int,
                          placement: "TablePlacement", dcn_axis=None,
                          block_leading: bool = False, twin: bool = False,
-                         rowwise: bool = False):
+                         rowwise: bool = False, exchange_dtype=None):
     """SPMD Adagrad update: same gradient routing as _update_body, then an
     exact dedup-then-apply Adagrad on each shard's owned rows (accumulator
     sharded like the tables; lane-sliced for column-sharded tables;
@@ -761,7 +805,7 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
         ids = ids.reshape((-1,) + ids.shape[2:])
         d_pooled = d_pooled.reshape((-1,) + d_pooled.shape[2:])
     if dcn_axis is not None:
-        ids, d_pooled = _dcn_fold(ids, d_pooled, dcn_axis)
+        ids, d_pooled = _dcn_fold(ids, d_pooled, dcn_axis, exchange_dtype)
     # ``twin``: d_pooled carries (g, lr_k*g) concatenated on the feature
     # dim (scheduled blocks) — ALL gradient routing moves the doubled
     # width unchanged; only the apply fns split it
@@ -776,8 +820,9 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
         scat = jnp.zeros((b_local, num_slots, width), d_pooled.dtype)
         scat = scat.at[:, jnp.asarray(out_column), :].set(d_slots)
         with jax.named_scope("a2a_bwd"):
-            back = jax.lax.all_to_all(scat, axis, split_axis=1,
-                                      concat_axis=0, tiled=True)
+            back = jax.lax.all_to_all(
+                _xc(scat, exchange_dtype), axis, split_axis=1,
+                concat_axis=0, tiled=True).astype(d_pooled.dtype)
         kp, gp = _collect_grad_pairs(ids_all, back, meta, placement,
                                      pack, width)
         keys_parts += kp
@@ -789,7 +834,9 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
         d_rs = jnp.take(d_pooled, jnp.asarray(placement.row_sharded,
                                               jnp.int32), axis=1)
         with jax.named_scope("rs_allgather_bwd"):
-            d_rs_all = jax.lax.all_gather(d_rs, axis, axis=0, tiled=True)
+            d_rs_all = jax.lax.all_gather(
+                _xc(d_rs, exchange_dtype), axis, axis=0,
+                tiled=True).astype(d_pooled.dtype)
         for k, t in enumerate(placement.row_sharded):
             ids_t = (ids_all[:, t] if ids_all.ndim == 2
                      else ids_all[:, t, :])
@@ -826,8 +873,9 @@ def _update_body_adagrad(emb, acc, emb_h, acc_h, cs, acc_cs, ids, d_pooled,
         # would interleave raw and scaled lanes across shards)
         def _cs_route(cols):
             with jax.named_scope("cs_a2a_bwd"):
-                back = jax.lax.all_to_all(cols, axis, split_axis=1,
-                                          concat_axis=0, tiled=True)
+                back = jax.lax.all_to_all(
+                    _xc(cols, exchange_dtype), axis, split_axis=1,
+                    concat_axis=0, tiled=True)
             if ids_t.ndim == 2:  # multi-hot: broadcast pooled grad
                 back = jnp.broadcast_to(back[:, None, :],
                                         ids_t.shape + (back.shape[-1],))
@@ -858,7 +906,8 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
                            placement: TablePlacement, axis: str = "d",
                            cs=(), acc_cs=(), emb_h=None, acc_h=None,
                            block_leading: bool = False,
-                           d_pooled_scaled=None, rowwise: bool = False):
+                           d_pooled_scaled=None, rowwise: bool = False,
+                           exchange_dtype=None):
     """Sparse Adagrad on the sharded tables (slot + row-sharded +
     host-resident + column-sharded).  ``acc`` is the accumulator in the
     same (N, local_rows, W) layout; ``acc_h`` mirrors the pinned-host
@@ -882,7 +931,7 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
         num_slots=placement.num_shards * placement.slots_per_shard,
         pack=placement.pack, placement=placement,
         dcn_axis=_dcn_axis(mesh, axis), block_leading=block_leading,
-        twin=twin, rowwise=rowwise)
+        twin=twin, rowwise=rowwise, exchange_dtype=exchange_dtype)
     bspec = _batch_spec(mesh, axis, leading=block_leading)
     # rowwise cs accumulators are REPLICATED (R,) vectors (see
     # _cs_rowwise_local); elementwise cs accumulators shard like the
@@ -981,7 +1030,7 @@ def _dummy_host_stack(emb: jax.Array,
 def sharded_update_sgd(emb: jax.Array, ids: jax.Array, d_pooled: jax.Array,
                        lr, *, mesh: Mesh, placement: TablePlacement,
                        axis: str = "d", cs=(), emb_h=None,
-                       block_leading: bool = False):
+                       block_leading: bool = False, exchange_dtype=None):
     """Apply the compressed embedding gradient (d loss / d pooled, shape
     (B, T, D) batch-sharded) to the sharded tables with SGD.  Returns
     (new_emb, new_emb_h, new_cs) — new_emb_h is None when the placement
@@ -997,7 +1046,8 @@ def sharded_update_sgd(emb: jax.Array, ids: jax.Array, d_pooled: jax.Array,
         _update_body, axis=axis, out_column=placement.out_column(),
         num_slots=placement.num_shards * placement.slots_per_shard,
         pack=placement.pack, placement=placement,
-        block_leading=block_leading, dcn_axis=_dcn_axis(mesh, axis))
+        block_leading=block_leading, dcn_axis=_dcn_axis(mesh, axis),
+        exchange_dtype=exchange_dtype)
     batch_spec = _batch_spec(mesh, axis, leading=block_leading)
     new_emb, new_h, new_cs = jax.shard_map(
         body, mesh=mesh,

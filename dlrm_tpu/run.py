@@ -63,6 +63,9 @@ def _build_config(args) -> "DLRMConfig":
         over["interaction_pad_to"] = args.pad_to
     if getattr(args, "remat", False):
         over["remat"] = True
+    if getattr(args, "exchange_dtype", None) == "bf16":
+        import jax.numpy as jnp
+        over["exchange_dtype"] = jnp.bfloat16
     if args.table_sizes:
         over["table_sizes"] = tuple(
             int(s) for s in args.table_sizes.split(","))
@@ -112,6 +115,12 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
                    help="rematerialize the dense tower on backward "
                    "(jax.checkpoint): trade FLOPs for activation HBM at "
                    "big batches / feature sizes")
+    p.add_argument("--exchange-dtype", default=None,
+                   choices=["f32", "bf16"],
+                   help="wire dtype for the sharded embedding exchanges "
+                   "(slot/cs all-to-all, rs reduce-scatter, DCN gradient "
+                   "fold); bf16 halves the per-step ICI/DCN collective "
+                   "bytes at one rounding per exchange")
     p.add_argument("--platform", default=None,
                    help="force the jax platform (e.g. cpu for a virtual "
                    "device mesh while a TPU is attached)")
@@ -399,6 +408,10 @@ def cmd_train(args) -> int:
                 # when invoked with a different batch size
                 "chunk_budget_bytes": config.chunk_budget_bytes,
                 "deep_chunk_budget_bytes": config.deep_chunk_budget_bytes,
+                # numerics record (not a layout key): what wire dtype the
+                # run's exchanges used
+                "exchange_dtype": ("bf16" if config.exchange_dtype
+                                   is not None else None),
         }
         if lead:  # one writer; orbax array writes stay collective
             with open(meta_path, "w") as f:

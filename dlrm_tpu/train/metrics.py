@@ -206,7 +206,7 @@ def make_sharded_eval_forward(config, mesh, placement, axis: str = "d"):
     def fwd(dp, emb, emb_h, cs, dense, sparse):
         pooled = pemb.sharded_lookup(
             emb, sparse, mesh=mesh, placement=placement, axis=axis,
-            cs=cs, emb_h=emb_h)
+            cs=cs, emb_h=emb_h, exchange_dtype=config.exchange_dtype)
         return forward_from_pooled(dp, pooled, dense, config)
 
     return fwd

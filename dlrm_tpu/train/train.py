@@ -712,7 +712,8 @@ def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
     with jax.named_scope("lookup"):
         pooled = pemb.sharded_lookup(params["emb"], sparse, mesh=mesh,
                                      placement=placement, axis=axis, cs=cs,
-                                     emb_h=emb_h)
+                                     emb_h=emb_h,
+                                     exchange_dtype=config.exchange_dtype)
 
     def inner(dp, p):
         return _loss_from_pooled(dp, p, dense, labels, config)
@@ -725,7 +726,8 @@ def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
     with jax.named_scope("sparse_update"):
         new_emb, new_h, new_cs = pemb.sharded_update_sgd(
             params["emb"], sparse, d_pooled, lr, mesh=mesh,
-            placement=placement, axis=axis, cs=cs, emb_h=emb_h)
+            placement=placement, axis=axis, cs=cs, emb_h=emb_h,
+            exchange_dtype=config.exchange_dtype)
     new_params = {"bottom": new_dense["bottom"], "emb": new_emb,
                   "top": new_dense["top"]}
     if "emb_cs" in params:
@@ -757,7 +759,8 @@ def sharded_train_step_opt(params: dict, opt_state: dict, dense, sparse,
     with jax.named_scope("lookup"):
         pooled = pemb.sharded_lookup(params["emb"], sparse, mesh=mesh,
                                      placement=placement, axis=axis, cs=cs,
-                                     emb_h=params.get("emb_h"))
+                                     emb_h=params.get("emb_h"),
+                                     exchange_dtype=config.exchange_dtype)
 
     def inner(dp, p):
         return _loss_from_pooled(dp, p, dense, labels, config)
@@ -782,7 +785,8 @@ def sharded_train_step_opt(params: dict, opt_state: dict, dense, sparse,
             new_emb, new_h, new_cs = pemb.sharded_update_sgd(
                 params["emb"], sparse, d_pooled, lr_t, mesh=mesh,
                 placement=placement, axis=axis, cs=cs,
-                emb_h=params.get("emb_h"))
+                emb_h=params.get("emb_h"),
+                exchange_dtype=config.exchange_dtype)
             new_opt["emb_acc"] = opt_state.get("emb_acc", ())
             new_opt["emb_acc_cs"] = opt_state.get("emb_acc_cs", ())
             new_opt["emb_acc_h"] = opt_state.get("emb_acc_h", ())
@@ -796,7 +800,8 @@ def sharded_train_step_opt(params: dict, opt_state: dict, dense, sparse,
                     acc_h=(None if isinstance(
                         opt_state.get("emb_acc_h", ()), tuple)
                         else opt_state["emb_acc_h"]),
-                    rowwise=optimizer == "rowwise_adagrad")
+                    rowwise=optimizer == "rowwise_adagrad",
+                    exchange_dtype=config.exchange_dtype)
             new_opt["emb_acc"] = new_acc
             new_opt["emb_acc_cs"] = new_acc_cs
             new_opt["emb_acc_h"] = new_acc_h if new_acc_h is not None \
@@ -939,9 +944,10 @@ def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
     losses, d_pooled_acc = [], []
     for k in range(block):
         with jax.named_scope("lookup"):
-            pooled = pemb.sharded_lookup(params["emb"], sparse[k],
-                                         mesh=mesh, placement=placement,
-                                         axis=axis, cs=cs, emb_h=emb_h)
+            pooled = pemb.sharded_lookup(
+                params["emb"], sparse[k], mesh=mesh, placement=placement,
+                axis=axis, cs=cs, emb_h=emb_h,
+                exchange_dtype=config.exchange_dtype)
 
         def inner(dp_, p_, k=k):
             return _loss_from_pooled(dp_, p_, dense[k], labels[k], config)
@@ -962,7 +968,7 @@ def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
             params["emb"], sparse, d_stack,
             lr if lr_arr is None else 1.0, mesh=mesh,
             placement=placement, axis=axis, cs=cs, emb_h=emb_h,
-            block_leading=True)
+            block_leading=True, exchange_dtype=config.exchange_dtype)
     new_params = {"bottom": dp["bottom"], "emb": new_emb,
                   "top": dp["top"]}
     if "emb_cs" in params:
@@ -1047,9 +1053,10 @@ def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
 
     def micro_step(dp, dense_state, d, s, l):
         with jax.named_scope("lookup"):
-            pooled = pemb.sharded_lookup(params["emb"], s, mesh=mesh,
-                                         placement=placement, axis=axis,
-                                         cs=cs, emb_h=emb_h)
+            pooled = pemb.sharded_lookup(
+                params["emb"], s, mesh=mesh, placement=placement,
+                axis=axis, cs=cs, emb_h=emb_h,
+                exchange_dtype=config.exchange_dtype)
 
         def inner(dp_, p_):
             return _loss_from_pooled(dp_, p_, d, l, config)
@@ -1106,7 +1113,8 @@ def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
                                           tuple)
                        else opt_state["emb_acc_h"]),
                 block_leading=True, d_pooled_scaled=scaled_stack,
-                rowwise=optimizer == "rowwise_adagrad")
+                rowwise=optimizer == "rowwise_adagrad",
+                exchange_dtype=config.exchange_dtype)
     new_opt = {"dense": dense_state, "count": count + block,
                "emb_acc": new_acc, "emb_acc_cs": new_acc_cs,
                "emb_acc_h": new_acc_h if new_acc_h is not None else ()}

@@ -106,11 +106,29 @@ def _group_axis(groups, ici: int) -> str:
     return axes.pop() if len(axes) == 1 else "mesh"
 
 
-def collect_collectives(hlo_text: str, ici: int = None):
+def _sub4_savings_bytes(type_str: str) -> int:
+    """Result bytes a 4-byte wire would ADD over this type's sub-4-byte
+    elements: sum of n_elems * (4 - itemsize) over sub-f32 dtypes."""
+    total = 0
+    for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", type_str):
+        if dt not in DTYPE_BYTES or DTYPE_BYTES[dt] >= 4:
+            continue
+        n = 1
+        if dims:
+            for d in dims.split(","):
+                n *= int(d)
+        total += n * (4 - DTYPE_BYTES[dt])
+    return total
+
+
+def collect_collectives(hlo_text: str, ici: int = None,
+                        with_sub4: bool = False):
     """[(kind, result_bytes, group_size, axis)] for every collective in
     the HLO (fusion-proof: collectives are never fused into other ops).
     ``axis`` classifies which mesh axis the op rides when ``ici`` (the
-    ICI-axis length of a (dcn, ici) grid) is given."""
+    ICI-axis length of a (dcn, ici) grid) is given.  ``with_sub4``
+    appends each op's :func:`_sub4_savings_bytes` (for
+    :func:`exchange_savings`)."""
     unknown = re.findall(r"\b(ragged-all-to-all|collective-broadcast"
                          r"|all-to-all-start)\b", hlo_text)
     if unknown:
@@ -129,8 +147,29 @@ def collect_collectives(hlo_text: str, ici: int = None):
         groups = _parse_groups(line)
         gsz = max(len(g) for g in groups) if groups else 0
         axis = _group_axis(groups, ici) if (groups and ici) else "-"
-        out.append((kind, _shape_bytes(type_str), gsz, axis))
+        row = (kind, _shape_bytes(type_str), gsz, axis)
+        if with_sub4:
+            row += (_sub4_savings_bytes(type_str),)
+        out.append(row)
     return out
+
+
+def exchange_savings(pre_hlo: str, ici: int = None):
+    """Per-chip link bytes saved by sub-f32 explicit exchanges, keyed by
+    mesh axis ('-' when ``ici`` is None).
+
+    Measured from the PRE-optimization HLO, where the shard_map
+    collectives carry the program's wire dtype: the CPU backend then
+    widens sub-f32 collectives back to f32 (verified: even a native-bf16
+    all_to_all compiles to an f32 exchange on CPU), so the post-opt
+    inventory over-counts exactly this amount relative to a TPU backend,
+    which transmits bf16 natively."""
+    saved = defaultdict(float)
+    for kind, rb, gsz, axis, sub4 in collect_collectives(
+            pre_hlo, ici=ici, with_sub4=True):
+        if sub4:
+            saved[axis] += link_bytes(kind, sub4, gsz or 1)
+    return dict(saved)
 
 
 def link_bytes(kind: str, result_bytes: int, n: int) -> float:
@@ -156,7 +195,7 @@ def link_bytes(kind: str, result_bytes: int, n: int) -> float:
 
 
 def _lower_step_hlo(mesh, placement, batch_per_chip: int,
-                    feature_size: int):
+                    feature_size: int, exchange_dtype=None):
     """Build the production-shaped model on ``mesh``/``placement``, lower
     one hybrid train step, and return the optimized HLO text.
 
@@ -175,6 +214,7 @@ def _lower_step_hlo(mesh, placement, batch_per_chip: int,
         feature_size=feature_size,
         table_sizes=(AUDIT_ROWS,) * 26,
         small_table_threshold=0,  # production deep tables: gather path
+        exchange_dtype=exchange_dtype,
     )
     params = dlrm_tpu.init_params(jax.random.key(0), config)
     sh = {"bottom": params["bottom"],
@@ -193,12 +233,16 @@ def _lower_step_hlo(mesh, placement, batch_per_chip: int,
         (rng.random(b) > 0.5).astype(np.float32)), bs)
     step = functools.partial(sharded_train_step, config=config, lr=0.1,
                              mesh=mesh, placement=placement, axis="d")
-    return jax.jit(step).lower(sh, dense, sparse,
-                               labels).compile().as_text()
+    lowered = jax.jit(step).lower(sh, dense, sparse, labels)
+    # pre-optimization HLO keeps the program's wire dtypes on the explicit
+    # shard_map collectives (the CPU backend's optimization pipeline
+    # widens sub-f32 collectives to f32 — see exchange_savings)
+    pre = lowered.compiler_ir(dialect="hlo").as_hlo_text()
+    return pre, lowered.compile().as_text()
 
 
 def audit(n_devices: int, batch_per_chip: int, feature_size: int = 16,
-          row_shard: bool = False):
+          row_shard: bool = False, exchange_dtype=None):
     import dlrm_tpu
     from dlrm_tpu.parallel.mesh import make_mesh
     from dlrm_tpu.parallel.placement import plan_placement
@@ -212,7 +256,8 @@ def audit(n_devices: int, batch_per_chip: int, feature_size: int = 16,
     p = plan_placement(
         (AUDIT_ROWS,) * 26, n_devices, pack=config_pack,
         max_rows_per_shard=AUDIT_ROWS // 2 if row_shard else None)
-    hlo = _lower_step_hlo(mesh, p, batch_per_chip, feature_size)
+    pre, hlo = _lower_step_hlo(mesh, p, batch_per_chip, feature_size,
+                               exchange_dtype=exchange_dtype)
     cols = collect_collectives(hlo)
     by_kind = defaultdict(lambda: [0, 0.0])
     total_link = 0.0
@@ -221,11 +266,13 @@ def audit(n_devices: int, batch_per_chip: int, feature_size: int = 16,
         by_kind[kind][0] += 1
         by_kind[kind][1] += lb
         total_link += lb
-    return by_kind, total_link, len(cols)
+    saved = (sum(exchange_savings(pre).values())
+             if exchange_dtype is not None else 0.0)
+    return by_kind, total_link, len(cols), saved
 
 
 def audit_hybrid(dcn: int, ici: int, batch_per_chip: int,
-                 feature_size: int = 16):
+                 feature_size: int = 16, exchange_dtype=None):
     """The 2-D DCN x ICI hybrid step (tables sharded over ICI only,
     batch over both axes, sparse updates DCN-folded): classify every
     collective by the mesh axis it rides and total the traffic per axis.
@@ -243,7 +290,8 @@ def audit_hybrid(dcn: int, ici: int, batch_per_chip: int,
         table_sizes=(AUDIT_ROWS,) * 26).pack
     mesh = make_mesh_2d(dcn, ici)
     p = plan_placement((AUDIT_ROWS,) * 26, ici, pack=config_pack)
-    hlo = _lower_step_hlo(mesh, p, batch_per_chip, feature_size)
+    pre, hlo = _lower_step_hlo(mesh, p, batch_per_chip, feature_size,
+                               exchange_dtype=exchange_dtype)
     per_axis = defaultdict(lambda: defaultdict(lambda: [0, 0.0]))
     totals = defaultdict(float)
     for kind, rb, gsz, axis in collect_collectives(hlo, ici=ici):
@@ -251,7 +299,16 @@ def audit_hybrid(dcn: int, ici: int, batch_per_chip: int,
         per_axis[axis][kind][0] += 1
         per_axis[axis][kind][1] += lb
         totals[axis] += lb
-    return per_axis, totals
+    saved = (exchange_savings(pre, ici=ici)
+             if exchange_dtype is not None else {})
+    return per_axis, totals, saved
+
+
+def _xd(args):
+    if getattr(args, "exchange_dtype", None) == "bf16":
+        import jax.numpy as jnp
+        return jnp.bfloat16
+    return None
 
 
 def main():
@@ -263,6 +320,10 @@ def main():
                     default=None, help="audit the 2-D DCN x ICI hybrid "
                     "step instead, classifying traffic per mesh axis")
     ap.add_argument("--row-shard", action="store_true")
+    ap.add_argument("--exchange-dtype", default=None, choices=["bf16"],
+                    help="compress the embedding exchanges to bf16 "
+                    "(config.exchange_dtype) and measure the collective "
+                    "bytes that actually result")
     ap.add_argument("--step-ms", type=float, default=31.5,
                     help="measured single-chip step time at B=32768 for "
                     "the compute side of the projection (default: the "
@@ -291,26 +352,39 @@ def main():
           f"{args.step_ms} ms/step at B=32768 (--step-ms)")
     if args.hybrid:
         dcn, ici = args.hybrid
-        per_axis, totals = audit_hybrid(dcn, ici, args.batch_per_chip,
-                                        args.feature_size)
+        per_axis, totals, saved = audit_hybrid(dcn, ici,
+                                               args.batch_per_chip,
+                                               args.feature_size,
+                                               exchange_dtype=_xd(args))
         print(f"\nhybrid mesh {dcn}x{ici} (dcn x ici):")
         for axis in ("ici", "dcn", "mesh"):
             if axis not in per_axis:
                 continue
-            print(f"  [{axis}] {totals[axis] / 1e6:.2f} MB/chip/step")
+            wire = ""
+            if saved.get(axis):
+                wire = (f"  -> {(totals[axis] - saved[axis]) / 1e6:.2f}"
+                        " MB wire on TPU (bf16 exchange; CPU lowering "
+                        "widens sub-f32 collectives)")
+            print(f"  [{axis}] {totals[axis] / 1e6:.2f} MB/chip/step"
+                  + wire)
             for kind, (cnt, bts) in sorted(per_axis[axis].items()):
                 print(f"    {kind:20s} x{cnt:3d}  {bts / 1e6:8.2f} MB/chip")
         return
     for n in args.mesh:
-        by_kind, total_link, n_ops = audit(n, args.batch_per_chip,
-                                           args.feature_size,
-                                           row_shard=args.row_shard)
+        by_kind, total_link, n_ops, saved = audit(
+            n, args.batch_per_chip, args.feature_size,
+            row_shard=args.row_shard, exchange_dtype=_xd(args))
+        wire_link = total_link - saved
         print(f"\nmesh={n}: {n_ops} collectives, "
-              f"{total_link / 1e6:.1f} MB/chip/step link traffic")
+              f"{total_link / 1e6:.1f} MB/chip/step link traffic"
+              + (f" -> {wire_link / 1e6:.1f} MB wire on TPU (bf16 "
+                 "exchange, measured from the program's wire dtypes; "
+                 "the CPU lowering widens sub-f32 collectives to f32)"
+                 if saved else ""))
         for kind, (cnt, bts) in sorted(by_kind.items()):
             print(f"  {kind:20s} x{cnt:3d}  {bts / 1e6:8.2f} MB/chip")
         for bw in (100, 200, 400):  # GB/s — PARAMETER, not a claim
-            t_comm_ms = total_link / (bw * 1e9) * 1e3
+            t_comm_ms = wire_link / (bw * 1e9) * 1e3
             eff = t_comp_ms / (t_comp_ms + t_comm_ms)
             print(f"  projected weak-scaling eff @ {bw:3d} GB/s ICI: "
                   f"{eff * 100:.1f}%  (comm {t_comm_ms:.2f} ms vs comp "
