@@ -470,6 +470,59 @@ def _bench_fs128(rng, log):
                 # drop the block payload references even on the OOM this
                 # guard exists for — the pallas measurement follows
                 kd = ks = kl = blk = None  # noqa: F841
+
+            # int8 quantized serving (ops/quant.py): forward-only
+            # throughput, bf16 tables (8.6 GB) vs int8+f32-scales
+            # (~4.5 GB).  Sub-isolated: both models coexist briefly
+            # (~13 GB) — an OOM here must not lose the measurements
+            # above or the pallas point below.
+            try:
+                from dlrm_tpu.ops.quant import quantize_emb
+
+                params = dlrm_tpu.init_params(jax.random.key(0), config)
+                sv = jnp.asarray(np.stack(
+                    [rng.integers(0, s - 1, size=B)
+                     for s in config.table_sizes], axis=1).astype(np.int32))
+
+                def serving_probe_t(p):
+                    @jax.jit
+                    def probe(p, ids_base, c, k):
+                        # monotone counter: distinct args per call (axon
+                        # memoization; see the fs=16 eval probe)
+                        ids = ids_base + ((c.astype(jnp.int32) ^ k) & 1)
+                        preds = dlrm_tpu.forward(p, dense, ids, config)
+                        return jnp.sum(preds), k + 1
+
+                    c, k = jnp.float32(0), jnp.int32(0)
+                    for _ in range(3):
+                        c, k = probe(p, sv, c, k)
+                    _ = float(c)
+                    totals = []
+                    for iters in (4, 12):
+                        t0 = time.perf_counter()
+                        for _ in range(iters):
+                            c, k = probe(p, sv, c, k)
+                        _ = float(c)
+                        totals.append(time.perf_counter() - t0)
+                    return (totals[1] - totals[0]) / 8
+
+                tb16 = serving_probe_t(params)
+                out["fs128_predict_examples_per_s"] = round(B / tb16, 1)
+                log(f"fs128 predict [bf16 tables]: {tb16*1e3:.2f} ms -> "
+                    f"{B/tb16:,.0f} examples/s")
+                qparams = {"bottom": params["bottom"],
+                           "emb": quantize_emb(params["emb"], config),
+                           "top": params["top"]}
+                del params  # free the bf16 tables before timing int8
+                tq = serving_probe_t(qparams)
+                out["fs128_int8_predict_examples_per_s"] = round(B / tq, 1)
+                log(f"fs128 predict [int8 tables]: {tq*1e3:.2f} ms -> "
+                    f"{B/tq:,.0f} examples/s")
+                del qparams
+            except Exception as e:  # pragma: no cover - device HBM
+                log(f"fs128 int8 serving failed: {type(e).__name__}: {e}")
+                out["fs128_int8_error"] = f"{type(e).__name__}: {e}"
+            params = None
         del params, step
     return out
 
