@@ -476,6 +476,7 @@ def _bench_fs128(rng, log):
             # (~4.5 GB).  Sub-isolated: both models coexist briefly
             # (~13 GB) — an OOM here must not lose the measurements
             # above or the pallas point below.
+            qparams = None
             try:
                 from dlrm_tpu.ops.quant import quantize_emb
 
@@ -518,10 +519,13 @@ def _bench_fs128(rng, log):
                 out["fs128_int8_predict_examples_per_s"] = round(B / tq, 1)
                 log(f"fs128 predict [int8 tables]: {tq*1e3:.2f} ms -> "
                     f"{B/tq:,.0f} examples/s")
-                del qparams
             except Exception as e:  # pragma: no cover - device HBM
                 log(f"fs128 int8 serving failed: {type(e).__name__}: {e}")
                 out["fs128_int8_error"] = f"{type(e).__name__}: {e}"
+            finally:
+                # drop BOTH models even on the OOM this guard exists for
+                # — the pallas measurement follows
+                qparams = None  # noqa: F841
             params = None
         del params, step
     return out

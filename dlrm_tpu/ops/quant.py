@@ -106,6 +106,40 @@ def quantize_params(params: dict, config) -> dict:
             "top": params["top"]}
 
 
+def _quant_logical_rows_np(x: np.ndarray):
+    """numpy twin of :func:`_quant_logical_rows` — same f32 arithmetic,
+    same round-half-to-even, so host and device quantization are
+    bit-identical (tested)."""
+    amax = np.max(np.abs(x), axis=-1)
+    scale = np.where(amax > 0, amax / np.float32(127.0),
+                     np.float32(1.0)).astype(np.float32)
+    q = np.clip(np.round(x / scale[..., None]), -127, 127)
+    return q.astype(np.int8), scale
+
+
+def quantize_emb_host(emb, config, scale_dtype=np.float32) -> QuantEmb:
+    """Host-side (numpy) quantization — the serving load path.
+
+    The whole point of int8 serving is models whose f32/bf16 tables do
+    NOT fit device HBM (Kaggle fs=128: 17.3 GB f32 on a 16 GB v5e), so
+    the full-precision stack must never be device_put: checkpoints
+    restore as numpy host arrays, this quantizes them chunk-at-a-time in
+    host memory, and only the int8 chunks + scales go to the device.
+    Bit-identical to :func:`quantize_emb` on the same input."""
+    d = config.feature_size
+    chunks_in = emb if isinstance(emb, (tuple, list)) else (emb,)
+    pack = config.pack if isinstance(emb, (tuple, list)) else 1
+    chunks, scales = [], []
+    for c in chunks_in:
+        x = np.asarray(c, dtype=np.float32).reshape(c.shape[0], pack, d)
+        q, s = _quant_logical_rows_np(x)
+        chunks.append(q.reshape(c.shape[0], pack * d))
+        scales.append(s.astype(scale_dtype))
+    out = QuantEmb(tuple(chunks), tuple(scales))
+    check_quant_storage(out, config)
+    return out
+
+
 def check_quant_storage(qemb: QuantEmb, config) -> None:
     """Trace-time geometry guard (the QuantEmb arm of check_storage)."""
     shapes = tuple(tuple(c.shape) for c in qemb.chunks)
@@ -183,13 +217,19 @@ def quant_gather_tables(qemb: QuantEmb, ids: jax.Array, config,
         phys, slot = emb_ops.chunk_translate(ids_g, config, ts)
         q = jnp.take(qemb.chunks[c], phys, axis=0)  # (..., pack*D) int8
         s = jnp.take(qemb.scales[c], phys, axis=0)  # (..., pack)
-        x = (q.astype(jnp.float32).reshape(q.shape[:-1] + (config.pack, d))
-             * s.astype(jnp.float32)[..., None])
         if config.pack == 1:
-            parts.append(x[..., 0, :])
+            rows = q.astype(jnp.float32)
+            scale = s[..., 0]
         else:
-            oh = jax.nn.one_hot(slot, config.pack, dtype=jnp.float32)
-            parts.append(jnp.einsum("...p,...pd->...d", oh, x))
+            # slot-select FIRST (the shared one-hot extraction — exact on
+            # int8: values in [-127,127] are f32-representable), THEN one
+            # scale multiply per OUTPUT element — not pack multiplies on
+            # a (..., pack, D) f32 dequant of all packed neighbors
+            rows = emb_ops.extract_slots(q, slot, config).astype(
+                jnp.float32)
+            scale = jnp.take_along_axis(s, slot[..., None],
+                                        axis=-1)[..., 0]
+        parts.append(rows * scale.astype(jnp.float32)[..., None])
         order.extend(pos)
     if len(parts) == 1 and order == list(range(len(tables))):
         return parts[0].astype(dtype)

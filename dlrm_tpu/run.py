@@ -409,9 +409,11 @@ def cmd_train(args) -> int:
                 "chunk_budget_bytes": config.chunk_budget_bytes,
                 "deep_chunk_budget_bytes": config.deep_chunk_budget_bytes,
                 # numerics record (not a layout key): what wire dtype the
-                # run's exchanges used
-                "exchange_dtype": ("bf16" if config.exchange_dtype
-                                   is not None else None),
+                # run's exchanges used (library callers can set any dtype
+                # on the config — record the actual one, not the flag)
+                "exchange_dtype": (
+                    None if config.exchange_dtype is None
+                    else jnp.dtype(config.exchange_dtype).name),
         }
         if lead:  # one writer; orbax array writes stay collective
             with open(meta_path, "w") as f:
@@ -962,10 +964,15 @@ def _try_load_sharded_ctx(args, config, meta=None):
     return payload, mesh, placement
 
 
-def _load_eval_params(args, config):
+def _load_eval_params(args, config, host: bool = False):
     """Load params in the standard storage layout from --ckpt-dir (any
     training run's layout, rebuilt via run_meta.json) or --hdf5 (PyTorch
-    interop format).  Returns (params, config)."""
+    interop format).  Returns (params, config).
+
+    ``host``: keep the arrays numpy/host-resident (checkpoints restore
+    as host arrays) instead of device_put-ing them — the quantized
+    serving path transforms them host-side first, because the
+    full-precision stack may not fit device HBM at all."""
     import jax
     import jax.numpy as jnp
     from dlrm_tpu.io.checkpoint import restore_checkpoint
@@ -1033,23 +1040,46 @@ def _load_eval_params(args, config):
             params = {"bottom": params["bottom"],
                       "emb": emb_ops.pack_tables(logical, config),
                       "top": params["top"]}
-        params = jax.tree.map(jnp.asarray, params)
+        if not host:
+            params = jax.tree.map(jnp.asarray, params)
     elif args.hdf5:
         from dlrm_tpu.io import hdf5 as h5io
         params, config = h5io.load_params(args.hdf5)
-        params = jax.tree.map(jnp.asarray, params)
+        if not host:
+            params = jax.tree.map(jnp.asarray, params)
     else:
         raise SystemExit("need --ckpt-dir or --hdf5")
     return params, config
 
 
-def _maybe_quantize(args, params, config):
-    """Apply --quantize-tables (post-training int8) to loaded params."""
-    if getattr(args, "quantize_tables", None) == "int8":
-        from dlrm_tpu.ops.quant import quantize_params
+def _quantizing(args) -> bool:
+    return getattr(args, "quantize_tables", None) == "int8"
 
-        params = quantize_params(params, config)
-    return params
+
+def _maybe_quantize(args, params, config):
+    """Apply --quantize-tables (post-training int8) to host-loaded
+    params, then place on device.
+
+    Quantization runs HOST-side (numpy) on the not-yet-device_put
+    arrays: the f32/bf16 stack this feature exists for (Kaggle fs=128 =
+    17.3 GB f32) may not fit device HBM at all, so only the int8 chunks
+    + scales (and the small dense towers) ever reach the device.  When
+    not quantizing, this completes the deferred device placement."""
+    import jax
+    import jax.numpy as jnp
+
+    if _quantizing(args):
+        from dlrm_tpu.ops.quant import quantize_emb_host
+
+        if getattr(args, "ckpt_dir", None) and \
+                _read_run_meta(args.ckpt_dir).get("sharded"):
+            print("quantized serving unshards the checkpoint on this "
+                  "host (host memory, not HBM) before int8 conversion",
+                  file=sys.stderr)
+        params = {"bottom": params["bottom"],
+                  "emb": quantize_emb_host(params["emb"], config),
+                  "top": params["top"]}
+    return jax.tree.map(jnp.asarray, params)
 
 
 def cmd_eval(args) -> int:
@@ -1116,7 +1146,8 @@ def cmd_eval(args) -> int:
         if lead:
             print(json.dumps(m))
         return 0
-    params, config = _load_eval_params(args, config)
+    params, config = _load_eval_params(args, config,
+                                       host=_quantizing(args))
     params = _maybe_quantize(args, params, config)
     args.keep_remainder = True  # metrics must cover every dataset row
     data = _data_iter(args, config, steps=eval_steps)
@@ -1175,7 +1206,8 @@ def cmd_predict(args) -> int:
                          jax.device_put(jnp.asarray(s), bs))
             return np.asarray(preds)[:b]
     else:
-        params, config = _load_eval_params(args, config)
+        params, config = _load_eval_params(args, config,
+                                           host=_quantizing(args))
         params = _maybe_quantize(args, params, config)
         fwd = jax.jit(lambda p, d, s: forward(p, d, s, config))
 

@@ -106,12 +106,12 @@ def _group_axis(groups, ici: int) -> str:
     return axes.pop() if len(axes) == 1 else "mesh"
 
 
-def _sub4_savings_bytes(type_str: str) -> int:
-    """Result bytes a 4-byte wire would ADD over this type's sub-4-byte
-    elements: sum of n_elems * (4 - itemsize) over sub-f32 dtypes."""
+def _sub4_savings_bytes(type_str: str, wire_dtypes) -> int:
+    """Result bytes a 4-byte wire would ADD over this type's elements of
+    the given wire dtypes: sum of n_elems * (4 - itemsize)."""
     total = 0
     for dt, dims in re.findall(r"(\w+)\[([\d,]*)\]", type_str):
-        if dt not in DTYPE_BYTES or DTYPE_BYTES[dt] >= 4:
+        if dt not in wire_dtypes or DTYPE_BYTES[dt] >= 4:
             continue
         n = 1
         if dims:
@@ -122,13 +122,13 @@ def _sub4_savings_bytes(type_str: str) -> int:
 
 
 def collect_collectives(hlo_text: str, ici: int = None,
-                        with_sub4: bool = False):
+                        with_sub4=()):
     """[(kind, result_bytes, group_size, axis)] for every collective in
     the HLO (fusion-proof: collectives are never fused into other ops).
     ``axis`` classifies which mesh axis the op rides when ``ici`` (the
-    ICI-axis length of a (dcn, ici) grid) is given.  ``with_sub4``
-    appends each op's :func:`_sub4_savings_bytes` (for
-    :func:`exchange_savings`)."""
+    ICI-axis length of a (dcn, ici) grid) is given.  ``with_sub4`` (a
+    tuple of wire dtype names) appends each op's
+    :func:`_sub4_savings_bytes` (for :func:`exchange_savings`)."""
     unknown = re.findall(r"\b(ragged-all-to-all|collective-broadcast"
                          r"|all-to-all-start)\b", hlo_text)
     if unknown:
@@ -149,12 +149,13 @@ def collect_collectives(hlo_text: str, ici: int = None,
         axis = _group_axis(groups, ici) if (groups and ici) else "-"
         row = (kind, _shape_bytes(type_str), gsz, axis)
         if with_sub4:
-            row += (_sub4_savings_bytes(type_str),)
+            row += (_sub4_savings_bytes(type_str, with_sub4),)
         out.append(row)
     return out
 
 
-def exchange_savings(pre_hlo: str, ici: int = None):
+def exchange_savings(pre_hlo: str, ici: int = None,
+                     wire_dtypes=("bf16",)):
     """Per-chip link bytes saved by sub-f32 explicit exchanges, keyed by
     mesh axis ('-' when ``ici`` is None).
 
@@ -163,12 +164,25 @@ def exchange_savings(pre_hlo: str, ici: int = None):
     widens sub-f32 collectives back to f32 (verified: even a native-bf16
     all_to_all compiles to an f32 exchange on CPU), so the post-opt
     inventory over-counts exactly this amount relative to a TPU backend,
-    which transmits bf16 natively."""
+    which transmits bf16 natively.
+
+    ``wire_dtypes`` limits the credit to the dtypes the exchange
+    compression actually emits — a pred/s8 collective some future change
+    introduces must NOT be booked as bf16-exchange savings (it would
+    exist identically in the f32 baseline)."""
     saved = defaultdict(float)
     for kind, rb, gsz, axis, sub4 in collect_collectives(
-            pre_hlo, ici=ici, with_sub4=True):
+            pre_hlo, ici=ici, with_sub4=wire_dtypes):
         if sub4:
-            saved[axis] += link_bytes(kind, sub4, gsz or 1)
+            if not gsz:
+                # replica groups failed to parse: a silent 0-byte credit
+                # would under-report the wire win with no trace — the
+                # same no-silent-caps rule the unknown-collective guard
+                # enforces
+                raise NotImplementedError(
+                    f"sub-f32 {kind} with unparsed replica_groups in the "
+                    "pre-optimization HLO; extend _parse_groups")
+            saved[axis] += link_bytes(kind, sub4, gsz)
     return dict(saved)
 
 
@@ -197,7 +211,13 @@ def link_bytes(kind: str, result_bytes: int, n: int) -> float:
 def _lower_step_hlo(mesh, placement, batch_per_chip: int,
                     feature_size: int, exchange_dtype=None):
     """Build the production-shaped model on ``mesh``/``placement``, lower
-    one hybrid train step, and return the optimized HLO text.
+    one hybrid train step, and return ``(pre_hlo, optimized_hlo)`` text.
+
+    ``pre_hlo`` (the pre-optimization HLO, which keeps the program's
+    wire dtypes on the explicit shard_map collectives — the CPU
+    backend's pipeline widens sub-f32 collectives to f32, see
+    exchange_savings) is only generated when ``exchange_dtype`` is set;
+    it is None otherwise.
 
     Production MLP shapes + feature size + 26 tables; scaled-down rows
     (collective volumes don't depend on rows — see module docstring)."""
@@ -234,10 +254,8 @@ def _lower_step_hlo(mesh, placement, batch_per_chip: int,
     step = functools.partial(sharded_train_step, config=config, lr=0.1,
                              mesh=mesh, placement=placement, axis="d")
     lowered = jax.jit(step).lower(sh, dense, sparse, labels)
-    # pre-optimization HLO keeps the program's wire dtypes on the explicit
-    # shard_map collectives (the CPU backend's optimization pipeline
-    # widens sub-f32 collectives to f32 — see exchange_savings)
-    pre = lowered.compiler_ir(dialect="hlo").as_hlo_text()
+    pre = (lowered.compiler_ir(dialect="hlo").as_hlo_text()
+           if exchange_dtype is not None else None)
     return pre, lowered.compile().as_text()
 
 

@@ -146,6 +146,72 @@ def test_bf16_exchange_update_equals_prerounded_gradient(optimizer, rng):
     assert not np.array_equal(np.asarray(got_emb), np.asarray(sh["emb"]))
 
 
+def test_bf16_exchange_block_path_equals_prerounded(rng):
+    """The coalesced block routing (block_leading: (K, B, ...) stacks)
+    compresses identically: == uncompressed update of the pre-rounded
+    stack."""
+    from dlrm_tpu.parallel.mesh import block_batch_sharding
+
+    config, params, mesh, p, sh, ids = _setup(rng, n_hot=1)
+    K, b = 2, ids.shape[0]
+    bbs = block_batch_sharding(mesh)
+    ids_k = jax.device_put(jnp.stack([ids, jnp.roll(ids, 1, axis=0)]),
+                           bbs)
+    d_stack = jax.device_put(jnp.asarray(rng.normal(size=(
+        K, b, config.num_tables, config.feature_size)).astype(np.float32)),
+        bbs)
+    rounded = d_stack.astype(BF16).astype(jnp.float32)
+
+    def run(dp, xd):
+        new_emb, _, new_cs = pemb.sharded_update_sgd(
+            sh["emb"], ids_k, dp, 0.21, mesh=mesh, placement=p,
+            cs=sh["emb_cs"], block_leading=True, exchange_dtype=xd)
+        return new_emb, new_cs
+
+    got_emb, got_cs = run(d_stack, BF16)
+    want_emb, want_cs = run(rounded, None)
+    np.testing.assert_array_equal(np.asarray(got_emb),
+                                  np.asarray(want_emb))
+    for g, w in zip(got_cs, want_cs):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    assert not np.array_equal(np.asarray(got_emb), np.asarray(sh["emb"]))
+
+
+@pytest.mark.parametrize("rowwise", [False, True])
+def test_bf16_exchange_twin_schedule_equals_prerounded(rowwise, rng):
+    """Scheduled blocks route the twin (g, lr_k*g) payload; compression
+    rounds EACH half independently on the wire (bf16(lr_k*g) is NOT
+    lr_k*bf16(g)) — so the oracle pre-rounds both halves."""
+    config, params, mesh, p, sh, ids = _setup(rng, n_hot=1)
+    b = ids.shape[0]
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    bs = NamedSharding(mesh, P("d"))
+    dp = jax.device_put(jnp.asarray(rng.normal(size=(
+        b, config.num_tables, config.feature_size)).astype(np.float32)),
+        bs)
+    dps = 0.033 * dp  # the lr_k-scaled half
+    acc = jnp.zeros_like(sh["emb"])
+    acc_cs = tuple(
+        (jnp.zeros((a.shape[1],), jnp.float32) if rowwise
+         else jnp.zeros_like(a)) for a in sh["emb_cs"])
+
+    def run(g, gs, xd):
+        out = pemb.sharded_update_adagrad(
+            sh["emb"], acc, ids, g, 1.0, mesh=mesh, placement=p,
+            cs=sh["emb_cs"], acc_cs=acc_cs, rowwise=rowwise,
+            d_pooled_scaled=gs, exchange_dtype=xd)
+        return out[0], out[4]
+
+    rnd = lambda x: x.astype(BF16).astype(jnp.float32)  # noqa: E731
+    got_emb, got_cs = run(dp, dps, BF16)
+    want_emb, want_cs = run(rnd(dp), rnd(dps), None)
+    np.testing.assert_array_equal(np.asarray(got_emb),
+                                  np.asarray(want_emb))
+    for g, w in zip(got_cs, want_cs):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    assert not np.array_equal(np.asarray(got_emb), np.asarray(sh["emb"]))
+
+
 def test_bf16_exchange_full_step_trains(rng):
     """End-to-end sharded SGD step with bf16 exchange: loss finite,
     parameters move, and stay within bf16-scale distance of the f32-

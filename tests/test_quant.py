@@ -131,6 +131,28 @@ def test_quant_footprint_and_guards(rng):
     assert len(mapped.chunks) == len(qemb.chunks)
 
 
+@pytest.mark.parametrize("name", ["packed", "pack1", "plain"])
+def test_quant_host_matches_device(name):
+    """quantize_emb_host (numpy, the serving load path — the f32 stack
+    must never be device_put when it doesn't fit HBM) is bit-identical
+    to the jnp quantizer."""
+    config = _configs()[name]
+    params = init_params(jax.random.key(9), config)
+    qd = quant.quantize_emb(params["emb"], config)
+    emb_np = (tuple(np.asarray(c) for c in params["emb"])
+              if isinstance(params["emb"], tuple)
+              else np.asarray(params["emb"]))
+    qh = quant.quantize_emb_host(emb_np, config)
+    for cd, ch, sd, sh in zip(qd.chunks, qh.chunks, qd.scales, qh.scales):
+        np.testing.assert_array_equal(np.asarray(cd), ch)
+        np.testing.assert_array_equal(np.asarray(sd), sh)
+    # the host result flows through the same pytree placement the CLI
+    # uses and still passes the storage guard
+    placed = jax.tree.map(jnp.asarray, qh)
+    assert isinstance(placed, quant.QuantEmb)
+    quant.check_quant_storage(placed, config)
+
+
 def test_quant_preserves_auc_on_trained_model():
     """The serving claim that matters: on a model trained to a real AUC
     (planted-truth synthetic CTR), int8 tables reproduce the f32 AUC to
