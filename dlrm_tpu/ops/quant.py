@@ -140,6 +140,40 @@ def quantize_emb_host(emb, config, scale_dtype=np.float32) -> QuantEmb:
     return out
 
 
+def quantize_sharded_stack(sharded: np.ndarray, pack: int, d: int,
+                           scale_dtype=np.float32):
+    """Quantize a sharded (N, local_rows, pack*D) table stack host-side:
+    returns (int8 stack, (N, local_rows, pack) scales).
+
+    Scales are per LOGICAL row, so a row quantizes identically wherever
+    its physical row lives (engine chunk, shard stack) — padding/trash
+    rows are all-zero and get scale 1.  This is the Terabyte serving
+    enabler: fs=128 tables are ~451 GB f32 / ~225 GB bf16 — over an
+    8-chip v5e slice's 128 GB HBM — vs ~113 GB int8+scales."""
+    n, r, w = sharded.shape
+    x = np.asarray(sharded, dtype=np.float32).reshape(n, r, pack, d)
+    q, s = _quant_logical_rows_np(x)
+    return q.reshape(n, r, w), s.astype(scale_dtype)
+
+
+def quantize_col_shards(cs_arrays, scale_dtype=np.float32):
+    """Quantize column-sharded (N, R_t, D/N) lane slices host-side:
+    per-(shard, row) scales over the slice's lanes — finer than the
+    whole-row scale (each shard scales its own lanes), so cs tables
+    quantize slightly BETTER sharded than unsharded.  Returns
+    (int8 slices, (N, R_t) scales), one pair per table."""
+    qs, ss = [], []
+    for a in cs_arrays:
+        x = np.asarray(a, dtype=np.float32)
+        amax = np.max(np.abs(x), axis=-1)
+        scale = np.where(amax > 0, amax / np.float32(127.0),
+                         np.float32(1.0)).astype(np.float32)
+        q = np.clip(np.round(x / scale[..., None]), -127, 127)
+        qs.append(q.astype(np.int8))
+        ss.append(scale.astype(scale_dtype))
+    return tuple(qs), tuple(ss)
+
+
 def check_quant_storage(qemb: QuantEmb, config) -> None:
     """Trace-time geometry guard (the QuantEmb arm of check_storage)."""
     shapes = tuple(tuple(c.shape) for c in qemb.chunks)

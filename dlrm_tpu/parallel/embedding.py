@@ -351,11 +351,18 @@ def _host_scatter_add_rows(emb_h_local, phys, upd):
         return _raw_scatter_add(emb_h_local, flat, upd_h)
 
 
-def _cs_lookup(cs_local, ids_t, axis: str, exchange_dtype=None):
+def _cs_lookup(cs_local, ids_t, axis: str, exchange_dtype=None,
+               csc_local=None):
     """Column-sharded table: local gather of the lane slice for ALL ids,
     then one all-to-all that splits the batch and concatenates the lane
-    slices: (B, D/N) per shard -> (B/N, D) batch-sharded."""
+    slices: (B, D/N) per shard -> (B/N, D) batch-sharded.
+
+    ``csc_local``: per-(shard, row) dequantization scales (1, R_t) when
+    the slice is int8 (quantized serving) — dequantize BEFORE pooling."""
     rows = jnp.take(cs_local[0], ids_t, axis=0)   # (B[, H], D/N)
+    if csc_local is not None:
+        s = jnp.take(csc_local[0], ids_t, axis=0)  # (B[, H])
+        rows = rows.astype(jnp.float32) * s[..., None]
     if rows.ndim == 3:
         rows = jnp.sum(rows, axis=1)              # pool multi-hot
     dt = rows.dtype
@@ -365,12 +372,31 @@ def _cs_lookup(cs_local, ids_t, axis: str, exchange_dtype=None):
             tiled=True).astype(dt)                # (B/N, D)
 
 
-def _lookup_body(emb, emb_h, cs, ids, meta, *, axis: str,
-                 out_column: np.ndarray, pack: int, dim: int,
-                 placement: "TablePlacement", exchange_dtype=None):
+def _deq_local(rows, phys, slot, scales_l, pack: int):
+    """Dequantize extracted logical rows: rows (..., D) int8-exact values
+    x per-logical-row scale selected by (phys, slot) from the shard's
+    (local_rows, pack) scale array."""
+    s = jnp.take(scales_l, phys, axis=0)          # (..., pack)
+    if pack > 1:
+        s = jnp.take_along_axis(s, slot[..., None], axis=-1)[..., 0]
+    else:
+        s = s[..., 0]
+    return rows.astype(jnp.float32) * s[..., None]
+
+
+def _lookup_body(emb, emb_h, cs, ids, meta, scales, cs_scales, *,
+                 axis: str, out_column: np.ndarray, pack: int, dim: int,
+                 placement: "TablePlacement", exchange_dtype=None,
+                 quantized: bool = False):
     """SPMD body: emb (1, R, D*pack), emb_h (1, H, D*pack) host-resident
     (or None), cs per-table (1, R_t, D/N) lane slices, ids (B/N, T[,H])
     -> pooled (B/N, T, D) in GLOBAL table order.
+
+    ``quantized`` (int8 serving): emb/cs are int8 and ``scales``
+    (1, R, pack) / ``cs_scales`` (per-table (1, R_t)) dequantize each
+    gathered logical row right after slot extraction — before pooling,
+    masking, and the exchange.  The pinned-host stack stays
+    full-precision (quantization saves HBM; emb_h lives in host RAM).
 
     Slot-placed tables: local gather + all-to-all slot exchange.
     Row-sharded tables: each id's row lives on exactly ONE shard, so the
@@ -391,6 +417,8 @@ def _lookup_body(emb, emb_h, cs, ids, meta, *, axis: str,
         phys, slot = _local_rows_for_slots(ids_all, meta, pack)
         g = jnp.take(emb[0], phys, axis=0)       # (B, K[, H], D*pack)
         rows = _extract(g, slot, pack, dim)      # (B, K[, H], D)
+        if quantized:
+            rows = _deq_local(rows, phys, slot, scales[0], pack)
         if rows.ndim == 4:
             with jax.named_scope("pool"):
                 rows = jnp.sum(rows, axis=2)     # pool before the exchange
@@ -409,9 +437,14 @@ def _lookup_body(emb, emb_h, cs, ids, meta, *, axis: str,
             phys, slot, owned = _rs_translate(ids_t, k, placement, my_idx)
             if placement.rs_host and placement.rs_host[k]:
                 g = _host_gather_rows(emb_h[0], phys)
+                rows = _extract(g, slot, pack, dim)  # host stack: f32
+                if quantized:
+                    rows = rows.astype(jnp.float32)
             else:
                 g = jnp.take(emb[0], phys, axis=0)  # (B[, H], D*pack)
-            rows = _extract(g, slot, pack, dim)  # (B[, H], D)
+                rows = _extract(g, slot, pack, dim)  # (B[, H], D)
+                if quantized:
+                    rows = _deq_local(rows, phys, slot, scales[0], pack)
             rows = rows * owned[..., None].astype(rows.dtype)
             if rows.ndim == 3:
                 rows = jnp.sum(rows, axis=1)     # pool multi-hot partials
@@ -435,8 +468,9 @@ def _lookup_body(emb, emb_h, cs, ids, meta, *, axis: str,
         for k, t in enumerate(placement.col_sharded):
             ids_t = (ids_all[:, t] if ids_all.ndim == 2
                      else ids_all[:, t, :])
-            cs_parts.append(_cs_lookup(cs[k], ids_t, axis,
-                                       exchange_dtype))  # (B/N, D)
+            cs_parts.append(_cs_lookup(
+                cs[k], ids_t, axis, exchange_dtype,
+                csc_local=cs_scales[k] if quantized else None))  # (B/N, D)
         parts.append(jnp.stack(cs_parts, axis=1))            # (B/N, n_cs, D)
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     return jnp.take(out, jnp.asarray(placement.output_order()), axis=1)
@@ -538,7 +572,8 @@ def _update_body(emb, emb_h, cs, ids, d_pooled, lr, meta, *, axis: str,
 
 def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
                    placement: TablePlacement, axis: str = "d",
-                   cs=(), emb_h=None, exchange_dtype=None) -> jax.Array:
+                   cs=(), emb_h=None, exchange_dtype=None,
+                   scales=None, cs_scales=()) -> jax.Array:
     """Pooled lookup: emb (N, R, W) sharded on ``axis``; ids (B, T[,H])
     batch-sharded on ``axis``; ``cs`` the column-sharded per-table
     (N, R_t, D/N) arrays; ``emb_h`` the (N, host_local_rows, W) pinned-host
@@ -548,16 +583,33 @@ def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
     ``exchange_dtype`` (e.g. jnp.bfloat16) compresses the activation
     exchanges (slot/cs all_to_all, rs psum_scatter) to half the ICI
     bytes; the result equals the f32 lookup rounded once to the wire
-    dtype (see :func:`_xc`)."""
+    dtype (see :func:`_xc`).
+
+    ``scales`` (N, local_rows, pack) + ``cs_scales`` (per-table
+    (N, R_t)): int8 quantized SERVING — emb/cs hold int8 rows (from
+    ops/quant.quantize_sharded_stack / quantize_col_shards) and each
+    gathered row dequantizes on its owning shard.  This is what fits
+    Terabyte-scale serving in a slice's HBM (fs=128: ~451 GB f32 vs
+    ~113 GB int8).  Inference-only: the update paths reject int8."""
+    quantized = scales is not None
+    if emb.dtype == jnp.int8 and not quantized:
+        raise ValueError("int8 table stack without scales — pass the "
+                         "scales from quantize_sharded_stack")
     meta = placement_arrays(placement)
     if emb_h is None:
         emb_h = _dummy_host_stack(emb, placement)
+    if not quantized:
+        # SPMD-uniform dummies (never read: `quantized` is static)
+        scales = jnp.zeros((emb.shape[0], 1, 1), jnp.float32)
+        cs_scales = tuple(jnp.zeros((c.shape[0], 1), jnp.float32)
+                          for c in cs)
     body = functools.partial(_lookup_body, axis=axis,
                              out_column=placement.out_column(),
                              pack=placement.pack,
                              dim=emb.shape[-1] // placement.pack,
                              placement=placement,
-                             exchange_dtype=exchange_dtype)
+                             exchange_dtype=exchange_dtype,
+                             quantized=quantized)
     # hybrid (dcn, ici) mesh: the lookup needs NO dcn communication at all
     # — each dcn replica holds full tables (sharded over `axis` only) and
     # serves its own batch slice; only the batch spec spans both axes
@@ -565,9 +617,10 @@ def sharded_lookup(emb: jax.Array, ids: jax.Array, *, mesh: Mesh,
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axis), P(axis), tuple(P(axis) for _ in cs), bspec,
-                  {k: P(axis) for k in meta}),
+                  {k: P(axis) for k in meta}, P(axis),
+                  tuple(P(axis) for _ in cs_scales)),
         out_specs=bspec,
-    )(emb, emb_h, tuple(cs), ids, meta)
+    )(emb, emb_h, tuple(cs), ids, meta, scales, tuple(cs_scales))
 
 
 def _collect_grad_pairs(ids_all, back, meta, placement, pack, dim):
@@ -915,6 +968,9 @@ def sharded_update_adagrad(emb: jax.Array, acc: jax.Array, ids: jax.Array,
     arrays (Adagrad is elementwise, so lane slices accumulate
     independently).  Returns (new_emb, new_acc, new_emb_h, new_acc_h,
     new_cs, new_acc_cs) — the host pair is None without host tables."""
+    if emb.dtype == jnp.int8:
+        raise ValueError("int8 quantized tables are inference-only; "
+                         "train on f32/bf16 storage and quantize after")
     meta = placement_arrays(placement)
     has_host = emb_h is not None
     if not has_host:
@@ -1038,6 +1094,9 @@ def sharded_update_sgd(emb: jax.Array, ids: jax.Array, d_pooled: jax.Array,
 
     ``block_leading``: ids/d_pooled are (K, B, ...) — K micro-steps'
     gradients coalesced into one scatter pass (sharded_train_block)."""
+    if emb.dtype == jnp.int8:
+        raise ValueError("int8 quantized tables are inference-only; "
+                         "train on f32/bf16 storage and quantize after")
     meta = placement_arrays(placement)
     has_host = emb_h is not None
     if not has_host:

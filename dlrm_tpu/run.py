@@ -964,6 +964,73 @@ def _try_load_sharded_ctx(args, config, meta=None):
     return payload, mesh, placement
 
 
+def _try_load_quantized_sharded_ctx(args, config):
+    """int8 SHARDED serving: restore the sharded checkpoint host-side
+    (numpy), quantize the shard stacks in host RAM, and ship only
+    int8 + scales to the mesh — the full-precision stack never touches
+    HBM.  This is the Terabyte-scale serving path: fs=128 tables are
+    ~451 GB f32 / ~225 GB bf16 (over an 8-chip v5e slice's 128 GB HBM)
+    vs ~113 GB int8.  Single-process (the host-side restore holds one
+    full-precision copy in host RAM); the pinned-host stack (if any)
+    stays full-precision — it occupies host RAM, not HBM.
+    Returns (params, mesh, placement) or None to fall back."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from dlrm_tpu.io.checkpoint import restore_checkpoint
+    from dlrm_tpu.ops import quant as quant_ops
+    from dlrm_tpu.parallel.mesh import make_mesh
+    from dlrm_tpu.parallel.placement import plan_placement
+
+    if not args.ckpt_dir:
+        return None
+    meta = _read_run_meta(args.ckpt_dir)
+    if not meta.get("sharded"):
+        return None
+    n = int(meta["num_shards"])
+    if len(jax.devices()) < n:
+        print(f"sharded checkpoint needs {n} devices, have "
+              f"{len(jax.devices())}; falling back to unshard",
+              file=sys.stderr)
+        return None
+    _check_meta_sizes(meta, config)
+    if meta.get("host_tables"):
+        from dlrm_tpu.parallel.host_tier import host_memory_supported
+        if not host_memory_supported():
+            return None
+    payload, _ = restore_checkpoint(args.ckpt_dir)  # host numpy arrays
+    if isinstance(payload, dict) and "opt" in payload:
+        payload = payload["params"]
+    placement = plan_placement(
+        tuple(meta["table_sizes"]), n, pack=meta.get("pack", 1),
+        max_rows_per_shard=meta.get("max_rows_per_shard"),
+        col_sharded_tables=meta.get("col_sharded_tables", ()),
+        host_tables=meta.get("host_tables", ()))
+    mesh = make_mesh(n)
+    shd = NamedSharding(mesh, P("d"))
+    emb_np = np.asarray(payload["emb"])
+    d = emb_np.shape[-1] // placement.pack
+    q, s = quant_ops.quantize_sharded_stack(emb_np, placement.pack, d)
+    del emb_np
+    params = {
+        "bottom": jax.tree.map(jnp.asarray, payload["bottom"]),
+        "top": jax.tree.map(jnp.asarray, payload["top"]),
+        "emb": jax.device_put(q, shd),
+        "emb_scales": jax.device_put(s, shd),
+    }
+    if placement.col_sharded:
+        qcs, scs = quant_ops.quantize_col_shards(
+            [np.asarray(a) for a in payload["emb_cs"]])
+        params["emb_cs"] = tuple(jax.device_put(a, shd) for a in qcs)
+        params["emb_cs_scales"] = tuple(
+            jax.device_put(a, shd) for a in scs)
+    if placement.host_row_sharded:
+        params["emb_h"] = jax.device_put(
+            jnp.asarray(np.asarray(payload["emb_h"])),
+            NamedSharding(mesh, P("d"), memory_kind="pinned_host"))
+    return params, mesh, placement
+
+
 def _load_eval_params(args, config, host: bool = False):
     """Load params in the standard storage layout from --ckpt-dir (any
     training run's layout, rebuilt via run_meta.json) or --hdf5 (PyTorch
@@ -1099,7 +1166,7 @@ def cmd_eval(args) -> int:
                          "(quantized on-mesh placement is not implemented); "
                          "drop --distributed")
     ctx = None
-    if meta.get("sharded") and not args.quantize_tables:
+    if meta.get("sharded"):
         n_sh = int(meta["num_shards"])
         if args.batch_size % n_sh:
             # fall back to the unshard path (tested behavior; fine when
@@ -1113,6 +1180,10 @@ def cmd_eval(args) -> int:
                       "stack on this host — use e.g. --batch-size "
                       f"{(args.batch_size // n_sh + 1) * n_sh} for "
                       "on-mesh eval)", file=sys.stderr)
+        elif args.quantize_tables:
+            # int8 on-mesh eval: host-side quantization of the shard
+            # stacks, only int8+scales reach HBM
+            ctx = _try_load_quantized_sharded_ctx(args, config)
         else:
             ctx = _try_load_sharded_ctx(args, config, meta=meta)
     if multiproc and ctx is None:
@@ -1173,10 +1244,11 @@ def cmd_predict(args) -> int:
                          ".npy); run it on one host — a sharded checkpoint "
                          "still serves on-mesh there")
     config = _build_config(args)
-    # quantized serving is the single-host path: unshard (if needed),
-    # quantize, score with the ordinary jitted forward
-    ctx = None if args.quantize_tables else _try_load_sharded_ctx(args,
-                                                                  config)
+    # quantized sharded checkpoints serve ON the mesh too: the shard
+    # stacks quantize host-side and only int8+scales reach HBM
+    ctx = (_try_load_quantized_sharded_ctx(args, config)
+           if args.quantize_tables else
+           _try_load_sharded_ctx(args, config))
     args.keep_remainder = True  # serving must score EVERY row
     t0 = time.time()
     if ctx is not None:
@@ -1202,6 +1274,8 @@ def cmd_predict(args) -> int:
                 s = np.concatenate([s, np.repeat(s[-1:], pad, 0)])
             preds = sfwd(dense_params, params["emb"],
                          params.get("emb_h"), params.get("emb_cs", ()),
+                         params.get("emb_scales"),
+                         params.get("emb_cs_scales", ()),
                          jax.device_put(jnp.asarray(d), bs),
                          jax.device_put(jnp.asarray(s), bs))
             return np.asarray(preds)[:b]

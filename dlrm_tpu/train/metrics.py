@@ -203,10 +203,11 @@ def make_sharded_eval_forward(config, mesh, placement, axis: str = "d"):
     from dlrm_tpu.parallel import embedding as pemb
 
     @jax.jit
-    def fwd(dp, emb, emb_h, cs, dense, sparse):
+    def fwd(dp, emb, emb_h, cs, scales, cs_scales, dense, sparse):
         pooled = pemb.sharded_lookup(
             emb, sparse, mesh=mesh, placement=placement, axis=axis,
-            cs=cs, emb_h=emb_h, exchange_dtype=config.exchange_dtype)
+            cs=cs, emb_h=emb_h, exchange_dtype=config.exchange_dtype,
+            scales=scales, cs_scales=cs_scales)
         return forward_from_pooled(dp, pooled, dense, config)
 
     return fwd
@@ -263,7 +264,9 @@ def sharded_evaluate(params: dict, data: Iterable, config, *, mesh,
             dense = jax.device_put(jnp.asarray(dense), bs)
             sparse = jax.device_put(jnp.asarray(sparse), bs)
         preds = fwd(dense_params, params["emb"], params.get("emb_h"),
-                    params.get("emb_cs", ()), dense, sparse)
+                    params.get("emb_cs", ()),
+                    params.get("emb_scales"),
+                    params.get("emb_cs_scales", ()), dense, sparse)
         if multiproc:
             parts = {(s.index[0].start or 0): np.asarray(s.data)
                      for s in preds.addressable_shards}  # dedupe replicas

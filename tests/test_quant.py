@@ -153,6 +153,134 @@ def test_quant_host_matches_device(name):
     quant.check_quant_storage(placed, config)
 
 
+def _sharded_setup(rng, with_cs: bool):
+    """slot + row-sharded (+ column-sharded) placement on 8 shards with
+    quantized shard stacks."""
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import batch_sharding, make_mesh
+    from dlrm_tpu.parallel.placement import plan_placement
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    config = dataclasses.replace(
+        tiny_config(num_tables=6, rows=64, feature_size=8),
+        table_sizes=(64, 400, 12, 300, 64, 500),
+        packed_tables=False)
+    params = init_params(jax.random.key(13), config)
+    emb_np = np.asarray(params["emb"])
+    mesh = make_mesh(8)
+    p = plan_placement(config.table_sizes, 8, pack=1,
+                       max_rows_per_shard=350,
+                       col_sharded_tables=(3,) if with_cs else ())
+    shd = NamedSharding(mesh, P("d"))
+    q, s = quant.quantize_sharded_stack(
+        pemb.shard_tables(emb_np, p, config), 1, config.feature_size)
+    sh = {"emb": jax.device_put(jnp.asarray(q), shd),
+          "emb_scales": jax.device_put(jnp.asarray(s), shd)}
+    if with_cs:
+        qcs, scs = quant.quantize_col_shards(
+            pemb.shard_col_tables(emb_np, p, config))
+        sh["emb_cs"] = tuple(jax.device_put(jnp.asarray(a), shd)
+                             for a in qcs)
+        sh["emb_cs_scales"] = tuple(jax.device_put(jnp.asarray(a), shd)
+                                    for a in scs)
+    rng_ids = np.stack([rng.integers(0, n, size=32)
+                        for n in config.table_sizes], axis=1)
+    ids = jax.device_put(jnp.asarray(rng_ids.astype(np.int32)),
+                         batch_sharding(mesh))
+    return config, params, mesh, p, sh, ids
+
+
+def test_quant_sharded_lookup_matches_single_host(rng):
+    """int8 sharded lookup (slot + row-sharded) == the single-host
+    quantized lookup bit-for-bit: per-logical-row scales are
+    layout-independent, and both paths compute int8->f32 * scale."""
+    from dlrm_tpu.parallel import embedding as pemb
+
+    config, params, mesh, p, sh, ids = _sharded_setup(rng, with_cs=False)
+    got = np.asarray(jax.jit(lambda e, s, i: pemb.sharded_lookup(
+        e, i, mesh=mesh, placement=p, scales=s))(
+        sh["emb"], sh["emb_scales"], ids))
+    qemb = quant.quantize_emb(params["emb"], config)
+    want = np.asarray(quant.quant_gather_tables(
+        qemb, jnp.asarray(np.asarray(ids)), config))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_quant_sharded_forward_with_cs_close_to_f32(rng):
+    """With column-sharded tables (per-lane-slice scales — finer than
+    whole-row), the quantized sharded lookup stays within the derived
+    quantization error bound of the f32 sharded lookup."""
+    from dlrm_tpu.parallel import embedding as pemb
+
+    config, params, mesh, p, sh, ids = _sharded_setup(rng, with_cs=True)
+    got = np.asarray(jax.jit(lambda e, s, cs, csc, i: pemb.sharded_lookup(
+        e, i, mesh=mesh, placement=p, cs=cs, cs_scales=csc, scales=s))(
+        sh["emb"], sh["emb_scales"], sh["emb_cs"], sh["emb_cs_scales"],
+        ids))
+    cfg_all = dataclasses.replace(config, small_table_threshold=0)
+    f32 = np.asarray(emb_ops.mixed_lookup(
+        params["emb"], jnp.asarray(np.asarray(ids)), cfg_all))
+    mass = np.asarray(emb_ops.mixed_lookup(
+        jnp.abs(params["emb"]), jnp.asarray(np.asarray(ids)), cfg_all))
+    # error bound is per-ROW: half a quantization step = amax(row)/254
+    # (per-lane-slice scales only tighten it)
+    tol = mass.max(axis=-1, keepdims=True) / 254.0 + 1e-6
+    assert np.all(np.abs(got - f32) <= tol)
+
+
+def test_quant_sharded_update_rejected(rng):
+    """int8 tables are inference-only: the sharded update paths refuse."""
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import batch_sharding
+
+    config, params, mesh, p, sh, ids = _sharded_setup(rng, with_cs=False)
+    d_pooled = jax.device_put(jnp.zeros(
+        (32, config.num_tables, config.feature_size), jnp.float32),
+        batch_sharding(mesh))
+    with pytest.raises(ValueError, match="inference-only"):
+        pemb.sharded_update_sgd(sh["emb"], ids, d_pooled, 0.1,
+                                mesh=mesh, placement=p)
+    with pytest.raises(ValueError, match="scales"):
+        pemb.sharded_lookup(sh["emb"], ids, mesh=mesh, placement=p)
+
+
+def test_quant_cli_sharded_predict_and_eval(tmp_path, capsys):
+    """End-to-end: train sharded -> predict/eval --quantize-tables int8
+    serves ON the mesh (int8 shard stacks) and matches f32 closely."""
+    from dlrm_tpu import run as cli
+    from dlrm_tpu.data import synthetic
+
+    lines = synthetic.criteo_text_lines(96, seed=21)
+    (tmp_path / "day.txt").write_text("".join(lines))
+    out = str(tmp_path / "data.bin")
+
+    def run(argv):
+        rc = cli.main(argv)
+        txt = capsys.readouterr().out.strip().splitlines()
+        return rc, json.loads(txt[-1])
+
+    run(["preprocess", str(tmp_path / "day.txt"), "--out", out])
+    sizes = ",".join("1000" for _ in range(26))
+    ckpt = str(tmp_path / "ck")
+    common = ["--config", "tiny", "--table-sizes", sizes,
+              "--batch-size", "16"]
+    run(["train", *common, "--data", out, "--sharded", "true",
+         "--log-every", "5", "--ckpt-dir", ckpt, "--save-interval", "100"])
+    rc, _ = run(["predict", *common, "--data", out, "--ckpt-dir", ckpt,
+                 "--out", str(tmp_path / "f32.npy")])
+    assert rc == 0
+    rc, res = run(["predict", *common, "--data", out, "--ckpt-dir", ckpt,
+                   "--out", str(tmp_path / "q.npy"),
+                   "--quantize-tables", "int8"])
+    assert rc == 0 and res["examples"] == 96
+    a = np.load(str(tmp_path / "f32.npy"))
+    b = np.load(str(tmp_path / "q.npy"))
+    assert np.max(np.abs(a - b)) < 5e-3
+    rc, m = run(["eval", *common, "--data", out, "--ckpt-dir", ckpt,
+                 "--quantize-tables", "int8"])
+    assert rc == 0 and np.isfinite(m["loss"])
+
+
 def test_quant_preserves_auc_on_trained_model():
     """The serving claim that matters: on a model trained to a real AUC
     (planted-truth synthetic CTR), int8 tables reproduce the f32 AUC to
