@@ -19,6 +19,7 @@ from dlrm_tpu.config import (
 )
 from dlrm_tpu.models.dlrm import forward, init_params
 from dlrm_tpu.ops.loss import bce_loss
+from dlrm_tpu.ops.quant import quantize_params  # int8 serving
 from dlrm_tpu.train.train import (train, train_step, make_jit_train_step,
                                   init_opt_state, make_jit_train_step_opt)
 
@@ -27,7 +28,7 @@ __all__ = [
     "fixture_config", "kaggle_config", "multi_fixture_config",
     "terabyte_config", "tiny_config", "forward", "init_params", "bce_loss",
     "train", "train_step", "make_jit_train_step",
-    "init_opt_state", "make_jit_train_step_opt",
+    "init_opt_state", "make_jit_train_step_opt", "quantize_params",
 ]
 
 __version__ = "0.1.0"
