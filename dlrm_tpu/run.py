@@ -1068,6 +1068,21 @@ def _load_eval_params(args, config, host: bool = False):
         params, step = restore_checkpoint(args.ckpt_dir)
         if isinstance(params, dict) and "opt" in params:
             params = params["params"]
+        if meta.get("quantized"):
+            # pre-quantized serving artifact (`export --quantize int8`):
+            # rebuild the QuantEmb from the plain-dict checkpoint layout
+            # (a custom pytree node would not survive template-less
+            # restore) — ready to serve, no re-quantization pass
+            from dlrm_tpu.ops.quant import QuantEmb, check_quant_storage
+            _check_meta_sizes(meta, config)
+            qemb = QuantEmb(tuple(params["emb_q"]["chunks"]),
+                            tuple(params["emb_q"]["scales"]))
+            check_quant_storage(qemb, config)
+            params = {"bottom": params["bottom"], "emb": qemb,
+                      "top": params["top"]}
+            if not host:
+                params = jax.tree.map(jnp.asarray, params)
+            return params, config
         if meta.get("two_tier"):
             # reassemble the tier split (device + pinned-host stacks) into
             # the standard engine storage for host-side eval/predict
@@ -1135,7 +1150,9 @@ def _maybe_quantize(args, params, config):
     import jax
     import jax.numpy as jnp
 
-    if _quantizing(args):
+    from dlrm_tpu.ops.quant import QuantEmb
+
+    if _quantizing(args) and not isinstance(params["emb"], QuantEmb):
         from dlrm_tpu.ops.quant import quantize_emb_host
 
         if getattr(args, "ckpt_dir", None) and \
@@ -1307,13 +1324,53 @@ def cmd_export(args) -> int:
     """Export a checkpoint to the PyTorch-interop HDF5 layout (per-table
     emb_{i} + bot_l/top_l.{j}.weight|bias, (out, in) weights) — the
     format the reference can only LOAD (criteo.jl:464-534); with this the
-    interop loop closes in both directions: train here, consume there."""
-    from dlrm_tpu.io.hdf5 import save_params
+    interop loop closes in both directions: train here, consume there.
+
+    ``--quantize int8``: instead write a READY-TO-SERVE quantized
+    checkpoint directory (int8 chunks + scales + dense towers +
+    run_meta.json) — production servers then restore ~4x fewer bytes
+    and skip the per-start quantization pass over the full-precision
+    stack; eval/predict detect the artifact via run_meta and serve it
+    directly."""
+    import os
 
     config = _build_config(args)
+    if getattr(args, "quantize", None) == "int8":
+        import jax.numpy as jnp
+        from dlrm_tpu.io.checkpoint import save_checkpoint
+        from dlrm_tpu.ops.quant import quantize_emb_host, table_bytes
+
+        params, config = _load_eval_params(args, config, host=True)
+        qemb = quantize_emb_host(params["emb"], config)
+        payload = {"bottom": params["bottom"], "top": params["top"],
+                   # plain dict, not the QuantEmb node: a custom pytree
+                   # would not survive the template-less restore
+                   "emb_q": {"chunks": qemb.chunks,
+                             "scales": qemb.scales}}
+        save_checkpoint(args.out, 0, payload)
+        meta = {
+            "quantized": "int8",
+            "table_sizes": list(config.table_sizes),
+            # geometry keys _load_eval_params applies before the
+            # QuantEmb shape check (source storage dtype + chunk split)
+            "bf16_tables": jnp.dtype(config.embedding_dtype
+                                     ) == jnp.bfloat16,
+            "chunk_budget_bytes": config.chunk_budget_bytes,
+            "deep_chunk_budget_bytes": config.deep_chunk_budget_bytes,
+        }
+        with open(os.path.join(os.path.abspath(args.out),
+                               "run_meta.json"), "w") as f:
+            json.dump(meta, f)
+        print(json.dumps({"out": args.out,
+                          "tables": config.num_tables,
+                          "total_rows": config.total_rows,
+                          "table_bytes": table_bytes(qemb),
+                          "quantized": "int8"}))
+        return 0
+    from dlrm_tpu.io.hdf5 import save_params
+
     params, config = _load_eval_params(args, config)
     save_params(args.out, params, config)
-    import os
     print(json.dumps({"out": args.out,
                       "tables": config.num_tables,
                       "total_rows": config.total_rows,
@@ -1533,7 +1590,13 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--ckpt-dir", default=None)
     ex.add_argument("--hdf5", default=None,
                     help="re-export from an HDF5 model instead")
-    ex.add_argument("--out", required=True, help="output .hdf5 path")
+    ex.add_argument("--out", required=True,
+                    help="output .hdf5 path (or directory with "
+                    "--quantize)")
+    ex.add_argument("--quantize", default=None, choices=["int8"],
+                    help="write a ready-to-serve int8 checkpoint "
+                    "directory instead of HDF5 (eval/predict serve it "
+                    "directly, no per-start quantization pass)")
     ex.set_defaults(fn=cmd_export)
 
     va = sub.add_parser("validate", help="PyTorch-fixture parity")

@@ -281,6 +281,47 @@ def test_quant_cli_sharded_predict_and_eval(tmp_path, capsys):
     assert rc == 0 and np.isfinite(m["loss"])
 
 
+def test_quant_export_artifact_roundtrip(tmp_path, capsys):
+    """export --quantize int8 writes a ready-to-serve artifact; predict
+    from it matches quantize-at-load bit-for-bit (same quantizer), and
+    eval serves it without any --quantize flag."""
+    from dlrm_tpu import run as cli
+    from dlrm_tpu.data import synthetic
+
+    (tmp_path / "day.txt").write_text(
+        "".join(synthetic.criteo_text_lines(64, seed=31)))
+    out = str(tmp_path / "data.bin")
+
+    def run(argv):
+        rc = cli.main(argv)
+        txt = capsys.readouterr().out.strip().splitlines()
+        return rc, json.loads(txt[-1])
+
+    run(["preprocess", str(tmp_path / "day.txt"), "--out", out])
+    sizes = ",".join("1000" for _ in range(26))
+    ckpt, qdir = str(tmp_path / "ck"), str(tmp_path / "q")
+    common = ["--config", "tiny", "--table-sizes", sizes,
+              "--batch-size", "16"]
+    run(["train", *common, "--data", out, "--sharded", "false",
+         "--log-every", "5", "--ckpt-dir", ckpt, "--save-interval", "100"])
+    rc, res = run(["export", "--config", "tiny", "--table-sizes", sizes,
+                   "--ckpt-dir", ckpt, "--out", qdir,
+                   "--quantize", "int8"])
+    assert rc == 0 and res["quantized"] == "int8"
+    assert res["table_bytes"] < 26 * 1000 * 8 * 4 * 0.5
+    rc, _ = run(["predict", *common, "--data", out, "--ckpt-dir", ckpt,
+                 "--out", str(tmp_path / "a.npy"),
+                 "--quantize-tables", "int8"])
+    assert rc == 0
+    rc, _ = run(["predict", *common, "--data", out, "--ckpt-dir", qdir,
+                 "--out", str(tmp_path / "b.npy")])
+    assert rc == 0
+    np.testing.assert_array_equal(np.load(str(tmp_path / "a.npy")),
+                                  np.load(str(tmp_path / "b.npy")))
+    rc, m = run(["eval", *common, "--data", out, "--ckpt-dir", qdir])
+    assert rc == 0 and np.isfinite(m["loss"])
+
+
 def test_quant_preserves_auc_on_trained_model():
     """The serving claim that matters: on a model trained to a real AUC
     (planted-truth synthetic CTR), int8 tables reproduce the f32 AUC to
