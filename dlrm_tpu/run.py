@@ -307,6 +307,15 @@ def cmd_train(args) -> int:
     # directly (as a (K,) lr array per block), so the schedule-wrapping
     # opt-state path below is only for block == 1
     block = max(int(getattr(args, "update_interval", 1) or 1), 1)
+    clip = getattr(args, "grad_clip_norm", None)
+    if clip is not None and (block > 1 or args.hbm_budget_gb is not None):
+        # the clip lives in the per-step optimizer paths; block steps
+        # accumulate gradients across micro-steps (a per-micro-step norm
+        # would need the clip inside the scan) and the two-tier step has
+        # its own pipelined structure — refuse rather than silently
+        # train unclipped
+        raise SystemExit("--grad-clip-norm supports the per-step paths "
+                         "only; drop --update-interval/--hbm-budget-gb")
     n_dev = len(jax.devices())
     sharded = args.sharded if args.sharded is not None else (n_dev > 1)
     if args.hbm_budget_gb is not None and sharded:
@@ -400,7 +409,10 @@ def cmd_train(args) -> int:
                                     or (sharded and callable(lr)
                                         and block == 1)
                                     or (args.hbm_budget_gb is not None
-                                        and callable(lr))),
+                                        and callable(lr))
+                                    # sgd + clipping routes through the
+                                    # opt-state step (clip lives there)
+                                    or clip is not None),
                 "table_sizes": list(config.table_sizes),
                 "bf16_tables": bool(getattr(args, "bf16_tables", False)),
                 # chunk geometry is batch-size-keyed (auto_chunk_budget);
@@ -460,7 +472,8 @@ def cmd_train(args) -> int:
             sh_params["emb_h"] = pemb.shard_host_tables(
                 params["emb"], placement, config)
         shardings = param_shardings(mesh, sh_params)
-        if args.optimizer == "sgd" and (not callable(lr) or block > 1):
+        if args.optimizer == "sgd" and clip is None and (
+                not callable(lr) or block > 1):
             if mgr is not None:
                 restored = mgr.restore_latest(template=sh_params,
                                               shardings=shardings)
@@ -493,7 +506,7 @@ def cmd_train(args) -> int:
             params = jax.device_put(sh_params, shardings)
             opt_step = make_sharded_train_step_opt(
                 config, optimizer=args.optimizer, lr=lr, mesh=mesh,
-                placement=placement)
+                placement=placement, grad_clip_norm=clip)
             state_box = {"opt": opt_state}
 
             def step_fn(p, d, s, l):
@@ -589,7 +602,7 @@ def cmd_train(args) -> int:
         params = tiered
         batch_place = None
     else:
-        if args.optimizer == "sgd":
+        if args.optimizer == "sgd" and clip is None:
             if mgr is not None:
                 restored = mgr.restore_latest(template=params)
                 if restored is not None:
@@ -604,7 +617,8 @@ def cmd_train(args) -> int:
                                               make_jit_train_step_opt)
             opt_step = make_jit_train_step_opt(
                 config, optimizer=args.optimizer, lr=lr,
-                emb_impl=getattr(args, "adagrad_impl", "dedup"))
+                emb_impl=getattr(args, "adagrad_impl", "dedup"),
+                grad_clip_norm=clip)
             opt_state = init_opt_state(params, config=config,
                                        optimizer=args.optimizer, lr=lr)
             if mgr is not None:
@@ -1486,6 +1500,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "— the torchrec production default); every optimizer "
                     "runs on every placement: single-chip, sharded "
                     "(slot/row/column/host-resident), two-tier, blocks")
+    tr.add_argument("--grad-clip-norm", type=float, default=None,
+                    help="global-norm gradient clipping over the step's "
+                    "full gradient (dense towers + embedding cotangent). "
+                    "Bounds SGD steps directly; Adagrad-family sparse "
+                    "steps are gradient-scale invariant, so pick lr "
+                    "there (per-step optimizer paths only)")
     tr.add_argument("--lr-schedule", default="constant",
                     help="constant | warmup_poly_decay (MLPerf-style)")
     tr.add_argument("--warmup-steps", type=int, default=0)

@@ -68,6 +68,36 @@ def init_emb_state(config: DLRMConfig, optimizer: str, emb,
     raise ValueError(f"unknown optimizer {optimizer!r}")
 
 
+def clip_by_global_norm(max_norm, grads):
+    """Scale a gradient pytree by ``min(1, max_norm / ||grads||_2)``.
+
+    The norm is taken over EVERYTHING the step's autodiff produced —
+    dense-tower grads plus the embedding cotangent in whatever
+    decomposition the step uses (per-hit gathered rows, pooled (B,T,D),
+    dense small-table grads).  Per-hit embedding entries therefore count
+    once per hit, exactly like the gradient of the unrolled lookup —
+    NOT the deduped parameter-space gradient (summing duplicates first
+    would cost an argsort per step; torchrec's clipping makes the same
+    choice).
+
+    What it does and does NOT stabilize (measured,
+    tests/test_grad_clip.py): under SGD the update is lr*g, so clipping
+    directly bounds the step (hot-lr runs that blow into the BCE clamp
+    train normally with a tight clip).  Adagrad-family sparse steps are
+    g*rsqrt(acc(g^2)) — INVARIANT to gradient scale — so clipping does
+    not substitute for lr choice there (the fs=128 saturation fix
+    remains lr, ROUND4_NOTES); it still bounds the dense towers and
+    one-off outlier batches once accumulators are warm.  Returns
+    (clipped_grads, global_norm)."""
+    leaves = jax.tree.leaves(grads)
+    sq = sum(jnp.sum(jnp.square(g.astype(jnp.float32))) for g in leaves)
+    gnorm = jnp.sqrt(sq)
+    scale = jnp.minimum(1.0, max_norm / jnp.maximum(gnorm, 1e-12))
+    return jax.tree.map(
+        lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype),
+        grads), gnorm
+
+
 def dense_optimizer(optimizer: str, lr):
     """optax transform for the dense (MLP) parameters.  ``lr`` may be a
     float or an optax schedule.  rowwise_adagrad applies to EMBEDDING

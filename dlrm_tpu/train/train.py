@@ -176,7 +176,7 @@ def init_opt_state(params: dict, *, config: DLRMConfig, optimizer: str,
 
 def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
                    config: DLRMConfig, optimizer: str, lr: float,
-                   emb_impl: str = "dedup"):
+                   emb_impl: str = "dedup", grad_clip_norm=None):
     """One step with a pluggable optimizer; returns ((params, opt_state),
     loss).
 
@@ -185,6 +185,9 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
     dedup-then-apply contract with exact Adagrad semantics on unique rows
     (train/optim.py), and the accumulator lives in chunked storage so only
     hit rows are touched.
+
+    ``grad_clip_norm``: global-norm clipping over everything autodiff
+    produced (optim.clip_by_global_norm) before the updates.
     """
     from dlrm_tpu.train import optim
 
@@ -221,6 +224,10 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
 
     loss, (dgrads, d_rows_big, d_smalls) = jax.value_and_grad(
         inner, argnums=(0, 1, 2))(dense_params, rows_big, small_tables)
+    if grad_clip_norm is not None:
+        with jax.named_scope("grad_clip"):
+            (dgrads, d_rows_big, d_smalls), _ = optim.clip_by_global_norm(
+                grad_clip_norm, (dgrads, d_rows_big, d_smalls))
 
     count = opt_state.get("count", jnp.zeros((), jnp.int32))
     lr_t = lr(count) if callable(lr) else lr  # schedule support
@@ -335,11 +342,12 @@ def train_step_opt(params: dict, opt_state: dict, dense, sparse, labels, *,
 
 
 def make_jit_train_step_opt(config: DLRMConfig, *, optimizer: str = "sgd",
-                            lr: float = 0.1,
-                            emb_impl: str = "dedup") -> Callable:
+                            lr: float = 0.1, emb_impl: str = "dedup",
+                            grad_clip_norm=None) -> Callable:
     step = functools.partial(train_step_opt, config=config,
                              optimizer=optimizer, lr=lr,
-                             emb_impl=emb_impl)
+                             emb_impl=emb_impl,
+                             grad_clip_norm=grad_clip_norm)
     return jax.jit(step, donate_argnums=(0, 1))
 
 
@@ -739,7 +747,8 @@ def sharded_train_step(params: dict, dense: jax.Array, sparse: jax.Array,
 
 def sharded_train_step_opt(params: dict, opt_state: dict, dense, sparse,
                            labels, *, config: DLRMConfig, optimizer: str,
-                           lr, mesh, placement, axis: str = "d"):
+                           lr, mesh, placement, axis: str = "d",
+                           grad_clip_norm=None):
     """Hybrid-parallel step with a pluggable optimizer (sgd | adagrad |
     rowwise_adagrad).
 
@@ -767,6 +776,12 @@ def sharded_train_step_opt(params: dict, opt_state: dict, dense, sparse,
 
     loss, (dgrads, d_pooled) = jax.value_and_grad(
         inner, argnums=(0, 1))(dense_params, pooled)
+    if grad_clip_norm is not None:
+        # GSPMD global arrays here (outside the shard_map bodies): the
+        # norm over the batch-sharded d_pooled psums automatically
+        with jax.named_scope("grad_clip"):
+            (dgrads, d_pooled), _ = optim.clip_by_global_norm(
+                grad_clip_norm, (dgrads, d_pooled))
 
     count = opt_state.get("count", jnp.zeros((), jnp.int32))
     lr_t = lr(count) if callable(lr) else lr
@@ -888,11 +903,12 @@ def sharded_opt_shardings(opt_state: dict, mesh, axis: str = "d"):
 
 
 def make_sharded_train_step_opt(config: DLRMConfig, *, optimizer: str,
-                                lr, mesh, placement, axis: str = "d"
-                                ) -> Callable:
+                                lr, mesh, placement, axis: str = "d",
+                                grad_clip_norm=None) -> Callable:
     step = functools.partial(sharded_train_step_opt, config=config,
                              optimizer=optimizer, lr=lr, mesh=mesh,
-                             placement=placement, axis=axis)
+                             placement=placement, axis=axis,
+                             grad_clip_norm=grad_clip_norm)
     if not placement.host_row_sharded:
         return jax.jit(step, donate_argnums=(0, 1))
     from jax.sharding import NamedSharding, PartitionSpec as P
