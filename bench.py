@@ -46,6 +46,24 @@ def main():
     dev = devices[0]
     log(f"device: {dev} ({dev.platform})")
 
+    if "--fs128-only" in sys.argv:
+        # re-run just the fs=128 section (development aid; the driver runs
+        # the full bench with no args)
+        rng = np.random.default_rng(0)
+        fs128: dict = {}
+        try:
+            _bench_fs128(rng, log, fs128)
+        except Exception as e:  # pragma: no cover - depends on device HBM
+            log(f"fs128 section failed: {type(e).__name__}: {e}")
+            fs128["fs128_error"] = f"{type(e).__name__}: {e}"
+        print(json.dumps({"metric": "dlrm_kaggle_fs128_train_b32768",
+                          "value": fs128.get(
+                              "fs128_sgd_gram_examples_per_s", 0),
+                          "unit": "examples/s/chip",
+                          "vs_baseline": 0,
+                          **fs128}))
+        return
+
     # "gram" (batched MXU einsum + static gather) measures fastest on v5e
     # for fs=16 (3.5 ms fwd+bwd vs 7 ms for the fused pallas kernel).
     config = dlrm_tpu.kaggle_config(feature_size=FEATURE_SIZE,
@@ -306,10 +324,12 @@ def main():
     # free the fs=16 model (2.2 GB + opt state) before the 8.6 GB alloc
     del params, opt, emb, c, k, astep, ablk, blk, step, step2
     try:
-        fs128 = _bench_fs128(rng, log)
+        # fs128 is filled in-place so measurements taken before a
+        # mid-section OOM still reach the JSON line
+        _bench_fs128(rng, log, fs128)
     except Exception as e:  # pragma: no cover - depends on device HBM
         log(f"fs128 section failed: {type(e).__name__}: {e}")
-        fs128 = {"fs128_error": f"{type(e).__name__}: {e}"}
+        fs128["fs128_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": METRIC,
@@ -327,9 +347,12 @@ def main():
     }))
 
 
-def _bench_fs128(rng, log):
+def _bench_fs128(rng, log, out):
     """kaggle fs=128 (pack=1, bf16 tables) : exact SGD, rowwise adagrad,
-    pooled lookup, and the gram-vs-pallas interaction choice end-to-end."""
+    pooled lookup, and the gram-vs-pallas interaction choice end-to-end.
+
+    Fills ``out`` in-place so the caller keeps every measurement taken
+    before a mid-section device OOM."""
     import jax
     import jax.numpy as jnp
     import dlrm_tpu
@@ -337,7 +360,6 @@ def _bench_fs128(rng, log):
     from dlrm_tpu.ops.embedding import mixed_lookup
 
     B = BATCH
-    out = {}
 
     def slope_step(step, state, extra, iters=(3, 9)):
         for _ in range(3):
@@ -357,6 +379,19 @@ def _bench_fs128(rng, log):
     dense = jnp.asarray(rng.normal(size=(B, 13)).astype(np.float32))
     labels = jnp.asarray((rng.random(B) > 0.5).astype(np.float32))
 
+    # the bf16 table stack is 8.6 GB on a 16 GB chip: any rebind of the
+    # model (params = init_params(...)) while the previous stack is still
+    # referenced is a ~17 GB transient and an instant OOM — measured on
+    # the first on-chip run (block + int8 + pallas sections all died that
+    # way).  Every re-init below therefore goes through fresh_params(),
+    # which drops the old reference BEFORE allocating the new stack.
+    params = None
+
+    def fresh_params(config):
+        nonlocal params
+        params = None
+        return dlrm_tpu.init_params(jax.random.key(0), config)
+
     for impl in ("gram", "pallas"):
         config = dlrm_tpu.kaggle_config(feature_size=128,
                                         embedding_dtype=jnp.bfloat16,
@@ -364,7 +399,7 @@ def _bench_fs128(rng, log):
         sparse = jnp.asarray(np.stack(
             [rng.integers(0, s, size=B) for s in config.table_sizes],
             axis=1).astype(np.int32))
-        params = dlrm_tpu.init_params(jax.random.key(0), config)
+        params = fresh_params(config)
         step = dlrm_tpu.make_jit_train_step(config, lr=0.1)
 
         def sgd_step(p, d, s_, l):
@@ -378,7 +413,7 @@ def _bench_fs128(rng, log):
         out[f"fs128_sgd_{impl}_examples_per_s"] = round(B / t, 1)
         if impl == "gram":
             # rowwise adagrad + lookup measured once, on the default impl
-            params = dlrm_tpu.init_params(jax.random.key(0), config)
+            params = fresh_params(config)
             opt = init_opt_state(params, config=config,
                                  optimizer="rowwise_adagrad", lr=0.01)
             astep = make_jit_train_step_opt(config,
@@ -396,8 +431,9 @@ def _bench_fs128(rng, log):
                 f"{B/ta:,.0f} examples/s "
                 f"(compile+measure {time.perf_counter()-t0:.0f}s)")
             out["fs128_rowwise_adagrad_examples_per_s"] = round(B / ta, 1)
+            opt = astep = None  # free the accumulator before the next stack
 
-            params = dlrm_tpu.init_params(jax.random.key(0), config)
+            params = fresh_params(config)
             emb = params["emb"]
             ids_base = jnp.asarray(np.stack(
                 [rng.integers(0, s - 1, size=B)
@@ -449,7 +485,7 @@ def _bench_fs128(rng, log):
                      for _ in range(Kb)]).astype(np.int32))
                 kl = jnp.asarray(
                     (rng.random((Kb, B)) > 0.5).astype(np.float32))
-                params = dlrm_tpu.init_params(jax.random.key(0), config)
+                params = fresh_params(config)
                 blk = make_jit_train_block(config, lr=0.1)
 
                 def blk_step(p, d, s_, l):
@@ -480,7 +516,7 @@ def _bench_fs128(rng, log):
             try:
                 from dlrm_tpu.ops.quant import quantize_emb
 
-                params = dlrm_tpu.init_params(jax.random.key(0), config)
+                params = fresh_params(config)
                 sv = jnp.asarray(np.stack(
                     [rng.integers(0, s - 1, size=B)
                      for s in config.table_sizes], axis=1).astype(np.int32))
@@ -527,7 +563,7 @@ def _bench_fs128(rng, log):
                 # — the pallas measurement follows
                 qparams = None  # noqa: F841
             params = None
-        del params, step
+        params = step = None
     return out
 
 

