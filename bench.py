@@ -412,59 +412,68 @@ def _bench_fs128(rng, log, out):
             f"(compile+measure {time.perf_counter()-t0:.0f}s)")
         out[f"fs128_sgd_{impl}_examples_per_s"] = round(B / t, 1)
         if impl == "gram":
-            # rowwise adagrad + lookup measured once, on the default impl
-            params = fresh_params(config)
-            opt = init_opt_state(params, config=config,
-                                 optimizer="rowwise_adagrad", lr=0.01)
-            astep = make_jit_train_step_opt(config,
-                                            optimizer="rowwise_adagrad",
-                                            lr=0.01)
+            # rowwise adagrad + lookup measured once, on the default
+            # impl.  Sub-isolated like the block/int8 sections below: a
+            # failure here must not lose the pallas measurement.
+            emb = ids_base = None
+            try:
+                params = fresh_params(config)
+                opt = init_opt_state(params, config=config,
+                                     optimizer="rowwise_adagrad", lr=0.01)
+                astep = make_jit_train_step_opt(config,
+                                                optimizer="rowwise_adagrad",
+                                                lr=0.01)
 
-            def ada_step(state, d, s_, l):
-                (p, o), loss = astep(state[0], state[1], d, s_, l)
-                return (p, o), loss
+                def ada_step(state, d, s_, l):
+                    (p, o), loss = astep(state[0], state[1], d, s_, l)
+                    return (p, o), loss
 
-            t0 = time.perf_counter()
-            ta = slope_step(ada_step, (params, opt),
-                            (dense, sparse, labels))
-            log(f"fs128 rowwise adagrad: {ta*1e3:.2f} ms/step -> "
-                f"{B/ta:,.0f} examples/s "
-                f"(compile+measure {time.perf_counter()-t0:.0f}s)")
-            out["fs128_rowwise_adagrad_examples_per_s"] = round(B / ta, 1)
-            opt = astep = None  # free the accumulator before the next stack
-
-            params = fresh_params(config)
-            emb = params["emb"]
-            ids_base = jnp.asarray(np.stack(
-                [rng.integers(0, s - 1, size=B)
-                 for s in config.table_sizes], axis=1).astype(np.int32))
-
-            @jax.jit
-            def lookup_probe(emb, ids_base, c, k):
-                # monotone counter k: distinct args every call (see the
-                # fs=16 lookup_probe note on axon memoization)
-                ids = ids_base + ((c.astype(jnp.int32) ^ k) & 1)
-                pooled = mixed_lookup(emb, ids, config)
-                return jnp.sum(pooled.astype(jnp.float32)), k + 1
-
-            c, k = jnp.float32(0), jnp.int32(0)
-            for _ in range(3):
-                c, k = lookup_probe(emb, ids_base, c, k)
-            _ = float(c)
-            totals = []
-            for iters in (4, 12):
                 t0 = time.perf_counter()
-                for _ in range(iters):
+                ta = slope_step(ada_step, (params, opt),
+                                (dense, sparse, labels))
+                log(f"fs128 rowwise adagrad: {ta*1e3:.2f} ms/step -> "
+                    f"{B/ta:,.0f} examples/s "
+                    f"(compile+measure {time.perf_counter()-t0:.0f}s)")
+                out["fs128_rowwise_adagrad_examples_per_s"] = round(
+                    B / ta, 1)
+                opt = astep = None  # free the accumulator first
+
+                params = fresh_params(config)
+                emb = params["emb"]
+                ids_base = jnp.asarray(np.stack(
+                    [rng.integers(0, s - 1, size=B)
+                     for s in config.table_sizes], axis=1).astype(np.int32))
+
+                @jax.jit
+                def lookup_probe(emb, ids_base, c, k):
+                    # monotone counter k: distinct args every call (see
+                    # the fs=16 lookup_probe note on axon memoization)
+                    ids = ids_base + ((c.astype(jnp.int32) ^ k) & 1)
+                    pooled = mixed_lookup(emb, ids, config)
+                    return jnp.sum(pooled.astype(jnp.float32)), k + 1
+
+                c, k = jnp.float32(0), jnp.int32(0)
+                for _ in range(3):
                     c, k = lookup_probe(emb, ids_base, c, k)
                 _ = float(c)
-                totals.append(time.perf_counter() - t0)
-            lk_t = (totals[1] - totals[0]) / 8
-            lk_bytes = B * len(config.table_sizes) * 128 * 2  # bf16
-            out["fs128_lookup_gb_s_logical"] = round(
-                lk_bytes / lk_t / 1e9, 2)
-            log(f"fs128 pooled lookup: {lk_t*1e3:.2f} ms -> "
-                f"{out['fs128_lookup_gb_s_logical']:.1f} GB/s logical")
-            del emb, ids_base
+                totals = []
+                for iters in (4, 12):
+                    t0 = time.perf_counter()
+                    for _ in range(iters):
+                        c, k = lookup_probe(emb, ids_base, c, k)
+                    _ = float(c)
+                    totals.append(time.perf_counter() - t0)
+                lk_t = (totals[1] - totals[0]) / 8
+                lk_bytes = B * len(config.table_sizes) * 128 * 2  # bf16
+                out["fs128_lookup_gb_s_logical"] = round(
+                    lk_bytes / lk_t / 1e9, 2)
+                log(f"fs128 pooled lookup: {lk_t*1e3:.2f} ms -> "
+                    f"{out['fs128_lookup_gb_s_logical']:.1f} GB/s logical")
+            except Exception as e:  # pragma: no cover - device HBM
+                log(f"fs128 rowwise/lookup failed: {type(e).__name__}: {e}")
+                out["fs128_rowwise_error"] = f"{type(e).__name__}: {e}"
+            finally:
+                emb = ids_base = opt = astep = None  # noqa: F841
 
             # coalesced SGD block K=8 — the production schedule; at
             # fs=128 the deep-table scatters are the most expensive in
@@ -547,10 +556,13 @@ def _bench_fs128(rng, log, out):
                 out["fs128_predict_examples_per_s"] = round(B / tb16, 1)
                 log(f"fs128 predict [bf16 tables]: {tb16*1e3:.2f} ms -> "
                     f"{B/tb16:,.0f} examples/s")
+                # donate=True frees each bf16 chunk inside its (jitted,
+                # fused) quantization call — both stacks never coexist
                 qparams = {"bottom": params["bottom"],
-                           "emb": quantize_emb(params["emb"], config),
+                           "emb": quantize_emb(params["emb"], config,
+                                               donate=True),
                            "top": params["top"]}
-                del params  # free the bf16 tables before timing int8
+                params = None  # emb chunks already freed by donation
                 tq = serving_probe_t(qparams)
                 out["fs128_int8_predict_examples_per_s"] = round(B / tq, 1)
                 log(f"fs128 predict [int8 tables]: {tq*1e3:.2f} ms -> "

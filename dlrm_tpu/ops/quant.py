@@ -8,7 +8,11 @@ Kaggle fs=128 stack is 17.3 GB in f32 — over one v5e's 16 GB HBM — and
 fitting single-chip serving with headroom and halving gather-side HBM
 traffic versus bf16.
 
-Scheme: symmetric per-LOGICAL-row scales, ``scale = max|row| / 127``,
+Scheme: symmetric per-LOGICAL-row scales, ``scale = max|row| * (1/127)``
+(multiplication by the pre-rounded f32 reciprocal, NOT division: XLA's
+algebraic simplifier rewrites division by a literal inside a fused
+program, so only the multiplication form is bit-stable between the
+jitted device quantizer and its numpy host twin — a tested contract),
 ``q = round(row / scale)`` clipped to [-127, 127].  Per-logical-row (not
 per-physical-row) matters under lane packing: one physical row holds
 ``config.pack`` unrelated logical rows whose magnitudes differ by their
@@ -34,6 +38,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from dlrm_tpu.ops import embedding as emb_ops
+
+# pre-rounded f32 reciprocal of 127; both quantizer twins multiply by
+# this (division by a literal is not bit-stable under XLA fusion)
+_INV127 = np.float32(1.0) / np.float32(127.0)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -75,27 +83,50 @@ def _quant_logical_rows(x: jax.Array):
     All-zero rows get scale 1 (quantize to exact zeros) instead of a 0/0.
     """
     amax = jnp.max(jnp.abs(x), axis=-1)
-    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    # multiply by the pre-rounded reciprocal (see module docstring: the
+    # division form is not bit-stable under XLA fusion)
+    scale = jnp.where(amax > 0, amax * _INV127, 1.0)
     q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127)
     return q.astype(jnp.int8), scale
 
 
-def quantize_emb(emb, config, scale_dtype=jnp.float32) -> QuantEmb:
+def _quant_chunk_body(c, pack, d):
+    x = c.astype(jnp.float32).reshape(c.shape[0], pack, d)
+    q, s = _quant_logical_rows(x)
+    return q.reshape(c.shape[0], pack * d), s
+
+
+# One jitted program per chunk: eager (op-by-op) quantization of a big
+# chunk materializes several full f32 transients back to back (the cast,
+# the divide, the round, the clip — ~4x 5.2 GB for the fs=128 deep chunk)
+# and OOMs a 16 GB chip; fused, the peak is one f32 image of the chunk
+# plus the int8 output.  The donating twin additionally frees the source
+# chunk's buffer inside the call — the capacity-constrained load path.
+_quant_chunk = jax.jit(_quant_chunk_body, static_argnums=(1, 2))
+_quant_chunk_donate = jax.jit(_quant_chunk_body, static_argnums=(1, 2),
+                              donate_argnums=(0,))
+
+
+def quantize_emb(emb, config, scale_dtype=jnp.float32,
+                 donate: bool = False) -> QuantEmb:
     """Quantize either storage layout (engine chunk tuple or plain
-    ``(total_rows, D)`` stack) into a :class:`QuantEmb`."""
+    ``(total_rows, D)`` stack) into a :class:`QuantEmb`.
+
+    ``donate=True`` frees each source chunk's device buffer as it is
+    quantized (the caller's ``emb`` arrays become invalid) — use when the
+    full-precision stack + the int8 stack don't fit HBM together."""
     emb_ops.check_storage(emb, config)
     d = config.feature_size
+    kernel = _quant_chunk_donate if donate else _quant_chunk
     if isinstance(emb, (tuple, list)):
         pack = config.pack
         chunks, scales = [], []
         for c in emb:
-            x = c.astype(jnp.float32).reshape(c.shape[0], pack, d)
-            q, s = _quant_logical_rows(x)
-            chunks.append(q.reshape(c.shape))
+            q, s = kernel(c, pack, d)
+            chunks.append(q)
             scales.append(s.astype(scale_dtype))
         return QuantEmb(tuple(chunks), tuple(scales))
-    x = emb.astype(jnp.float32).reshape(emb.shape[0], 1, d)
-    q, s = _quant_logical_rows(x)
+    q, s = kernel(emb, 1, d)
     return QuantEmb((q.reshape(emb.shape),), (s.astype(scale_dtype),))
 
 
@@ -111,7 +142,7 @@ def _quant_logical_rows_np(x: np.ndarray):
     same round-half-to-even, so host and device quantization are
     bit-identical (tested)."""
     amax = np.max(np.abs(x), axis=-1)
-    scale = np.where(amax > 0, amax / np.float32(127.0),
+    scale = np.where(amax > 0, amax * _INV127,
                      np.float32(1.0)).astype(np.float32)
     q = np.clip(np.round(x / scale[..., None]), -127, 127)
     return q.astype(np.int8), scale
@@ -166,7 +197,7 @@ def quantize_col_shards(cs_arrays, scale_dtype=np.float32):
     for a in cs_arrays:
         x = np.asarray(a, dtype=np.float32)
         amax = np.max(np.abs(x), axis=-1)
-        scale = np.where(amax > 0, amax / np.float32(127.0),
+        scale = np.where(amax > 0, amax * _INV127,
                          np.float32(1.0)).astype(np.float32)
         q = np.clip(np.round(x / scale[..., None]), -127, 127)
         qs.append(q.astype(np.int8))
