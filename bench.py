@@ -257,11 +257,19 @@ def main():
     # the reference's experiment batch B=2048 (script.jl:13) and eval at
     # its 2^16 test batch (src/DLRM.jl:89-91)
     B2 = 2048
-    params = dlrm_tpu.init_params(jax.random.key(0), config)
+    # run.py keys the chunk budget off the batch size (the B=2048 sweep
+    # measured 64 MB at 1.70 ms vs 16 MB at 2.17); measure what a user of
+    # the production CLI actually gets
+    import dataclasses as _dc
+    from dlrm_tpu import config as _cfg_mod
+    config2 = _dc.replace(
+        config,
+        chunk_budget_bytes=_cfg_mod.auto_chunk_budget_bytes(B2))
+    params = dlrm_tpu.init_params(jax.random.key(0), config2)
     d2 = dense[:B2]
     s2 = sparse[:B2]
     l2 = labels[:B2]
-    step2 = dlrm_tpu.make_jit_train_step(config, lr=0.1)
+    step2 = dlrm_tpu.make_jit_train_step(config2, lr=0.1)
     t0 = time.perf_counter()
     for _ in range(5):
         params, loss = step2(params, d2, s2, l2)

@@ -317,6 +317,22 @@ def auto_chunk_budget_bytes(batch_size: int) -> int:
     return 16 << 20
 
 
+def auto_interaction_impl(feature_size: int) -> str:
+    """Feature-size-keyed interaction implementation.
+
+    Measured on the v5e at B=32768 (bench.py, round 4): at fs=16 the gram
+    einsum wins (3.5 ms fwd+bwd vs 7 ms for the fused pallas kernel — the
+    einsum rides the MXU at a shape XLA tiles well), but at fs=128 the
+    pallas kernel wins BOTH in isolation (9.5 vs 14.9 ms) and end-to-end
+    (SGD step 36.4 vs 42.8 ms -> 901k vs 765k examples/s, +18%): at
+    pack=1 the (27, 128) per-example tile is exactly one VMEM register
+    row and the fused kernel avoids materializing the (B, 27, 27) gram
+    matrix in HBM.  run.py applies this on TPU when --interaction is not
+    given; library callers opt in explicitly.
+    """
+    return "pallas" if feature_size >= 128 else "gram"
+
+
 # -- presets -----------------------------------------------------------------
 
 def fixture_config() -> DLRMConfig:

@@ -49,6 +49,15 @@ def _build_config(args) -> "DLRMConfig":
     over = {}
     if args.interaction:
         over["interaction_impl"] = args.interaction
+    else:
+        # feature-size-keyed default (measured; config.auto_interaction_impl
+        # docstring).  TPU-gated: off-TPU the pallas kernel falls back to
+        # slow interpret mode, so CPU runs keep the compiled gram path.
+        import jax
+        auto_impl = cfg.auto_interaction_impl(c.feature_size)
+        if (auto_impl != c.interaction_impl
+                and jax.default_backend() == "tpu"):
+            over["interaction_impl"] = auto_impl
     if args.n_hot is not None:
         over["n_hot"] = args.n_hot
     if args.bf16:

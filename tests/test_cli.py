@@ -688,3 +688,36 @@ def test_terabyte_preset_cli_scaled_down(tmp_path, capsys):
         bf16=False, pad_to=None, table_sizes=sizes, batch_size=32,
         chunk_budget_mb=None))
     assert c.feature_size == 128 and c.pack == 1 and c.is_packed
+
+
+def test_auto_interaction_impl_keying(monkeypatch):
+    """The interaction default is feature-size-keyed (measured: pallas
+    wins end-to-end at fs=128, gram at fs=16 — config.auto_interaction_impl
+    docstring) and TPU-gated (off-TPU pallas falls back to interpret
+    mode); an explicit --interaction always wins."""
+    import argparse
+    import jax
+
+    from dlrm_tpu import config as cfg
+    from dlrm_tpu.run import _build_config
+
+    assert cfg.auto_interaction_impl(16) == "gram"
+    assert cfg.auto_interaction_impl(128) == "pallas"
+
+    base = dict(config="terabyte", feature_size=128, n_hot=None,
+                bf16=False, pad_to=None,
+                table_sizes=",".join(["64"] * 8), batch_size=32,
+                chunk_budget_mb=None)
+    # CPU backend (the test environment): auto keeps the compiled gram
+    c = _build_config(argparse.Namespace(**base, interaction=None))
+    assert c.interaction_impl == "gram"
+    # TPU backend: fs=128 auto-selects pallas; fs=16 stays gram
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    c = _build_config(argparse.Namespace(**base, interaction=None))
+    assert c.interaction_impl == "pallas"
+    c = _build_config(argparse.Namespace(
+        **{**base, "feature_size": 16}, interaction=None))
+    assert c.interaction_impl == "gram"
+    # explicit flag overrides the auto choice
+    c = _build_config(argparse.Namespace(**base, interaction="gram"))
+    assert c.interaction_impl == "gram"
