@@ -9,8 +9,23 @@ data and reports steady-state throughput.  Prints ONE JSON line:
 The reference publishes no numbers (BASELINE.md), so the baseline is the
 first recorded run of this benchmark on this hardware (BENCH_BASELINE.json,
 written on first use); later rounds report their ratio against it.
+
+Structure (round 5): every section is fault-isolated — it fills its JSON
+fragment into the shared ``out`` dict and a failure records
+``<section>_error`` instead of killing the rest of the run, so the final
+JSON line always prints with every measurement taken (the round-4 driver
+bench died mid-run on a section bug and lost everything after it).  All
+timing goes through :func:`slope_time`: median-of-3 two-point slopes with
+a non-positive-slope guard (round 4 printed a negative throughput from a
+noise-dominated single slope).
+
+``--smoke`` runs the full section sequence on tiny tables/batches (CPU
+friendly) — exercised by tests/test_bench_smoke.py so sequencing bugs
+(like round 4's eval-probe params/config geometry mismatch) fail in CI,
+not in the driver run.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -20,8 +35,6 @@ import numpy as np
 
 BATCH = 32768          # reference experiment batch (src/DLRM.jl:82-83)
 FEATURE_SIZE = 16      # reference kaggle_dlrm default (criteo.jl:412)
-WARMUP = 5
-ITERS = 20
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
 METRIC = f"dlrm_kaggle_fs{FEATURE_SIZE}_train_b{BATCH}"
@@ -31,111 +44,152 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _init_devices(timeout_s: float = 300.0):
-    from bench_util import init_devices
+def slope_time(window, iters=(4, 12), repeats=3):
+    """Per-step seconds from repeated two-point window slopes.
 
-    return init_devices(METRIC, timeout_s=timeout_s)
+    ``window(n)`` runs n steps ending in ONE device sync and returns its
+    wall time.  The slope ``(t_big - t_small) / (n_big - n_small)``
+    cancels the sync round-trip and fixed dispatch cost (necessary under
+    remote-tunnel transports where a scalar fetch costs a full RTT).
+    Single slopes of ~ms-scale steps are noise-dominated, so: take the
+    MEDIAN of ``repeats`` slopes, and if it is still non-positive fall
+    back to the best whole-window mean ``min(t_big) / n_big`` — an upper
+    bound that includes the sync, but never a negative time (round 4's
+    driver log printed "-0.25 ms/step -> -8,164,226 examples/s").
+
+    Returns ``(seconds_per_step, fallback_used)``.
+    """
+    n_small, n_big = iters
+    slopes, bounds = [], []
+    for _ in range(repeats):
+        t_small = window(n_small)
+        t_big = window(n_big)
+        slopes.append((t_big - t_small) / (n_big - n_small))
+        bounds.append(t_big / n_big)
+    slopes.sort()
+    med = slopes[len(slopes) // 2]
+    if med > 0:
+        return med, False
+    return min(bounds), True
 
 
-def main():
-    devices = _init_devices()
+def _record_rate(out, key, batch, secs, fallback):
+    out[f"{key}_examples_per_s"] = round(batch / secs, 1)
+    if fallback:
+        out[f"{key}_timing_fallback"] = True
+    return out[f"{key}_examples_per_s"]
+
+
+class Ctx:
+    """Shared state between sections (configs, live params, data)."""
+
+    def __init__(self, smoke):
+        self.smoke = smoke
+        self.batch = 256 if smoke else BATCH
+        self.b2 = 128 if smoke else 2048
+        self.be = 512 if smoke else (1 << 16)
+        self.block_k = 2 if smoke else 8
+        self.iters = (1, 3) if smoke else (4, 12)
+        self.repeats = 1 if smoke else 3
+        self.warmup = 2 if smoke else 5
+        self.rng = np.random.default_rng(0)
+        self.config = None
+        self.params = None      # fs=16 params packed under self.config
+        self.dense = self.sparse = self.labels = None
+
+    def make_config(self, feature_size=None, **kw):
+        """Kaggle config, or a tiny kaggle-SHAPED config in smoke mode
+        (26 tables with a deep-table mix so the 16 MB vs 64 MB chunk
+        budgets pack different geometries — the round-4 bug class)."""
+        import dlrm_tpu
+        fs = feature_size if feature_size is not None else FEATURE_SIZE
+        if not self.smoke:
+            return dlrm_tpu.kaggle_config(feature_size=fs, **kw)
+        from dlrm_tpu.config import DLRMConfig
+        sizes = tuple([120_000, 90_000, 60_000] + [2_000] * 23)
+        return DLRMConfig(
+            bottom_mlp_sizes=(13, 64, 32, fs),
+            top_mlp_sizes=(64, 32, 1),
+            feature_size=fs,
+            table_sizes=sizes,
+            **kw,
+        )
+
+    def make_batch(self, config, batch):
+        rng = self.rng
+        dense = np.ascontiguousarray(
+            rng.normal(size=(batch, 13)).astype(np.float32))
+        sparse = np.stack(
+            [rng.integers(0, s, size=batch) for s in config.table_sizes],
+            axis=1).astype(np.int32)
+        labels = (rng.random(batch) > 0.5).astype(np.float32)
+        import jax.numpy as jnp
+        return (jnp.asarray(dense), jnp.asarray(sparse), jnp.asarray(labels))
+
+
+# -- sections -------------------------------------------------------------------
+
+def sec_fs16_sgd(ctx, out):
+    """Headline: exact-SGD train step at B=32768, fs=16 ("gram" interaction
+    — measured fastest on v5e at fs=16: 3.5 ms fwd+bwd vs 7 ms pallas)."""
     import jax
-    import jax.numpy as jnp
     import dlrm_tpu
 
-    dev = devices[0]
-    log(f"device: {dev} ({dev.platform})")
-
-    if "--fs128-only" in sys.argv:
-        # re-run just the fs=128 section (development aid; the driver runs
-        # the full bench with no args)
-        rng = np.random.default_rng(0)
-        fs128: dict = {}
-        try:
-            _bench_fs128(rng, log, fs128)
-        except Exception as e:  # pragma: no cover - depends on device HBM
-            log(f"fs128 section failed: {type(e).__name__}: {e}")
-            fs128["fs128_error"] = f"{type(e).__name__}: {e}"
-        print(json.dumps({"metric": "dlrm_kaggle_fs128_train_b32768",
-                          "value": fs128.get(
-                              "fs128_sgd_gram_examples_per_s", 0),
-                          "unit": "examples/s/chip",
-                          "vs_baseline": 0,
-                          **fs128}))
-        return
-
-    # "gram" (batched MXU einsum + static gather) measures fastest on v5e
-    # for fs=16 (3.5 ms fwd+bwd vs 7 ms for the fused pallas kernel).
-    config = dlrm_tpu.kaggle_config(feature_size=FEATURE_SIZE,
-                                    interaction_impl="gram")
-    log(f"model: kaggle fs={FEATURE_SIZE}, {config.total_rows:,} rows, "
-        f"top_in={config.top_input}")
+    config = ctx.make_config(interaction_impl="gram")
+    ctx.config = config
+    log(f"model: kaggle fs={config.feature_size}, {config.total_rows:,} "
+        f"rows, top_in={config.top_input}")
     params = dlrm_tpu.init_params(jax.random.key(0), config)
-    params = jax.device_put(params, dev)
-    jax.block_until_ready(params)
-
-    rng = np.random.default_rng(0)
-    dense = jnp.asarray(rng.normal(size=(BATCH, 13)).astype(np.float32))
-    sparse = jnp.asarray(np.stack(
-        [rng.integers(0, s, size=BATCH) for s in config.table_sizes],
-        axis=1).astype(np.int32))
-    labels = jnp.asarray((rng.random(BATCH) > 0.5).astype(np.float32))
+    ctx.dense, ctx.sparse, ctx.labels = ctx.make_batch(config, ctx.batch)
 
     step = dlrm_tpu.make_jit_train_step(config, lr=0.1)
     t0 = time.perf_counter()
-    for _ in range(WARMUP):
-        params, loss = step(params, dense, sparse, labels)
+    loss = None
+    for _ in range(ctx.warmup):
+        params, loss = step(params, ctx.dense, ctx.sparse, ctx.labels)
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s, "
         f"loss={float(loss):.4f}")
 
-    # Two-point slope timing: each window is timed end-to-end with ONE
-    # device sync (float(loss) of the last chained step), and the per-step
-    # time is the marginal cost between the two window sizes.  This cancels
-    # both the sync round-trip and any fixed dispatch overhead — necessary
-    # under remote-tunnel setups where block_until_ready can return before
-    # execution finishes and a scalar fetch costs a full RTT.
-    totals = []
-    for iters in (ITERS // 4, ITERS):
+    state = [params]
+
+    def window(n):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            params, loss = step(params, dense, sparse, labels)
+        for _ in range(n):
+            state[0], loss = step(state[0], ctx.dense, ctx.sparse,
+                                  ctx.labels)
         _ = float(loss)
-        totals.append(time.perf_counter() - t0)
-    step_time = (totals[1] - totals[0]) / (ITERS - ITERS // 4)
-    throughput = BATCH / step_time
-    log(f"step time: {step_time*1e3:.2f} ms -> {throughput:,.0f} examples/s")
+        return time.perf_counter() - t0
 
-    baseline = None
-    if os.path.exists(BASELINE_PATH):
-        try:
-            with open(BASELINE_PATH) as f:
-                baseline = json.load(f).get("value")
-        except Exception:
-            baseline = None
-    if baseline is None:
-        baseline = throughput
-        try:
-            with open(BASELINE_PATH, "w") as f:
-                json.dump({"metric": METRIC,
-                           "value": throughput,
-                           "device": str(dev),
-                           "batch": BATCH}, f)
-        except OSError:
-            pass
+    secs, fb = slope_time(window, ctx.iters, ctx.repeats)
+    tput = ctx.batch / secs
+    log(f"step time: {secs*1e3:.2f} ms -> {tput:,.0f} examples/s"
+        + (" [fallback timing]" if fb else ""))
+    out["value"] = round(tput, 1)
+    if fb:
+        out["value_timing_fallback"] = True
+    ctx.params = state[0]  # keep: the eval section reuses this geometry
 
-    # secondary: the coalesced-update block mode (--update-interval 4, the
-    # reference BatchUpdater relaxation; train.train_block) — one scatter
-    # per chunk per K steps, bounded staleness < K
+
+def sec_fs16_block(ctx, out):
+    """Coalesced-update block mode (train.train_block, K steps per scatter
+    — the reference BatchUpdater relaxation, bounded staleness < K)."""
+    import jax.numpy as jnp
+    import jax
+    import dlrm_tpu
     from dlrm_tpu.train.train import make_jit_train_block
-    K = 8  # measured knee of the staleness/compile tradeoff (PERFORMANCE.md)
+
+    config, rng, K = ctx.config, ctx.rng, ctx.block_k
+    B = ctx.batch
     # every micro-step gets fully distinct dense/ids/labels so no
     # broadcast-shared operand can be memoized anywhere in the block
-    kd = jnp.asarray(rng.normal(size=(K, BATCH, 13)).astype(np.float32))
+    kd = jnp.asarray(rng.normal(size=(K, B, 13)).astype(np.float32))
     ks = jnp.asarray(np.stack(
-        [np.stack([rng.integers(0, s, size=BATCH)
+        [np.stack([rng.integers(0, s, size=B)
                    for s in config.table_sizes], axis=1)
          for _ in range(K)]).astype(np.int32))
-    kl = jnp.asarray((rng.random((K, BATCH)) > 0.5).astype(np.float32))
+    kl = jnp.asarray((rng.random((K, B)) > 0.5).astype(np.float32))
+    ctx.block_data = (kd, ks, kl)
+
     blk = make_jit_train_block(config, lr=0.1, block=K)
     params = dlrm_tpu.init_params(jax.random.key(0), config)
     t0 = time.perf_counter()
@@ -143,54 +197,76 @@ def main():
         params, bl = blk(params, kd, ks, kl)
     _ = float(bl[-1])
     log(f"block K={K} compile+warmup: {time.perf_counter() - t0:.1f}s")
-    totals = []
-    for iters in (4, 12):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            params, bl = blk(params, kd, ks, kl)
-        _ = float(bl[-1])
-        totals.append(time.perf_counter() - t0)
-    blk_step = (totals[1] - totals[0]) / 8 / K
-    blk_tput = BATCH / blk_step
-    log(f"block K={K}: {blk_step*1e3:.2f} ms/step "
-        f"-> {blk_tput:,.0f} examples/s")
 
-    # adagrad: the optimizer DLRM actually trains with (the reference is
-    # SGD-only).  Exact per-step semantics via the per-chunk HYBRID
-    # implementation (optim.apply_adagrad_hybrid: dense-G for chunks
-    # <= 400 MB, dedup for the deep ones — measured 46.8 vs 55.3 ms
-    # dedup-only, and ~25x faster first compile).
+    state = [params]
+
+    def window(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state[0], bl = blk(state[0], kd, ks, kl)
+        _ = float(bl[-1])
+        return time.perf_counter() - t0
+
+    secs, fb = slope_time(window, (3, 9) if not ctx.smoke else ctx.iters,
+                          ctx.repeats)
+    secs /= K
+    log(f"block K={K}: {secs*1e3:.2f} ms/step -> {B/secs:,.0f} examples/s"
+        + (" [fallback timing]" if fb else ""))
+    _record_rate(out, f"block{K}", B, secs, fb)
+
+
+def sec_fs16_adagrad(ctx, out):
+    """Exact per-step Adagrad via the per-chunk HYBRID implementation
+    (optim.apply_adagrad_hybrid: dense-G for chunks <= 400 MB, dedup for
+    the deep ones — measured 46.8 vs 55.3 ms dedup-only at fs=16)."""
+    import jax
+    import dlrm_tpu
     from dlrm_tpu.train.train import init_opt_state, make_jit_train_step_opt
+
+    config = ctx.config
+    B = ctx.batch
     params = dlrm_tpu.init_params(jax.random.key(0), config)
-    opt = init_opt_state(params, config=config, optimizer="adagrad",
-                         lr=0.01)
+    opt = init_opt_state(params, config=config, optimizer="adagrad", lr=0.01)
     astep = make_jit_train_step_opt(config, optimizer="adagrad", lr=0.01,
                                     emb_impl="hybrid")
     t0 = time.perf_counter()
     for _ in range(3):
-        (params, opt), loss = astep(params, opt, dense, sparse, labels)
+        (params, opt), loss = astep(params, opt, ctx.dense, ctx.sparse,
+                                    ctx.labels)
     _ = float(loss)
     log(f"adagrad compile+warmup: {time.perf_counter() - t0:.1f}s")
-    totals = []
-    for iters in (4, 12):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            (params, opt), loss = astep(params, opt, dense, sparse, labels)
-        _ = float(loss)
-        totals.append(time.perf_counter() - t0)
-    ada_step = (totals[1] - totals[0]) / 8
-    ada_tput = BATCH / ada_step
-    log(f"adagrad exact: {ada_step*1e3:.2f} ms/step "
-        f"-> {ada_tput:,.0f} examples/s")
 
-    # adagrad coalesced block (dense-G): the production adagrad config.
-    # unroll=False (lax.scan over micro-steps) compiles in ~55 s vs ~8 min
-    # unrolled at a ~5% steady-state cost — the right tradeoff for this
-    # driver-run bench; the unrolled variant measures 24.4 ms/step.
-    from dlrm_tpu.train.train import make_jit_train_block_opt
+    state = [(params, opt)]
+
+    def window(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state[0], loss = astep(state[0][0], state[0][1], ctx.dense,
+                                   ctx.sparse, ctx.labels)
+        _ = float(loss)
+        return time.perf_counter() - t0
+
+    secs, fb = slope_time(window, ctx.iters, ctx.repeats)
+    log(f"adagrad exact: {secs*1e3:.2f} ms/step -> "
+        f"{B/secs:,.0f} examples/s" + (" [fallback timing]" if fb else ""))
+    _record_rate(out, "adagrad", B, secs, fb)
+
+
+def sec_fs16_adagrad_block(ctx, out):
+    """Coalesced adagrad block (dense-G): the production adagrad config.
+    unroll=False (lax.scan over micro-steps) compiles in ~55 s vs ~8 min
+    unrolled at a ~5% steady-state cost — the right tradeoff for this
+    driver-run bench; the unrolled variant measures 24.4 ms/step."""
+    import jax
+    import dlrm_tpu
+    from dlrm_tpu.train.train import (init_opt_state,
+                                      make_jit_train_block_opt)
+
+    config, K = ctx.config, ctx.block_k
+    B = ctx.batch
+    kd, ks, kl = ctx.block_data
     params = dlrm_tpu.init_params(jax.random.key(0), config)
-    opt = init_opt_state(params, config=config, optimizer="adagrad",
-                         lr=0.01)
+    opt = init_opt_state(params, config=config, optimizer="adagrad", lr=0.01)
     ablk = make_jit_train_block_opt(config, optimizer="adagrad", lr=0.01,
                                     block=K, unroll=False)
     t0 = time.perf_counter()
@@ -199,28 +275,41 @@ def main():
     _ = float(bl[-1])
     log(f"adagrad block K={K} compile+warmup: "
         f"{time.perf_counter() - t0:.1f}s")
-    totals = []
-    for iters in (3, 9):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            (params, opt), bl = ablk(params, opt, kd, ks, kl)
-        _ = float(bl[-1])
-        totals.append(time.perf_counter() - t0)
-    ablk_step = (totals[1] - totals[0]) / 6 / K
-    ablk_tput = BATCH / ablk_step
-    log(f"adagrad block K={K}: {ablk_step*1e3:.2f} ms/step "
-        f"-> {ablk_tput:,.0f} examples/s")
 
-    # tertiary: embedding-lookup bandwidth (BASELINE.json metric).  Jitted
-    # pooled lookup (mixed engine) alone; the carry makes each call's ids
-    # data-dependent on the previous result, defeating axon's
-    # identical-args memoization.  GB/s is LOGICAL pooled-row bytes
-    # (B * T * D * 4) per second.
+    state = [(params, opt)]
+
+    def window(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state[0], bl = ablk(state[0][0], state[0][1], kd, ks, kl)
+        _ = float(bl[-1])
+        return time.perf_counter() - t0
+
+    secs, fb = slope_time(window, (2, 6) if not ctx.smoke else ctx.iters,
+                          ctx.repeats)
+    secs /= K
+    log(f"adagrad block K={K}: {secs*1e3:.2f} ms/step -> "
+        f"{B/secs:,.0f} examples/s" + (" [fallback timing]" if fb else ""))
+    _record_rate(out, f"adagrad_block{K}", B, secs, fb)
+    ctx.block_data = None  # free the K-step payload
+
+
+def sec_lookup(ctx, out):
+    """Embedding-lookup bandwidth (BASELINE.json metric): jitted pooled
+    lookup (mixed engine) alone.  GB/s is LOGICAL pooled-row bytes
+    (B * T * D * dtype) per second."""
+    import jax
+    import jax.numpy as jnp
+    import dlrm_tpu
     from dlrm_tpu.ops.embedding import mixed_lookup
+
+    config, rng = ctx.config, ctx.rng
+    B = ctx.batch
     params = dlrm_tpu.init_params(jax.random.key(0), config)
     emb = params["emb"]
+    params = None
     ids_base = jnp.asarray(np.stack(
-        [rng.integers(0, s - 1, size=BATCH) for s in config.table_sizes],
+        [rng.integers(0, s - 1, size=B) for s in config.table_sizes],
         axis=1).astype(np.int32))
 
     @jax.jit
@@ -235,63 +324,90 @@ def main():
         pooled = mixed_lookup(emb, ids, config)
         return jnp.sum(pooled.astype(jnp.float32)), k + 1
 
-    c, k = jnp.float32(0), jnp.int32(0)
+    state = [(jnp.float32(0), jnp.int32(0))]
     for _ in range(3):
-        c, k = lookup_probe(emb, ids_base, c, k)
-    _ = float(c)
-    totals = []
-    for iters in (5, 20):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            c, k = lookup_probe(emb, ids_base, c, k)
-        _ = float(c)
-        totals.append(time.perf_counter() - t0)
-    lk_t = (totals[1] - totals[0]) / 15
-    n_tables = len(config.table_sizes)
-    lk_bytes = BATCH * n_tables * FEATURE_SIZE * 4
-    lk_gbs = lk_bytes / lk_t / 1e9
-    log(f"pooled lookup: {lk_t*1e3:.2f} ms -> {lk_gbs:.1f} GB/s logical "
-        f"({BATCH * n_tables / lk_t / 1e9:.2f} G lookups/s)")
+        state[0] = lookup_probe(emb, ids_base, *state[0])
+    _ = float(state[0][0])
 
-    # reference-protocol points (BASELINE.md final paragraph): train at
-    # the reference's experiment batch B=2048 (script.jl:13) and eval at
-    # its 2^16 test batch (src/DLRM.jl:89-91)
-    B2 = 2048
-    # run.py keys the chunk budget off the batch size (the B=2048 sweep
-    # measured 64 MB at 1.70 ms vs 16 MB at 2.17); measure what a user of
-    # the production CLI actually gets
-    import dataclasses as _dc
-    from dlrm_tpu import config as _cfg_mod
-    config2 = _dc.replace(
-        config,
-        chunk_budget_bytes=_cfg_mod.auto_chunk_budget_bytes(B2))
-    params = dlrm_tpu.init_params(jax.random.key(0), config2)
-    d2 = dense[:B2]
-    s2 = sparse[:B2]
-    l2 = labels[:B2]
+    def window(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state[0] = lookup_probe(emb, ids_base, *state[0])
+        _ = float(state[0][0])
+        return time.perf_counter() - t0
+
+    secs, fb = slope_time(window, (5, 20) if not ctx.smoke else ctx.iters,
+                          ctx.repeats)
+    n_tables = len(config.table_sizes)
+    lk_bytes = B * n_tables * config.feature_size * 4
+    gbs = lk_bytes / secs / 1e9
+    log(f"pooled lookup: {secs*1e3:.2f} ms -> {gbs:.1f} GB/s logical "
+        f"({B * n_tables / secs / 1e9:.2f} G lookups/s)"
+        + (" [fallback timing]" if fb else ""))
+    out["lookup_gb_s_logical"] = round(gbs, 2)
+    if fb:
+        out["lookup_timing_fallback"] = True
+
+
+def sec_b2048(ctx, out):
+    """Reference-protocol point (BASELINE.md): train at the reference's
+    experiment batch B=2048 (script.jl:13).  run.py keys the chunk budget
+    off the batch size (B=2048 sweep measured 64 MB at 1.70 ms vs 16 MB at
+    2.17); measure what a user of the production CLI actually gets.
+
+    NOTE the config2 params live in their OWN variable — round 4 rebound
+    ``params`` here and the later eval section called forward() on them
+    with the original config's different chunk geometry, crashing the
+    bench (VERDICT r4 weak #1)."""
+    import jax
+    import dlrm_tpu
+    from dlrm_tpu import config as cfg_mod
+
+    B2 = ctx.b2
+    config2 = dataclasses.replace(
+        ctx.config,
+        chunk_budget_bytes=cfg_mod.auto_chunk_budget_bytes(B2))
+    params2 = dlrm_tpu.init_params(jax.random.key(0), config2)
+    d2 = ctx.dense[:B2]
+    s2 = ctx.sparse[:B2]
+    l2 = ctx.labels[:B2]
     step2 = dlrm_tpu.make_jit_train_step(config2, lr=0.1)
     t0 = time.perf_counter()
-    for _ in range(5):
-        params, loss = step2(params, d2, s2, l2)
+    for _ in range(ctx.warmup):
+        params2, loss = step2(params2, d2, s2, l2)
     _ = float(loss)
-    log(f"b2048 compile+warmup: {time.perf_counter() - t0:.1f}s")
-    totals = []
-    for iters in (10, 40):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            params, loss = step2(params, d2, s2, l2)
-        _ = float(loss)
-        totals.append(time.perf_counter() - t0)
-    b2_step = (totals[1] - totals[0]) / 30
-    b2_tput = B2 / b2_step
-    log(f"train b{B2}: {b2_step*1e3:.2f} ms/step "
-        f"-> {b2_tput:,.0f} examples/s")
+    log(f"b{B2} compile+warmup: {time.perf_counter() - t0:.1f}s")
 
-    # eval throughput at the reference's 2^16 test batch: jitted forward
-    # only (the serving/eval inner loop); ids chained through the carry to
-    # defeat identical-args memoization
-    BE = 1 << 16
+    state = [params2]
+
+    def window(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state[0], loss = step2(state[0], d2, s2, l2)
+        _ = float(loss)
+        return time.perf_counter() - t0
+
+    # ~2 ms steps: bigger windows so the slope rises above timer noise
+    secs, fb = slope_time(window,
+                          (10, 40) if not ctx.smoke else ctx.iters,
+                          ctx.repeats)
+    log(f"train b{B2}: {secs*1e3:.2f} ms/step -> "
+        f"{B2/secs:,.0f} examples/s" + (" [fallback timing]" if fb else ""))
+    _record_rate(out, "b2048", B2, secs, fb)
+
+
+def sec_eval(ctx, out):
+    """Eval throughput at the reference's 2^16 test batch
+    (src/DLRM.jl:89-91): jitted forward only (the serving/eval inner
+    loop).  Uses ctx.params — packed under ctx.config, the SAME geometry
+    forward() is called with."""
+    import jax
+    import jax.numpy as jnp
     from dlrm_tpu.models.dlrm import forward
+
+    config, rng = ctx.config, ctx.rng
+    BE = ctx.be
+    params = ctx.params
     de = jnp.asarray(rng.normal(size=(BE, 13)).astype(np.float32))
     se = jnp.asarray(np.stack(
         [rng.integers(0, s - 1, size=BE) for s in config.table_sizes],
@@ -300,89 +416,192 @@ def main():
     @jax.jit
     def eval_probe(params, d, s_, c, k):
         # monotone counter k guarantees distinct args every call (see
-        # lookup_probe)
+        # sec_lookup)
         preds = forward(params, d,
                         s_ + ((c.astype(jnp.int32) ^ k) & 1), config)
         return jnp.sum(preds), k + 1
 
-    c, k = jnp.float32(0), jnp.int32(0)
+    state = [(jnp.float32(0), jnp.int32(0))]
     for _ in range(3):
-        c, k = eval_probe(params, de, se, c, k)
-    _ = float(c)
-    totals = []
-    for iters in (4, 12):
+        state[0] = eval_probe(params, de, se, *state[0])
+    _ = float(state[0][0])
+
+    def window(n):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            c, k = eval_probe(params, de, se, c, k)
-        _ = float(c)
-        totals.append(time.perf_counter() - t0)
-    ev_t = (totals[1] - totals[0]) / 8
-    ev_tput = BE / ev_t
-    log(f"eval b{BE}: {ev_t*1e3:.2f} ms -> {ev_tput:,.0f} examples/s")
+        for _ in range(n):
+            state[0] = eval_probe(params, de, se, *state[0])
+        _ = float(state[0][0])
+        return time.perf_counter() - t0
 
-    # fs=128 operating point (the MLPerf/Terabyte feature size,
-    # criteo.jl:379-406; BASELINE config 4 north star).  pack = 128/128
-    # = 1, so lane packing disables and every fs=16-tuned constant is on
-    # different footing.  Kaggle tables at fs=128 f32 are 17.3 GB — over
-    # one v5e's 16 GB HBM — so storage is bf16 (the reference's own
-    # BF16-embeddings experiment, src/DLRM.jl:44-110): 8.6 GB.  The
-    # optimizer point is rowwise adagrad (f32 (R,) accumulator, 135 MB);
-    # elementwise adagrad's f32 accumulator alone would be 17.3 GB.
-    fs128: dict = {}
-    # free the fs=16 model (2.2 GB + opt state) before the 8.6 GB alloc
-    del params, opt, emb, c, k, astep, ablk, blk, step, step2
+    secs, fb = slope_time(window, ctx.iters, ctx.repeats)
+    log(f"eval b{BE}: {secs*1e3:.2f} ms -> {BE/secs:,.0f} examples/s"
+        + (" [fallback timing]" if fb else ""))
+    _record_rate(out, "eval", BE, secs, fb)
+
+
+def sec_hosttier(ctx, out):
+    """Two-tier (HBM + pinned host) train step at B=8192 — the
+    CachedArrays capability point (reference: slow-tier tables trainable
+    at useful speed, src/cachedarrays.jl).  Round-5 layout: the host
+    stack crosses the jit boundary FLAT (parallel/host_tier.py module
+    docstring).  All state is initialized ON DEVICE (values don't matter
+    for timing) so the probe never bulk-uploads tables through the
+    tunnel; the batch is device-resident, so this is the pure step time
+    — the number the driver record carries."""
+    import dataclasses as _dc
+    import jax
+    import jax.numpy as jnp
+    import dlrm_tpu
+    from dlrm_tpu.parallel import host_tier as ht
+
+    config, rng = ctx.config, ctx.rng
+    B = 128 if ctx.smoke else 8192
+    budget = (4 << 20) if ctx.smoke else int(1.5 * (1 << 30))
+    plan = ht.plan_tiers(config, budget)
+    assert plan.host_tables and plan.device_tables, plan
+    dev = jax.devices()[0]
+    sh_host = ht._host_sharding(dev)
+    if not isinstance(sh_host, jax.sharding.Sharding):
+        # CPU fallback returns a bare Device; out_shardings needs a
+        # Sharding object
+        sh_host = jax.sharding.SingleDeviceSharding(dev)
+    D = config.feature_size
+
+    # dense params from a same-topology tiny-tables config (bottom/top
+    # shapes depend on MLP sizes + table COUNT only)
+    small_cfg = _dc.replace(config, table_sizes=(8,) * len(
+        config.table_sizes))
+    p0 = dlrm_tpu.init_params(jax.random.key(0), small_cfg)
+    k1, k2 = jax.random.split(jax.random.key(1))
+    emb_dev = jax.jit(lambda k: 0.01 * jax.random.normal(
+        k, (plan.device_rows, D), jnp.float32))(k1)
+    emb_host = jax.jit(
+        lambda k: 0.01 * jax.random.normal(
+            k, (plan.host_rows * D,), jnp.float32),
+        out_shardings=sh_host)(k2)
+    params = {"bottom": p0["bottom"], "top": p0["top"],
+              "emb_dev": emb_dev, "emb_host": emb_host}
+    p0 = emb_dev = emb_host = None
+
+    d = jnp.asarray(rng.normal(size=(B, 13)).astype(np.float32))
+    s = jnp.asarray(np.stack(
+        [rng.integers(0, sz, size=B) for sz in config.table_sizes],
+        axis=1).astype(np.int32))
+    l = jnp.asarray((rng.random(B) > 0.5).astype(np.float32))
+
+    step = ht.make_tiered_train_step(config, 0.1, plan)
+    state = [params]
+    t0 = time.perf_counter()
+    loss = None
+    for _ in range(3):
+        state[0], loss = step(state[0], d, s, l)
+    _ = float(loss)
+    log(f"hosttier compile+warmup: {time.perf_counter() - t0:.1f}s "
+        f"(host tables {list(plan.host_tables)}, "
+        f"{plan.host_rows:,} rows pinned)")
+
+    def window(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state[0], loss = step(state[0], d, s, l)
+        _ = float(loss)
+        return time.perf_counter() - t0
+
+    secs, fb = slope_time(window, (3, 9) if not ctx.smoke else ctx.iters,
+                          ctx.repeats)
+    log(f"hosttier sgd b{B}: {secs*1e3:.2f} ms/step -> "
+        f"{B/secs:,.0f} examples/s" + (" [fallback timing]" if fb else ""))
+    _record_rate(out, f"hosttier_b{B}", B, secs, fb)
+    out[f"hosttier_b{B}_ms"] = round(secs * 1e3, 2)
+
+    # coalesced tiered block K: ONE host gather + ONE host scatter per K
+    # steps — amortizes the functional host scatter's full-stack copy AND
+    # the ~13 ms fixed cost per host call (the two dominant tiered costs,
+    # bench_hosttier_scatter.py)
+    K = ctx.block_k
+    kd = jnp.asarray(ctx.rng.normal(size=(K, B, 13)).astype(np.float32))
+    ks = jnp.asarray(np.stack(
+        [np.stack([ctx.rng.integers(0, sz, size=B)
+                   for sz in config.table_sizes], axis=1)
+         for _ in range(K)]).astype(np.int32))
+    kl = jnp.asarray((ctx.rng.random((K, B)) > 0.5).astype(np.float32))
+    blk = ht.make_tiered_train_block(config, 0.1, plan)
+    t0 = time.perf_counter()
+    bl = None
+    for _ in range(3):
+        state[0], bl = blk(state[0], kd, ks, kl)
+    _ = float(bl[-1])
+    log(f"hosttier block K={K} compile+warmup: "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    def bwindow(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state[0], bl = blk(state[0], kd, ks, kl)
+        _ = float(bl[-1])
+        return time.perf_counter() - t0
+
+    secs, fb = slope_time(bwindow,
+                          (2, 6) if not ctx.smoke else ctx.iters,
+                          ctx.repeats)
+    secs /= K
+    log(f"hosttier sgd block K={K} b{B}: {secs*1e3:.2f} ms/step -> "
+        f"{B/secs:,.0f} examples/s" + (" [fallback timing]" if fb else ""))
+    _record_rate(out, f"hosttier_block{K}_b{B}", B, secs, fb)
+    out[f"hosttier_block{K}_b{B}_ms"] = round(secs * 1e3, 2)
+    state[0] = None
+
+
+def sec_fs128(ctx, out):
+    """fs=128 operating point (the MLPerf/Terabyte feature size,
+    criteo.jl:379-406; BASELINE config 4 north star).  pack = 128/128 = 1,
+    so lane packing disables.  Kaggle tables at fs=128 f32 are 17.3 GB —
+    over one v5e's 16 GB HBM — so storage is bf16 (the reference's own
+    BF16-embeddings experiment, src/DLRM.jl:44-110): 8.6 GB."""
+    # free the fs=16 model (2.2 GB) before the 8.6 GB alloc
+    ctx.params = ctx.dense = ctx.sparse = ctx.labels = None
+    fs128 = {}
     try:
-        # fs128 is filled in-place so measurements taken before a
-        # mid-section OOM still reach the JSON line
-        _bench_fs128(rng, log, fs128)
-    except Exception as e:  # pragma: no cover - depends on device HBM
-        log(f"fs128 section failed: {type(e).__name__}: {e}")
-        fs128["fs128_error"] = f"{type(e).__name__}: {e}"
-
-    print(json.dumps({
-        "metric": METRIC,
-        "value": round(throughput, 1),
-        "unit": "examples/s/chip",
-        "vs_baseline": round(throughput / baseline, 3),
-        f"block{K}_examples_per_s": round(blk_tput, 1),
-        f"block{K}_vs_baseline": round(blk_tput / baseline, 3),
-        "adagrad_examples_per_s": round(ada_tput, 1),
-        f"adagrad_block{K}_examples_per_s": round(ablk_tput, 1),
-        "lookup_gb_s_logical": round(lk_gbs, 2),
-        "b2048_examples_per_s": round(b2_tput, 1),
-        "eval_examples_per_s": round(ev_tput, 1),
-        **fs128,
-    }))
+        _bench_fs128(ctx, fs128)
+    finally:
+        out.update(fs128)
 
 
-def _bench_fs128(rng, log, out):
-    """kaggle fs=128 (pack=1, bf16 tables) : exact SGD, rowwise adagrad,
-    pooled lookup, and the gram-vs-pallas interaction choice end-to-end.
+def _bench_fs128(ctx, out):
+    """kaggle fs=128 (pack=1, bf16 tables): exact SGD under both
+    interaction impls (gram vs pallas), rowwise adagrad, pooled lookup,
+    coalesced block, and int8 quantized serving.
 
-    Fills ``out`` in-place so the caller keeps every measurement taken
-    before a mid-section device OOM."""
+    Fills ``out`` in-place; each subsection is fault-isolated so a
+    mid-section device OOM keeps every measurement already taken."""
     import jax
     import jax.numpy as jnp
     import dlrm_tpu
     from dlrm_tpu.train.train import init_opt_state, make_jit_train_step_opt
     from dlrm_tpu.ops.embedding import mixed_lookup
 
-    B = BATCH
+    rng = ctx.rng
+    B = ctx.batch
+    iters = (3, 9) if not ctx.smoke else ctx.iters
 
-    def slope_step(step, state, extra, iters=(3, 9)):
+    def slope_step(step, state0, extra):
+        state = [state0]
+        loss = None
         for _ in range(3):
-            state, loss = step(state, *extra)
+            state[0], loss = step(state[0], *extra)
             loss = loss[-1] if getattr(loss, "ndim", 0) else loss
         _ = float(loss)
-        totals = []
-        for n in iters:
+
+        def window(n):
             t0 = time.perf_counter()
+            loss = None
             for _ in range(n):
-                state, loss = step(state, *extra)
+                state[0], loss = step(state[0], *extra)
             loss = loss[-1] if getattr(loss, "ndim", 0) else loss
             _ = float(loss)
-            totals.append(time.perf_counter() - t0)
-        return (totals[1] - totals[0]) / (iters[1] - iters[0])
+            return time.perf_counter() - t0
+
+        return slope_time(window, iters, ctx.repeats)
 
     dense = jnp.asarray(rng.normal(size=(B, 13)).astype(np.float32))
     labels = jnp.asarray((rng.random(B) > 0.5).astype(np.float32))
@@ -390,9 +609,9 @@ def _bench_fs128(rng, log, out):
     # the bf16 table stack is 8.6 GB on a 16 GB chip: any rebind of the
     # model (params = init_params(...)) while the previous stack is still
     # referenced is a ~17 GB transient and an instant OOM — measured on
-    # the first on-chip run (block + int8 + pallas sections all died that
-    # way).  Every re-init below therefore goes through fresh_params(),
-    # which drops the old reference BEFORE allocating the new stack.
+    # the first round-4 on-chip run (block + int8 + pallas sections all
+    # died that way).  Every re-init below therefore goes through
+    # fresh_params(), which drops the old reference BEFORE allocating.
     params = None
 
     def fresh_params(config):
@@ -401,29 +620,34 @@ def _bench_fs128(rng, log, out):
         return dlrm_tpu.init_params(jax.random.key(0), config)
 
     for impl in ("gram", "pallas"):
-        config = dlrm_tpu.kaggle_config(feature_size=128,
-                                        embedding_dtype=jnp.bfloat16,
-                                        interaction_impl=impl)
+        config = ctx.make_config(feature_size=128,
+                                 embedding_dtype=jnp.bfloat16,
+                                 interaction_impl=impl)
         sparse = jnp.asarray(np.stack(
             [rng.integers(0, s, size=B) for s in config.table_sizes],
             axis=1).astype(np.int32))
-        params = fresh_params(config)
-        step = dlrm_tpu.make_jit_train_step(config, lr=0.1)
+        try:
+            params = fresh_params(config)
+            step = dlrm_tpu.make_jit_train_step(config, lr=0.1)
 
-        def sgd_step(p, d, s_, l):
-            return step(p, d, s_, l)
+            def sgd_step(p, d, s_, l):
+                return step(p, d, s_, l)
 
-        t0 = time.perf_counter()
-        t = slope_step(sgd_step, params, (dense, sparse, labels))
-        log(f"fs128 sgd [{impl}]: {t*1e3:.2f} ms/step -> "
-            f"{B/t:,.0f} examples/s "
-            f"(compile+measure {time.perf_counter()-t0:.0f}s)")
-        out[f"fs128_sgd_{impl}_examples_per_s"] = round(B / t, 1)
+            t0 = time.perf_counter()
+            t, fb = slope_step(sgd_step, params, (dense, sparse, labels))
+            log(f"fs128 sgd [{impl}]: {t*1e3:.2f} ms/step -> "
+                f"{B/t:,.0f} examples/s "
+                f"(compile+measure {time.perf_counter()-t0:.0f}s)"
+                + (" [fallback timing]" if fb else ""))
+            _record_rate(out, f"fs128_sgd_{impl}", B, t, fb)
+        except Exception as e:  # pragma: no cover - device HBM
+            log(f"fs128 sgd [{impl}] failed: {type(e).__name__}: {e}")
+            out[f"fs128_sgd_{impl}_error"] = f"{type(e).__name__}: {e}"
         if impl == "gram":
             # rowwise adagrad + lookup measured once, on the default
             # impl.  Sub-isolated like the block/int8 sections below: a
             # failure here must not lose the pallas measurement.
-            emb = ids_base = None
+            emb = ids_base = opt = astep = None
             try:
                 params = fresh_params(config)
                 opt = init_opt_state(params, config=config,
@@ -437,13 +661,13 @@ def _bench_fs128(rng, log, out):
                     return (p, o), loss
 
                 t0 = time.perf_counter()
-                ta = slope_step(ada_step, (params, opt),
-                                (dense, sparse, labels))
+                ta, fb = slope_step(ada_step, (params, opt),
+                                    (dense, sparse, labels))
                 log(f"fs128 rowwise adagrad: {ta*1e3:.2f} ms/step -> "
                     f"{B/ta:,.0f} examples/s "
-                    f"(compile+measure {time.perf_counter()-t0:.0f}s)")
-                out["fs128_rowwise_adagrad_examples_per_s"] = round(
-                    B / ta, 1)
+                    f"(compile+measure {time.perf_counter()-t0:.0f}s)"
+                    + (" [fallback timing]" if fb else ""))
+                _record_rate(out, "fs128_rowwise_adagrad", B, ta, fb)
                 opt = astep = None  # free the accumulator first
 
                 params = fresh_params(config)
@@ -455,45 +679,48 @@ def _bench_fs128(rng, log, out):
                 @jax.jit
                 def lookup_probe(emb, ids_base, c, k):
                     # monotone counter k: distinct args every call (see
-                    # the fs=16 lookup_probe note on axon memoization)
+                    # sec_lookup's note on axon memoization)
                     ids = ids_base + ((c.astype(jnp.int32) ^ k) & 1)
                     pooled = mixed_lookup(emb, ids, config)
                     return jnp.sum(pooled.astype(jnp.float32)), k + 1
 
-                c, k = jnp.float32(0), jnp.int32(0)
+                state = [(jnp.float32(0), jnp.int32(0))]
                 for _ in range(3):
-                    c, k = lookup_probe(emb, ids_base, c, k)
-                _ = float(c)
-                totals = []
-                for iters in (4, 12):
+                    state[0] = lookup_probe(emb, ids_base, *state[0])
+                _ = float(state[0][0])
+
+                def window(n):
                     t0 = time.perf_counter()
-                    for _ in range(iters):
-                        c, k = lookup_probe(emb, ids_base, c, k)
-                    _ = float(c)
-                    totals.append(time.perf_counter() - t0)
-                lk_t = (totals[1] - totals[0]) / 8
+                    for _ in range(n):
+                        state[0] = lookup_probe(emb, ids_base, *state[0])
+                    _ = float(state[0][0])
+                    return time.perf_counter() - t0
+
+                lk_t, fb = slope_time(window,
+                                      (4, 12) if not ctx.smoke else iters,
+                                      ctx.repeats)
                 lk_bytes = B * len(config.table_sizes) * 128 * 2  # bf16
                 out["fs128_lookup_gb_s_logical"] = round(
                     lk_bytes / lk_t / 1e9, 2)
                 log(f"fs128 pooled lookup: {lk_t*1e3:.2f} ms -> "
-                    f"{out['fs128_lookup_gb_s_logical']:.1f} GB/s logical")
+                    f"{out['fs128_lookup_gb_s_logical']:.1f} GB/s logical"
+                    + (" [fallback timing]" if fb else ""))
             except Exception as e:  # pragma: no cover - device HBM
                 log(f"fs128 rowwise/lookup failed: {type(e).__name__}: {e}")
                 out["fs128_rowwise_error"] = f"{type(e).__name__}: {e}"
             finally:
                 emb = ids_base = opt = astep = None  # noqa: F841
 
-            # coalesced SGD block K=8 — the production schedule; at
-            # fs=128 the deep-table scatters are the most expensive in
-            # the whole config (density law: 32k ids into 2.5 GB bf16
-            # operands), so one-scatter-per-chunk-per-K matters most
-            # here.  Sub-isolated: the K-step payload (~1.3 GB of
-            # accumulated f32 grad rows) is the most OOM-prone point of
-            # the whole bench, and a failure here must not lose the
-            # pallas measurement that follows.
+            # coalesced SGD block K — the production schedule; at fs=128
+            # the deep-table scatters are the most expensive in the whole
+            # config (density law: 32k ids into 2.5 GB bf16 operands), so
+            # one-scatter-per-chunk-per-K matters most here.
+            # Sub-isolated: the K-step payload (~1.3 GB of accumulated
+            # f32 grad rows) is the most OOM-prone point of the bench.
+            kd = ks = kl = blk = None
             try:
                 from dlrm_tpu.train.train import make_jit_train_block
-                Kb = 8
+                Kb = ctx.block_k
                 kd = jnp.asarray(rng.normal(
                     size=(Kb, B, 13)).astype(np.float32))
                 ks = jnp.asarray(np.stack(
@@ -509,13 +736,13 @@ def _bench_fs128(rng, log, out):
                     return blk(p, d, s_, l)
 
                 t0 = time.perf_counter()
-                tb = slope_step(blk_step, params, (kd, ks, kl),
-                                iters=(2, 6)) / Kb
+                tb, fb = slope_step(blk_step, params, (kd, ks, kl))
+                tb /= Kb
                 log(f"fs128 sgd block K={Kb}: {tb*1e3:.2f} ms/step -> "
                     f"{B/tb:,.0f} examples/s "
-                    f"(compile+measure {time.perf_counter()-t0:.0f}s)")
-                out[f"fs128_sgd_block{Kb}_examples_per_s"] = round(
-                    B / tb, 1)
+                    f"(compile+measure {time.perf_counter()-t0:.0f}s)"
+                    + (" [fallback timing]" if fb else ""))
+                _record_rate(out, f"fs128_sgd_block{Kb}", B, tb, fb)
             except Exception as e:  # pragma: no cover - device HBM
                 log(f"fs128 block failed: {type(e).__name__}: {e}")
                 out["fs128_block_error"] = f"{type(e).__name__}: {e}"
@@ -526,9 +753,9 @@ def _bench_fs128(rng, log, out):
 
             # int8 quantized serving (ops/quant.py): forward-only
             # throughput, bf16 tables (8.6 GB) vs int8+f32-scales
-            # (~4.5 GB).  Sub-isolated: both models coexist briefly
-            # (~13 GB) — an OOM here must not lose the measurements
-            # above or the pallas point below.
+            # (~4.5 GB).  quantize_emb(donate=True) frees each bf16
+            # chunk inside its jitted quantization call so both stacks
+            # never coexist (the round-4 OOM-ordering fix, d57d676).
             qparams = None
             try:
                 from dlrm_tpu.ops.quant import quantize_emb
@@ -542,39 +769,42 @@ def _bench_fs128(rng, log, out):
                     @jax.jit
                     def probe(p, ids_base, c, k):
                         # monotone counter: distinct args per call (axon
-                        # memoization; see the fs=16 eval probe)
+                        # memoization; see sec_eval)
                         ids = ids_base + ((c.astype(jnp.int32) ^ k) & 1)
                         preds = dlrm_tpu.forward(p, dense, ids, config)
                         return jnp.sum(preds), k + 1
 
-                    c, k = jnp.float32(0), jnp.int32(0)
+                    state = [(jnp.float32(0), jnp.int32(0))]
                     for _ in range(3):
-                        c, k = probe(p, sv, c, k)
-                    _ = float(c)
-                    totals = []
-                    for iters in (4, 12):
-                        t0 = time.perf_counter()
-                        for _ in range(iters):
-                            c, k = probe(p, sv, c, k)
-                        _ = float(c)
-                        totals.append(time.perf_counter() - t0)
-                    return (totals[1] - totals[0]) / 8
+                        state[0] = probe(p, sv, *state[0])
+                    _ = float(state[0][0])
 
-                tb16 = serving_probe_t(params)
-                out["fs128_predict_examples_per_s"] = round(B / tb16, 1)
+                    def window(n):
+                        t0 = time.perf_counter()
+                        for _ in range(n):
+                            state[0] = probe(p, sv, *state[0])
+                        _ = float(state[0][0])
+                        return time.perf_counter() - t0
+
+                    return slope_time(window,
+                                      (4, 12) if not ctx.smoke else iters,
+                                      ctx.repeats)
+
+                tb16, fb = serving_probe_t(params)
+                _record_rate(out, "fs128_predict", B, tb16, fb)
                 log(f"fs128 predict [bf16 tables]: {tb16*1e3:.2f} ms -> "
-                    f"{B/tb16:,.0f} examples/s")
-                # donate=True frees each bf16 chunk inside its (jitted,
-                # fused) quantization call — both stacks never coexist
+                    f"{B/tb16:,.0f} examples/s"
+                    + (" [fallback timing]" if fb else ""))
                 qparams = {"bottom": params["bottom"],
                            "emb": quantize_emb(params["emb"], config,
                                                donate=True),
                            "top": params["top"]}
                 params = None  # emb chunks already freed by donation
-                tq = serving_probe_t(qparams)
-                out["fs128_int8_predict_examples_per_s"] = round(B / tq, 1)
+                tq, fb = serving_probe_t(qparams)
+                _record_rate(out, "fs128_int8_predict", B, tq, fb)
                 log(f"fs128 predict [int8 tables]: {tq*1e3:.2f} ms -> "
-                    f"{B/tq:,.0f} examples/s")
+                    f"{B/tq:,.0f} examples/s"
+                    + (" [fallback timing]" if fb else ""))
             except Exception as e:  # pragma: no cover - device HBM
                 log(f"fs128 int8 serving failed: {type(e).__name__}: {e}")
                 out["fs128_int8_error"] = f"{type(e).__name__}: {e}"
@@ -584,7 +814,80 @@ def _bench_fs128(rng, log, out):
                 qparams = None  # noqa: F841
             params = None
         params = step = None
+
+
+SECTIONS = (
+    ("fs16_sgd", sec_fs16_sgd),
+    ("fs16_block", sec_fs16_block),
+    ("fs16_adagrad", sec_fs16_adagrad),
+    ("fs16_adagrad_block", sec_fs16_adagrad_block),
+    ("lookup", sec_lookup),
+    ("b2048", sec_b2048),
+    ("eval", sec_eval),
+    ("hosttier", sec_hosttier),
+    ("fs128", sec_fs128),
+)
+
+
+def run(smoke=False, only=None):
+    """Run the section sequence; returns the result dict (also printed as
+    the final JSON line).  ``only``: iterable of section names to run
+    (smoke tests and the --fs128-only dev aid)."""
+    ctx = Ctx(smoke)
+    out = {"metric": METRIC, "value": 0, "unit": "examples/s/chip",
+           "vs_baseline": 0}
+    for name, fn in SECTIONS:
+        if only is not None and name not in only:
+            continue
+        try:
+            fn(ctx, out)
+        except Exception as e:
+            log(f"section {name} failed: {type(e).__name__}: {e}")
+            out[f"{name}_error"] = f"{type(e).__name__}: {e}"
+        # emit the fragment as it lands so a later hard crash (OOM abort,
+        # transport loss) still leaves every finished number in the log
+        log(f"[fragment after {name}] {json.dumps(out)}")
+
+    # baseline bookkeeping (skipped in smoke mode)
+    if not smoke and out["value"]:
+        baseline = None
+        if os.path.exists(BASELINE_PATH):
+            try:
+                with open(BASELINE_PATH) as f:
+                    baseline = json.load(f).get("value")
+            except Exception:
+                baseline = None
+        if baseline is None:
+            baseline = out["value"]
+            try:
+                with open(BASELINE_PATH, "w") as f:
+                    json.dump({"metric": METRIC, "value": out["value"],
+                               "batch": BATCH}, f)
+            except OSError:
+                pass
+        out["vs_baseline"] = round(out["value"] / baseline, 3)
+        if f"block{ctx.block_k}_examples_per_s" in out:
+            out[f"block{ctx.block_k}_vs_baseline"] = round(
+                out[f"block{ctx.block_k}_examples_per_s"] / baseline, 3)
+    print(json.dumps(out))
     return out
+
+
+def main():
+    from bench_util import init_devices
+
+    smoke = "--smoke" in sys.argv
+    only = None
+    if "--fs128-only" in sys.argv:
+        # fs128 needs fs16_sgd's ctx only for make_config; it builds its
+        # own configs, so run it standalone
+        only = ("fs128",)
+    if not smoke:
+        devices = init_devices(METRIC)
+        import jax
+        dev = devices[0]
+        log(f"device: {dev} ({dev.platform})")
+    run(smoke=smoke, only=only)
 
 
 if __name__ == "__main__":

@@ -329,8 +329,13 @@ def auto_interaction_impl(feature_size: int) -> str:
     row and the fused kernel avoids materializing the (B, 27, 27) gram
     matrix in HBM.  run.py applies this on TPU when --interaction is not
     given; library callers opt in explicitly.
+
+    The pallas choice is keyed to the MEASURED point fs=128 only: larger
+    feature sizes scale the kernel's per-tile VMEM footprint (TB*F*D plus
+    the (TB, F, F) gram/scratch) and are unmeasured — gram is the safe
+    default there until fs=256+ is verified to fit VMEM and win.
     """
-    return "pallas" if feature_size >= 128 else "gram"
+    return "pallas" if feature_size == 128 else "gram"
 
 
 # -- presets -----------------------------------------------------------------

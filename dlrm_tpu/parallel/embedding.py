@@ -27,7 +27,7 @@ the same axis, so the traced program is SPMD-uniform.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

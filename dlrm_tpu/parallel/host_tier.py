@@ -29,6 +29,22 @@ of ``jnp.take``/``.at[]`` because the jnp wrappers materialize clamping
 constants in the default memory space, which poisons host-memory-space type
 checking.  Correctness relies on the data pipeline's reindex guaranteeing
 in-range ids (data/criteo.py).
+
+**Layout (round 5): host-tier stacks cross the jit boundary FLAT (1-D).**
+The round-4 profiler trace (artifacts/r4_tpu/TRACE_ANALYSIS.md) showed a
+(N, D) pinned-host carry forcing full-stack layout conversions every
+step: the host scatter's result is host-linear ``{1,0:T(1)L(1024)}``
+while the jit-boundary pinned buffer is device-tiled
+``{0,1:T(8,128)S(5)}``, so XLA staged the 620 MB stack THROUGH THE
+DEVICE (reshape + copy + 44 ms S(5) copy) in both directions.  A 1-D
+buffer has identical host-linear and device-tiled layouts, so the stacks
+(tables and Adagrad accumulator slabs) are carried flat and
+bitcast-reshaped to (rows, width) inside the ``compute_on`` regions.
+Measured on the v5e (bench_hosttier_layout.py): 89.75 -> 67.25 ms/step
+for the 512 MB gather+scatter core.  The remaining linear-in-stack cost
+is the functional host scatter itself (bench_hosttier_scatter.py:
+~11 GB/s full-stack copy; compute_on region outputs do not alias donated
+inputs, unlike XLA:CPU's in-place donated scatters).
 """
 
 from __future__ import annotations
@@ -166,7 +182,8 @@ def split_tiers(emb: np.ndarray, plan: TierPlan, config: DLRMConfig,
              for t in tables], axis=0)
 
     emb_dev = jax.device_put(stack(plan.device_tables), device)
-    host_np = stack(plan.host_tables)
+    # host tier carried FLAT across the jit boundary (module docstring)
+    host_np = stack(plan.host_tables).reshape(-1)
     # same backend fallback as _host_sharding / place_tiered: CPU tests
     # have no pinned space — default memory there, not a crash
     emb_host = jax.device_put(host_np, _host_sharding(device))
@@ -175,9 +192,10 @@ def split_tiers(emb: np.ndarray, plan: TierPlan, config: DLRMConfig,
 
 def merge_tiers(emb_dev, emb_host, plan: TierPlan, config: DLRMConfig
                 ) -> np.ndarray:
-    """Inverse of split_tiers: reassemble the global (R, D) stack on host."""
+    """Inverse of split_tiers: reassemble the global (R, D) stack on host.
+    Accepts the flat (round-5) or legacy (N, D) host-stack layout."""
     dev = np.asarray(emb_dev)
-    host = np.asarray(emb_host)
+    host = np.asarray(emb_host).reshape(-1, config.feature_size)
     out = np.zeros((config.total_rows, config.feature_size), dev.dtype
                    if dev.size else host.dtype)
     for tables, stackarr, offs in (
@@ -216,9 +234,12 @@ def _tier_ids(sparse, tables, offsets):
     return ids
 
 
-def host_tier_gather(emb_host, flat_ids):
-    """Gather rows from the host-resident stack; returns device-resident
-    rows.  flat_ids: any shape; result flat_ids.shape + (D,)."""
+def host_tier_gather(emb_host, flat_ids, width: int):
+    """Gather rows from the FLAT host-resident stack; returns
+    device-resident rows.  flat_ids: any shape; result
+    flat_ids.shape + (width,).  The (rows, width) view is materialized
+    inside the host region, where a reshape of a linear buffer is a
+    bitcast (module docstring)."""
     shape = flat_ids.shape
     # the no-op re-annotation pins the table's aval to host memory space;
     # trace-time inference can drop the tag when other jit inputs were
@@ -226,21 +247,23 @@ def host_tier_gather(emb_host, flat_ids):
     emb_host = jax.device_put(emb_host, jax.memory.Space.Host)
     ids_h = jax.device_put(flat_ids.reshape(-1), jax.memory.Space.Host)
     with compute_on.compute_on("device_host"):
-        rows = _raw_gather(emb_host, ids_h)
+        rows = _raw_gather(emb_host.reshape(-1, width), ids_h)
     rows = jax.device_put(rows, jax.memory.Space.Device)
-    return rows.reshape(shape + (emb_host.shape[1],))
+    return rows.reshape(shape + (width,))
 
 
-def host_tier_scatter_add(emb_host, flat_ids, updates):
-    """Scatter-add updates into the host-resident stack (host compute);
-    updates stream host-ward compressed."""
+def host_tier_scatter_add(emb_host, flat_ids, updates, width: int):
+    """Scatter-add updates into the FLAT host-resident stack (host
+    compute); updates stream host-ward compressed and the result returns
+    flat (no layout conversion at the jit boundary)."""
     emb_host = jax.device_put(emb_host, jax.memory.Space.Host)
     ids_h = jax.device_put(flat_ids.reshape(-1), jax.memory.Space.Host)
     upd_h = jax.device_put(
         updates.reshape(-1, updates.shape[-1]).astype(emb_host.dtype),
         jax.memory.Space.Host)
     with compute_on.compute_on("device_host"):
-        new = _raw_scatter_add(emb_host, ids_h, upd_h)
+        new = _raw_scatter_add(emb_host.reshape(-1, width), ids_h,
+                               upd_h).reshape(emb_host.shape)
     return new
 
 
@@ -258,7 +281,7 @@ def tiered_lookup(emb_dev, emb_host, sparse, plan: TierPlan,
         order += list(plan.device_tables)
     if plan.host_tables:
         ids = _tier_ids(sparse, list(plan.host_tables), plan.host_offsets)
-        rows = host_tier_gather(emb_host, ids)
+        rows = host_tier_gather(emb_host, ids, config.feature_size)
         parts.append(rows if rows.ndim == 3 else jnp.sum(rows, axis=2))
         order += list(plan.host_tables)
     stacked = jnp.concatenate(parts, axis=1)
@@ -296,7 +319,8 @@ def _tier_forward_backward(dense_params, emb_dev, emb_host, dense, sparse,
                              plan.host_offsets)
         if host_rows is None:
             with jax.named_scope("lookup_host_tier"):
-                host_rows = host_tier_gather(emb_host, ids_host)
+                host_rows = host_tier_gather(emb_host, ids_host,
+                                             config.feature_size)
         gathered.append(host_rows)
         order += list(plan.host_tables)
     inv = jnp.asarray(np.argsort(np.asarray(order)))
@@ -341,9 +365,112 @@ def tiered_train_step(params, dense, sparse, labels, *, config: DLRMConfig,
         d_rows = d_gathered[i]
         with jax.named_scope("host_tier_update"):
             new_host = host_tier_scatter_add(emb_host, ids_host,
-                                             -lr * d_rows)
+                                             -lr * d_rows,
+                                             config.feature_size)
     return ({"bottom": new_dense["bottom"], "top": new_dense["top"],
              "emb_dev": new_dev, "emb_host": new_host}, loss)
+
+
+def tiered_train_block(params, dense, sparse, labels, *,
+                       config: DLRMConfig, lr: float, plan: TierPlan,
+                       block: int = None):
+    """``block`` tiered SGD micro-steps fused into one program with the
+    HOST-TIER work coalesced to ONE gather + ONE scatter per block.
+
+    Why: the functional host scatter copies the whole pinned stack
+    (bench_hosttier_scatter.py: ~11 GB/s, linear in stack bytes —
+    compute_on outputs do not alias donated inputs), and each host call
+    carries ~13 ms of fixed overhead.  Amortizing both over K steps is
+    the same lever the reference's BatchUpdater applies to its slow PMM
+    tier (src/model/embedding_update.jl:1-37: aggregate updates in DRAM,
+    trickle to the slow tier behind the forward pass) and the device
+    blocks apply to scatter dispatch (train.train_block).
+
+    Exactness contract (mirrors train_block):
+      * dense params and the DEVICE tier update every micro-step — never
+        stale;
+      * host-tier rows for ALL K micro-batches are gathered once at
+        block entry (stale by < ``block`` steps) and the K compressed
+        gradients apply in one commuting scatter-add at block end, so
+        with no host-row repeat across micro-batches the block is
+        bit-identical to K sequential :func:`tiered_train_step` calls
+        (oracle-tested);
+      * ``block=1`` is exactly :func:`tiered_train_step`.
+
+    Args: ``dense`` (K, B, 13), ``sparse`` (K, B, T[, H]), ``labels``
+    (K, B).  Returns (new_params, (K,) losses).
+    """
+    if block is None:
+        block = dense.shape[0]
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    emb_dev, emb_host = params["emb_dev"], params["emb_host"]
+
+    host_rows_all = ids_host_all = None
+    if plan.host_tables:
+        # block-leading _tier_ids: sparse is (K, B, T[, H])
+        tables = list(plan.host_tables)
+        ids = (sparse[:, :, tables] if sparse.ndim == 3
+               else sparse[:, :, tables, :])
+        offs = jnp.asarray(plan.host_offsets, ids.dtype)
+        ids_host_all = ids + (offs if ids.ndim == 3 else offs[:, None])
+        with jax.named_scope("host_tier_block_gather"):
+            # ONE host call for all K micro-batches' rows
+            host_rows_all = host_tier_gather(emb_host, ids_host_all,
+                                             config.feature_size)
+
+    dp = dense_params
+    new_dev = emb_dev
+    losses, d_rows_acc = [], []
+    for k in range(block):
+        loss, dgrads, d_gathered, ids_dev, _ = _tier_forward_backward(
+            dp, new_dev, emb_host, dense[k], sparse[k], labels[k],
+            config=config, plan=plan,
+            host_rows=(host_rows_all[k] if plan.host_tables else None))
+        with jax.named_scope("dense_update"):
+            dp = jax.tree.map(
+                lambda p, g: (p - lr * g).astype(p.dtype), dp, dgrads)
+        i = 0
+        if plan.device_tables:
+            d_rows = d_gathered[i]; i += 1
+            with jax.named_scope("device_tier_update"):
+                new_dev = new_dev.at[ids_dev.reshape(-1)].add(
+                    (-lr * d_rows.reshape(-1, d_rows.shape[-1])
+                     ).astype(new_dev.dtype), mode="promise_in_bounds")
+        if plan.host_tables:
+            d_rows_acc.append(d_gathered[i])
+        losses.append(loss)
+
+    new_host = emb_host
+    if plan.host_tables:
+        with jax.named_scope("host_tier_block_scatter"):
+            # ONE commuting scatter-add for the whole block
+            d_all = jnp.stack(d_rows_acc)  # (K, B, Th[, H], D)
+            new_host = host_tier_scatter_add(
+                emb_host, ids_host_all, -lr * d_all, config.feature_size)
+    return ({"bottom": dp["bottom"], "top": dp["top"],
+             "emb_dev": new_dev, "emb_host": new_host},
+            jnp.stack(losses))
+
+
+def make_tiered_train_block(config: DLRMConfig, lr: float, plan: TierPlan,
+                            block: int = None, device=None,
+                            pin_host_output: Optional[bool] = None):
+    """Jitted coalesced tiered block (see make_tiered_train_step for the
+    host-output pinning rationale)."""
+    del block  # derived from the batch's leading dim at trace time
+    ensure_backend_primed()
+    device = device or jax.devices()[0]
+    if pin_host_output is None:
+        pin_host_output = device.platform == "tpu"
+    step = functools.partial(tiered_train_block, config=config, lr=lr,
+                             plan=plan)
+    if not pin_host_output:
+        return jax.jit(step)
+    sh_host = jax.sharding.SingleDeviceSharding(device,
+                                                memory_kind="pinned_host")
+    out_shardings = ({"bottom": None, "top": None, "emb_dev": None,
+                      "emb_host": sh_host}, None)
+    return jax.jit(step, donate_argnums=(0,), out_shardings=out_shardings)
 
 
 def tiered_train_step_pipelined(params, pref_rows, dense, sparse, labels,
@@ -393,12 +520,14 @@ def tiered_train_step_pipelined(params, pref_rows, dense, sparse, labels,
         d_rows = d_gathered[i]
         with jax.named_scope("host_tier_update"):
             new_host = host_tier_scatter_add(emb_host, ids_host,
-                                             -lr * d_rows)
+                                             -lr * d_rows,
+                                             config.feature_size)
         ids_next = _tier_ids(sparse_next, list(plan.host_tables),
                              plan.host_offsets)
         with jax.named_scope("host_tier_prefetch_next"):
             # reads new_host -> ordered after the scatter: always exact
-            next_pref = host_tier_gather(new_host, ids_next)
+            next_pref = host_tier_gather(new_host, ids_next,
+                                         config.feature_size)
     new_params = {"bottom": new_dense["bottom"], "top": new_dense["top"],
                   "emb_dev": new_dev, "emb_host": new_host}
     return (new_params, next_pref), loss
@@ -431,7 +560,8 @@ def prime_host_prefetch(emb_host, sparse, plan: TierPlan):
     the caller's first use — one extra host gather per RUN, not per
     step."""
     ids = _tier_ids(sparse, list(plan.host_tables), plan.host_offsets)
-    return jax.jit(host_tier_gather)(emb_host, ids)
+    return jax.jit(host_tier_gather,
+                   static_argnums=(2,))(emb_host, ids, plan.feature_size)
 
 
 def _adagrad_rows(acc_rows, g, eps: float = 1e-10):
@@ -526,7 +656,8 @@ def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
         if optimizer == "sgd":
             with jax.named_scope("host_tier_update"):
                 new_host = host_tier_scatter_add(emb_host, ids_host,
-                                                 -lr_t * d_rows)
+                                                 -lr_t * d_rows,
+                                                 config.feature_size)
         else:
             with jax.named_scope("host_tier_adagrad"):
                 flat = ids_host.reshape(-1)
@@ -542,20 +673,23 @@ def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
                 valid = (ids_u >= 0)[:, None]
                 ids_u = jnp.maximum(ids_u, 0)
                 g_u = g_u * valid
+                rowwise = optimizer == "rowwise_adagrad"
+                accw = 1 if rowwise else config.feature_size
                 acc = opt_state["host_acc"]
-                acc_rows = host_tier_gather(acc, ids_u)
-                if optimizer == "rowwise_adagrad":
-                    # acc is a (host_rows, 1) pinned scalar slab — 1/D the
-                    # slow-tier optimizer bytes AND 1/D the PCIe traffic
-                    # of the accumulator round-trip
+                acc_rows = host_tier_gather(acc, ids_u, accw)
+                if rowwise:
+                    # acc is a flat (host_rows,) pinned scalar slab — 1/D
+                    # the slow-tier optimizer bytes AND 1/D the PCIe
+                    # traffic of the accumulator round-trip
                     d_acc, step_rows = _rowwise_rows(acc_rows[:, 0], g_u)
                     d_acc = d_acc[:, None]
                 else:
                     d_acc, step_rows = _adagrad_rows(acc_rows, g_u)
                 new_opt["host_acc"] = host_tier_scatter_add(acc, ids_u,
-                                                            d_acc)
+                                                            d_acc, accw)
                 new_host = host_tier_scatter_add(emb_host, ids_u,
-                                                 -lr_t * step_rows)
+                                                 -lr_t * step_rows,
+                                                 config.feature_size)
     return ({"bottom": new_dense["bottom"], "top": new_dense["top"],
              "emb_dev": new_dev, "emb_host": new_host}, new_opt), loss
 
@@ -573,14 +707,16 @@ def init_tiered_opt_state(params: dict, *, config: DLRMConfig,
              "count": jnp.zeros((), jnp.int32),
              "dev_acc": (), "host_acc": ()}
     if optimizer in ("adagrad", "rowwise_adagrad"):
-        # rowwise: one f32 scalar per row — (R,) device tier, (R, 1)
-        # pinned host slab (host gather/scatter work on 2-D row stacks)
+        # rowwise: one f32 scalar per row — (R,) device tier, flat
+        # (host_rows,) pinned host slab; the host slabs are 1-D across
+        # the jit boundary like the tables (module docstring)
+        host_rows = params["emb_host"].size // config.feature_size
         dev_shape = (params["emb_dev"].shape
                      if optimizer == "adagrad"
                      else (params["emb_dev"].shape[0],))
-        host_shape = (params["emb_host"].shape
+        host_shape = ((host_rows * config.feature_size,)
                       if optimizer == "adagrad"
-                      else (params["emb_host"].shape[0], 1))
+                      else (host_rows,))
         state["dev_acc"] = jax.device_put(
             jnp.zeros(dev_shape, jnp.float32), device)
         host_sh = jax.sharding.SingleDeviceSharding(
@@ -661,24 +797,29 @@ def _host_sharding(device):
 def place_tiered(restored: dict, device=None) -> dict:
     """Checkpoint-restored (host numpy) tiered params -> placed: device
     tier + MLPs in HBM, host tier back in pinned_host.  The checkpoint
-    itself is memory-space-agnostic (orbax fetches to host on save)."""
+    itself is memory-space-agnostic (orbax fetches to host on save).
+    Legacy (N, D) host stacks (round-4 checkpoints) flatten to the
+    round-5 1-D carry on restore."""
     device = device or jax.devices()[0]
     return {
         "bottom": jax.device_put(restored["bottom"], device),
         "top": jax.device_put(restored["top"], device),
         "emb_dev": jax.device_put(restored["emb_dev"], device),
-        "emb_host": jax.device_put(restored["emb_host"],
-                                   _host_sharding(device)),
+        "emb_host": jax.device_put(
+            np.asarray(restored["emb_host"]).reshape(-1),
+            _host_sharding(device)),
     }
 
 
 def place_tiered_opt(restored: dict, device=None) -> dict:
     """Placed tiered optimizer state: the host-tier Adagrad accumulator
-    slab returns to pinned_host, everything else to device memory."""
+    slab returns to pinned_host (flattened to the 1-D carry), everything
+    else to device memory."""
     device = device or jax.devices()[0]
     out = {k: jax.device_put(v, device) for k, v in restored.items()
            if k != "host_acc"}
     ha = restored.get("host_acc", ())
-    out["host_acc"] = (jax.device_put(ha, _host_sharding(device))
+    out["host_acc"] = (jax.device_put(np.asarray(ha).reshape(-1),
+                                      _host_sharding(device))
                        if not isinstance(ha, tuple) else ha)
     return out

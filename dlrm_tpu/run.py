@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import functools
 import json
 import sys
 import time
@@ -280,19 +281,10 @@ def cmd_preprocess(args) -> int:
     return 0
 
 
-def cmd_train(args) -> int:
-    _apply_platform(args)
-    multiproc = _maybe_init_distributed(args)
-    import jax
-    import jax.numpy as jnp
-    import dlrm_tpu
-    from dlrm_tpu.io.checkpoint import CheckpointManager
-    from dlrm_tpu.parallel.mesh import is_lead_process
-    from dlrm_tpu.train.metrics import evaluate
-
-    # one process owns stdout/metadata; every process runs the collectives
-    lead = is_lead_process() if multiproc else True
-    config = _build_config(args)
+def _train_plan(args, n_dev: int, multiproc: bool):
+    """Validate the train flag lattice and derive the run plan (lr
+    schedule, block size, clip, sharding layout) — the validation half of
+    the old 613-line cmd_train, split out in round 5."""
     if args.data is None and args.steps is None:
         raise SystemExit("synthetic training needs --steps")
     if getattr(args, "epochs", None):
@@ -314,22 +306,19 @@ def cmd_train(args) -> int:
                            decay_steps=args.decay_steps)
     # coalesced K-step block mode: the block step consumes schedules
     # directly (as a (K,) lr array per block), so the schedule-wrapping
-    # opt-state path below is only for block == 1
+    # opt-state path is only for block == 1
     block = max(int(getattr(args, "update_interval", 1) or 1), 1)
     clip = getattr(args, "grad_clip_norm", None)
-    if clip is not None and (block > 1 or args.hbm_budget_gb is not None):
-        # the clip lives in the per-step optimizer paths; block steps
-        # accumulate gradients across micro-steps (a per-micro-step norm
-        # would need the clip inside the scan) and the two-tier step has
-        # its own pipelined structure — refuse rather than silently
-        # train unclipped
-        raise SystemExit("--grad-clip-norm supports the per-step paths "
-                         "only; drop --update-interval/--hbm-budget-gb")
-    n_dev = len(jax.devices())
+    if clip is not None and args.hbm_budget_gb is not None:
+        # the clip lives in the per-step and (round 5) block paths; the
+        # two-tier step has its own pipelined structure — refuse rather
+        # than silently train unclipped
+        raise SystemExit("--grad-clip-norm supports the per-step and "
+                         "block paths only; drop --hbm-budget-gb")
     sharded = args.sharded if args.sharded is not None else (n_dev > 1)
     if args.hbm_budget_gb is not None and sharded:
-        # the two-tier branch below is an elif of the sharded one —
-        # silently ignoring the budget (and stamping two_tier=true into
+        # the two-tier layout is an elif of the sharded one — silently
+        # ignoring the budget (and stamping two_tier=true into
         # run_meta.json alongside sharded=true, which every later
         # restore would trip over) is worse than refusing
         raise SystemExit(
@@ -370,407 +359,109 @@ def cmd_train(args) -> int:
             raise SystemExit(
                 f"--batch-size {args.batch_size} must divide evenly over "
                 f"the {dcn_n * ici_n}-device hybrid mesh")
-    if getattr(args, "host_prefetch", False) and args.hbm_budget_gb is None:
-        raise SystemExit("--host-prefetch is a two-tier feature; it needs "
-                         "--hbm-budget-gb")
-    n_shards = ici_n if ici_n else n_dev  # table-sharding axis size
-
-    def say(*a):  # stderr status lines: one process's voice, not N copies
-        if lead:
-            print(*a, file=sys.stderr)
-
-    say(f"devices: {n_dev} ({jax.devices()[0].platform}), "
-        f"sharded={sharded}"
-        + (f", processes={jax.process_count()}" if multiproc else "")
-        + (f", mesh={dcn_n}x{ici_n} (dcn x ici)" if ici_n else ""))
-    params = dlrm_tpu.init_params(jax.random.key(config.seed), config)
-
-    mgr = None
-    start_step = 0
-    if args.ckpt_dir:
-        mgr = CheckpointManager(args.ckpt_dir,
-                                save_interval=args.save_interval,
-                                max_to_keep=args.max_to_keep)
-        # sidecar describing the run's storage layout, so `eval --ckpt-dir`
-        # can rebuild the placement and unshard on any topology
-        import os
-        meta_path = os.path.join(os.path.abspath(args.ckpt_dir),
-                                 "run_meta.json")
-        cs_meta = ([int(x) for x in args.col_sharded_tables.split(",")]
-                   if args.col_sharded_tables else [])
-        meta_payload = {
-                "sharded": bool(sharded),
-                # the table-sharding (ICI) axis size — what placement and
-                # unshard need; the DCN axis only replicates
-                "num_shards": n_shards,
-                "mesh_shape": ([dcn_n, ici_n] if ici_n else None),
-                "pack": config.pack if not cs_meta else 1,
-                "max_rows_per_shard": args.max_rows_per_shard,
-                "col_sharded_tables": cs_meta,
-                "host_tables": ([int(x) for x in
-                                 args.host_tables.split(",")]
-                                if getattr(args, "host_tables", None)
-                                else []),
-                "optimizer": args.optimizer,
-                "two_tier": bool(args.hbm_budget_gb is not None),
-                "hbm_budget_gb": args.hbm_budget_gb,
-                "wrapped_opt": bool(args.optimizer != "sgd"
-                                    or (sharded and callable(lr)
-                                        and block == 1)
-                                    or (args.hbm_budget_gb is not None
-                                        and callable(lr))
-                                    # sgd + clipping routes through the
-                                    # opt-state step (clip lives there)
-                                    or clip is not None),
-                "table_sizes": list(config.table_sizes),
-                "bf16_tables": bool(getattr(args, "bf16_tables", False)),
-                # chunk geometry is batch-size-keyed (auto_chunk_budget);
-                # eval/predict must rebuild the TRAINING run's layout even
-                # when invoked with a different batch size
-                "chunk_budget_bytes": config.chunk_budget_bytes,
-                "deep_chunk_budget_bytes": config.deep_chunk_budget_bytes,
-                # numerics record (not a layout key): what wire dtype the
-                # run's exchanges used (library callers can set any dtype
-                # on the config — record the actual one, not the flag)
-                "exchange_dtype": (
-                    None if config.exchange_dtype is None
-                    else jnp.dtype(config.exchange_dtype).name),
-        }
-        if lead:  # one writer; orbax array writes stay collective
-            with open(meta_path, "w") as f:
-                json.dump(meta_payload, f)
-
-    if sharded:
-        from dlrm_tpu.parallel import embedding as pemb
-        from dlrm_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                            param_shardings)
-        from dlrm_tpu.parallel.placement import plan_placement
-        from dlrm_tpu.train.train import make_sharded_train_step
-
-        cs_tables = tuple(int(x) for x in args.col_sharded_tables.split(",")
-                          ) if args.col_sharded_tables else ()
-        host_tabs = tuple(int(x) for x in args.host_tables.split(",")
-                          ) if getattr(args, "host_tables", None) else ()
-        if ici_n:
-            from dlrm_tpu.parallel.mesh import make_mesh_2d
-            mesh = make_mesh_2d(dcn_n, ici_n)
-        else:
-            mesh = make_mesh(n_dev)
-        placement = plan_placement(config.table_sizes, n_shards,
-                                   pack=config.pack if not cs_tables else 1,
-                                   max_rows_per_shard=args.max_rows_per_shard,
-                                   col_sharded_tables=cs_tables,
-                                   host_tables=host_tabs)
-        if placement.row_sharded:
-            say(f"row-sharded tables: {list(placement.row_sharded)}")
-        if placement.host_row_sharded:
-            say("host-resident row-sharded tables: "
-                f"{list(placement.host_row_sharded)}")
-        if placement.col_sharded:
-            say(f"column-sharded tables: {list(placement.col_sharded)}")
-        sh_params = {
-            "bottom": params["bottom"],
-            "emb": pemb.shard_tables(params["emb"], placement,
-                                     config),
-            "top": params["top"],
-        }
-        if placement.col_sharded:
-            sh_params["emb_cs"] = pemb.shard_col_tables(
-                params["emb"], placement, config)
-        if placement.host_row_sharded:
-            sh_params["emb_h"] = pemb.shard_host_tables(
-                params["emb"], placement, config)
-        shardings = param_shardings(mesh, sh_params)
-        if args.optimizer == "sgd" and clip is None and (
-                not callable(lr) or block > 1):
-            if mgr is not None:
-                restored = mgr.restore_latest(template=sh_params,
-                                              shardings=shardings)
-                if restored is not None:
-                    sh_params, start_step = restored
-                    say(f"resumed from step {start_step}")
-            params = jax.device_put(sh_params, shardings)
-            step_fn = make_sharded_train_step(config, args.lr, mesh,
-                                              placement)
-        else:
-            from dlrm_tpu.train.train import (init_sharded_opt_state,
-                                              make_sharded_train_step_opt,
-                                              sharded_opt_shardings)
-            opt_state = init_sharded_opt_state(
-                sh_params, config=config, optimizer=args.optimizer, lr=lr,
-                mesh=mesh)
-            if mgr is not None:
-                # the Adagrad accumulators / schedule count checkpoint
-                # alongside the params (accumulator sharded like the
-                # tables) — resuming must not reset the trajectory
-                restored = mgr.restore_latest(
-                    template={"params": sh_params, "opt": opt_state},
-                    shardings={"params": shardings,
-                               "opt": sharded_opt_shardings(opt_state,
-                                                            mesh)})
-                if restored is not None:
-                    full, start_step = restored
-                    sh_params, opt_state = full["params"], full["opt"]
-                    say(f"resumed from step {start_step}")
-            params = jax.device_put(sh_params, shardings)
-            opt_step = make_sharded_train_step_opt(
-                config, optimizer=args.optimizer, lr=lr, mesh=mesh,
-                placement=placement, grad_clip_norm=clip)
-            state_box = {"opt": opt_state}
-
-            def step_fn(p, d, s, l):
-                (p2, state_box["opt"]), loss = opt_step(
-                    p, state_box["opt"], d, s, l)
-                return p2, loss
-        batch_place = batch_sharding(mesh)
-    elif args.hbm_budget_gb is not None:
-        # two-tier tables (the reference's CacheManager localsize knob,
-        # src/DLRM.jl:47-53): spill the biggest tables to host memory
-        from dlrm_tpu.parallel import host_tier as ht
-
-        plan = ht.plan_tiers(config,
-                             int(args.hbm_budget_gb * (1 << 30)))
-        print(f"host-tier tables: {list(plan.host_tables)} "
-              f"({plan.host_rows:,} rows)", file=sys.stderr)
-        if mgr is not None and 0 in (plan.device_rows, plan.host_rows):
-            # orbax cannot serialize zero-size arrays; an empty tier only
-            # happens at degenerate budgets (nothing fits / nothing spills)
-            raise SystemExit(
-                "--ckpt-dir with --hbm-budget-gb needs both tiers "
-                "non-empty (adjust the budget so at least one table stays "
-                "on device and one spills)")
-        tiered = ht.init_tiered_params(params, plan, config)
-        if getattr(args, "host_prefetch", False) and (
-                args.optimizer != "sgd" or callable(lr)):
+    if getattr(args, "host_prefetch", False):
+        if args.hbm_budget_gb is None:
+            raise SystemExit("--host-prefetch is a two-tier feature; it "
+                             "needs --hbm-budget-gb")
+        if args.optimizer != "sgd" or callable(lr):
             raise SystemExit("--host-prefetch currently supports sgd "
                              "with a constant lr")
-        if args.optimizer == "sgd" and not callable(lr):
-            if mgr is not None:
-                # checkpoints are memory-space-agnostic; restore re-pins
-                # the host tier (and its accumulator) to pinned_host
-                restored = mgr.restore_latest(template=tiered)
-                if restored is not None:
-                    raw, start_step = restored
-                    tiered = ht.place_tiered(raw)
-                    say(f"resumed from step {start_step}")
-            if getattr(args, "host_prefetch", False):
-                # software-pipelined host tier: batch N+1's host gather is
-                # the LAST host op of step N's program (exact by data
-                # dependency through the updated stack); the batch stream
-                # is wrapped with a one-batch lookahead below
-                if not plan.host_tables:
-                    raise SystemExit("--host-prefetch needs a host tier "
-                                     "(lower --hbm-budget-gb)")
-                pipe_step = ht.make_tiered_pipelined_step(config, args.lr,
-                                                          plan)
-                state_box = {"tiered": tiered, "pref": None}
-
-                def step_fn(p, b):
-                    del p
-                    if state_box["pref"] is None:  # pipeline preamble
-                        state_box["pref"] = ht.prime_host_prefetch(
-                            state_box["tiered"]["emb_host"], b["sparse"],
-                            plan)
-                    (state_box["tiered"], state_box["pref"]), loss =                         pipe_step(state_box["tiered"], state_box["pref"],
-                                  b["dense"], b["sparse"], b["labels"],
-                                  b["sparse_next"])
-                    return state_box["tiered"], loss
-
-                step_fn.wants_batch = True
-            else:
-                tiered_step = ht.make_tiered_train_step(config, args.lr,
-                                                        plan)
-                state_box = {"tiered": tiered}
-
-                def step_fn(p, d, s, l):
-                    del p
-                    state_box["tiered"], loss = tiered_step(
-                        state_box["tiered"], d, s, l)
-                    return state_box["tiered"], loss
-        else:
-            opt_state = ht.init_tiered_opt_state(
-                tiered, config=config, optimizer=args.optimizer, lr=lr,
-                plan=plan)
-            if mgr is not None:
-                restored = mgr.restore_latest(
-                    template={"params": tiered, "opt": opt_state})
-                if restored is not None:
-                    full, start_step = restored
-                    tiered = ht.place_tiered(full["params"])
-                    opt_state = ht.place_tiered_opt(full["opt"])
-                    say(f"resumed from step {start_step}")
-            opt_step = ht.make_tiered_train_step_opt(
-                config, optimizer=args.optimizer, lr=lr, plan=plan)
-            state_box = {"tiered": tiered, "opt": opt_state}
-
-            def step_fn(p, d, s, l):
-                del p
-                (state_box["tiered"], state_box["opt"]), loss = opt_step(
-                    state_box["tiered"], state_box["opt"], d, s, l)
-                return state_box["tiered"], loss
-        params = tiered
-        batch_place = None
-    else:
-        if args.optimizer == "sgd" and clip is None:
-            if mgr is not None:
-                restored = mgr.restore_latest(template=params)
-                if restored is not None:
-                    params, start_step = restored
-                    params = jax.tree.map(jnp.asarray, params)
-                    say(f"resumed from step {start_step}")
-            step_fn = dlrm_tpu.make_jit_train_step(config, lr)
-            if callable(lr):
-                step_fn.step = start_step
-        else:
-            from dlrm_tpu.train.train import (init_opt_state,
-                                              make_jit_train_step_opt)
-            opt_step = make_jit_train_step_opt(
-                config, optimizer=args.optimizer, lr=lr,
-                emb_impl=getattr(args, "adagrad_impl", "dedup"),
-                grad_clip_norm=clip)
-            opt_state = init_opt_state(params, config=config,
-                                       optimizer=args.optimizer, lr=lr)
-            if mgr is not None:
-                # optimizer state (Adagrad accumulators, schedule count)
-                # checkpoints alongside the params — resuming must not
-                # reset the optimization trajectory
-                restored = mgr.restore_latest(
-                    template={"params": params, "opt": opt_state})
-                if restored is not None:
-                    full, start_step = restored
-                    params = jax.tree.map(jnp.asarray, full["params"])
-                    opt_state = jax.tree.map(jnp.asarray, full["opt"])
-                    say(f"resumed from step {start_step}")
-            state_box = {"opt": opt_state}
-
-            def step_fn(p, d, s, l):
-                (p2, state_box["opt"]), loss = opt_step(
-                    p, state_box["opt"], d, s, l)
-                return p2, loss
-        batch_place = None
-
-    from dlrm_tpu.data.prefetch import device_prefetch
-
-    def ckpt_payload():
-        if args.hbm_budget_gb is not None:
-            if args.optimizer != "sgd" or callable(lr):
-                return {"params": state_box["tiered"],
-                        "opt": state_box["opt"]}
-            return state_box["tiered"]
-        uses_opt_state = (args.optimizer != "sgd"
-                          or (sharded and callable(lr) and block == 1))
-        if uses_opt_state:
-            return {"params": params, "opt": state_box["opt"]}
-        return params
-
-    eval_record: List[dict] = []
-    eval_cache: dict = {}
-
-    # multi-host feeding: which global batch rows THIS process materializes
-    # (mesh.local_batch_rows derives the stripe from the batch sharding's
-    # own index map); single-process feeds the whole batch
-    feed_rows = None
-    if multiproc:
-        from dlrm_tpu.parallel.mesh import local_batch_rows
-        feed_rows = local_batch_rows(batch_sharding(mesh), args.batch_size)
-
-    replica_check = None
-    if getattr(args, "paranoid", None):
-        if not (sharded and ici_n):
-            raise SystemExit("--paranoid guards the hybrid (DCNxICI) "
-                             "mesh; it needs --mesh-shape")
-        from dlrm_tpu.parallel.embedding import make_dcn_replica_check
-        replica_check = make_dcn_replica_check(mesh)
-
-    def run_eval(eval_iter):
-        """Evaluate with whatever layout the training path uses: the
-        sharded path evals ON the mesh (the tables are never gathered to
-        one host — metrics.sharded_evaluate), the others through the
-        standard storage view."""
-        if sharded:
-            from dlrm_tpu.train.metrics import (make_sharded_eval_forward,
-                                                sharded_evaluate)
-            if "fwd" not in eval_cache:  # compile the mesh forward once
-                eval_cache["fwd"] = make_sharded_eval_forward(
-                    config, mesh, placement)
-            return sharded_evaluate(params, eval_iter, config, mesh=mesh,
-                                    placement=placement,
-                                    fwd=eval_cache["fwd"])
-        return evaluate(eval_view(), eval_iter, config)
-
-    def eval_view():
-        """params in the standard storage layout for metrics.evaluate."""
-        if args.hbm_budget_gb is not None:
-            from dlrm_tpu.ops import embedding as emb_ops
-            from dlrm_tpu.parallel import host_tier as ht
-            t = state_box["tiered"]
-            logical = ht.merge_tiers(t["emb_dev"], t["emb_host"], plan,
-                                     config)
-            return {"bottom": t["bottom"],
-                    "emb": jax.tree.map(
-                        jnp.asarray, emb_ops.pack_tables(logical, config)),
-                    "top": t["top"]}
-        return params
-
-    def periodic_eval():
-        # the reference's Every(test, n) combinator (train/utils.jl:11-46)
-        eval_data = args.eval_data or args.data
-        eval_steps = args.eval_steps
-        if eval_data is None and eval_steps is None:
-            eval_steps = 10  # synthetic eval needs a bound
-        eval_iter = _data_iter(
-            argparse.Namespace(data=eval_data,
-                               batch_size=args.batch_size,
-                               synthetic=getattr(args, "synthetic",
-                                                 "uniform"),
-                               # eval covers the dataset's trailing
-                               # partial batch (sharded_evaluate pads it
-                               # to a mesh multiple); multi-host feeding
-                               # needs even stripes -> full batches
-                               keep_remainder=feed_rows is None),
-            config, steps=eval_steps, seed=10_000, rows=feed_rows)
-        m = run_eval(eval_iter)
-        m["step"] = step
-        if lead:  # metrics are globally reduced — identical on all procs
-            eval_record.append(m)
-            print(f"eval @ step {step}: acc={m['accuracy']:.4f} "
-                  f"auc={m['auc']:.4f} loss={m['loss']:.5f}",
-                  file=sys.stderr)
-
-    blk_fn = None
     if block > 1:
         if args.hbm_budget_gb is not None:
-            raise SystemExit(
-                "--update-interval > 1 is not supported on the two-tier "
-                "path (the host-tier writeback is already coalesced)")
-        if args.optimizer not in ("sgd", "adagrad", "rowwise_adagrad"):
+            # round 5: tiered SGD blocks coalesce the host writeback (one
+            # host gather + one host scatter per K steps — the dominant
+            # tiered cost, host_tier.tiered_train_block); optimizer-state
+            # and scheduled-lr tiered blocks are not built yet
+            if args.optimizer != "sgd" or callable(lr):
+                raise SystemExit(
+                    "--update-interval > 1 with --hbm-budget-gb supports "
+                    "sgd with a constant lr")
+            if getattr(args, "host_prefetch", False):
+                raise SystemExit("--host-prefetch does not compose with "
+                                 "--update-interval > 1 (the block IS "
+                                 "the prefetch batching)")
+        elif args.optimizer not in ("sgd", "adagrad", "rowwise_adagrad"):
             raise SystemExit("--update-interval > 1 requires sgd, "
                              "adagrad, or rowwise_adagrad")
-        if sharded:
-            from dlrm_tpu.parallel.mesh import block_batch_sharding
-            if args.optimizer in ("adagrad", "rowwise_adagrad"):
-                from dlrm_tpu.train.train import (
-                    make_sharded_train_block_opt)
-                blk_opt = make_sharded_train_block_opt(
-                    config, optimizer=args.optimizer, lr=lr, mesh=mesh,
-                    placement=placement, block=block,
-                    unroll=not getattr(args, "block_scan", False))
+    return argparse.Namespace(
+        lr=lr, block=block, clip=clip, sharded=sharded, dcn_n=dcn_n,
+        ici_n=ici_n, n_shards=(ici_n if ici_n else n_dev))
 
-                def blk_fn(p, d, s, l):
-                    (p2, state_box["opt"]), losses = blk_opt(
-                        p, state_box["opt"], d, s, l)
-                    return p2, losses
-            else:
-                from dlrm_tpu.train.train import make_sharded_train_block
-                blk_fn = make_sharded_train_block(config, lr, mesh,
-                                                  placement, block)
-            single_place = batch_place
-            stacked_place = block_batch_sharding(mesh)
-            batch_place = (lambda b: stacked_place
-                           if np.asarray(b["dense"]).ndim == 3
-                           else single_place)
-        elif args.optimizer in ("adagrad", "rowwise_adagrad"):
-            from dlrm_tpu.train.train import make_jit_train_block_opt
+
+def _resume(mgr, say, template, shardings=None, place=None):
+    """The ONE restore path every training variant shares (round 4 had
+    six near-identical copies).  Returns (state, start_step); ``state``
+    is the freshly-initialized ``template`` when there is no checkpoint.
+    ``place`` re-places a RESTORED payload (host numpy from orbax) into
+    its runtime memory layout; templates are already placed."""
+    if mgr is not None:
+        restored = mgr.restore_latest(template=template,
+                                      shardings=shardings)
+        if restored is not None:
+            payload, start_step = restored
+            say(f"resumed from step {start_step}")
+            return (place(payload) if place else payload), start_step
+    return template, 0
+
+
+def _plain_step(fn):
+    """(p, d, s, l) -> (p, loss) step as the variant interface
+    (p, batch) -> (p, loss, steps_advanced)."""
+    def step(p, b):
+        p2, loss = fn(p, b["dense"], b["sparse"], b["labels"])
+        return p2, loss, 1
+    return step
+
+
+def _block_step(fn):
+    """Block step: advances by the batch's leading K, reports the last
+    micro-loss."""
+    def step(p, b):
+        p2, losses = fn(p, b["dense"], b["sparse"], b["labels"])
+        return p2, losses[-1], int(b["dense"].shape[0])
+    return step
+
+
+def _build_single_variant(args, config, plan, params0, mgr, say):
+    """Single-chip variant: plain SGD / opt-state step / coalesced block."""
+    import jax
+    import jax.numpy as jnp
+    import dlrm_tpu
+
+    lr, block, clip = plan.lr, plan.block, plan.clip
+    v = argparse.Namespace(mesh=None, placement=None, batch_place=None,
+                           wants_batch=False, align=None, start_step=0)
+    # blocks carry the clip themselves (per-micro-step, train.train_block)
+    # so only a block==1 sgd+clip run needs the opt-state step
+    v.uses_opt = (args.optimizer != "sgd"
+                  or (clip is not None and block == 1))
+    asarray = functools.partial(jax.tree.map, jnp.asarray)
+    if not v.uses_opt:
+        v.params, v.start_step = _resume(mgr, say, params0, place=asarray)
+        if block > 1:
+            from dlrm_tpu.train.train import make_jit_train_block
+            blk = make_jit_train_block(config, lr, block,
+                                       grad_clip_norm=clip)
+            if hasattr(blk, "step"):  # scheduled lr: stay step-aligned
+                v.align = lambda s: setattr(blk, "step", s)
+            v.step = _block_step(blk)
+        else:
+            step_fn = dlrm_tpu.make_jit_train_step(config, lr)
+            if callable(lr):
+                step_fn.step = v.start_step
+            v.step = _plain_step(step_fn)
+        v.ckpt_payload = lambda: v.params
+    else:
+        from dlrm_tpu.train.train import (init_opt_state,
+                                          make_jit_train_block_opt,
+                                          make_jit_train_step_opt)
+        opt_state = init_opt_state(params0, config=config,
+                                   optimizer=args.optimizer, lr=lr)
+        full, v.start_step = _resume(
+            mgr, say, {"params": params0, "opt": opt_state}, place=asarray)
+        v.params = full["params"]
+        box = {"opt": full["opt"]}
+        if block > 1:
             # block mode has two exact impls (dense_g = the measured
             # optimum, dedup = low-memory); the per-chunk hybrid is an
             # exact-K=1 construct, so the CLI default maps to dense_g
@@ -780,58 +471,428 @@ def cmd_train(args) -> int:
             blk_opt = make_jit_train_block_opt(
                 config, optimizer=args.optimizer, lr=lr, block=block,
                 adagrad_impl=blk_impl,
-                unroll=not getattr(args, "block_scan", False))
+                unroll=not getattr(args, "block_scan", False),
+                grad_clip_norm=clip)
 
-            def blk_fn(p, d, s, l):
-                (p2, state_box["opt"]), losses = blk_opt(
-                    p, state_box["opt"], d, s, l)
-                return p2, losses
+            def step(p, b):
+                (p2, box["opt"]), losses = blk_opt(
+                    p, box["opt"], b["dense"], b["sparse"], b["labels"])
+                return p2, losses[-1], int(b["dense"].shape[0])
         else:
-            from dlrm_tpu.train.train import make_jit_train_block
-            blk_fn = make_jit_train_block(config, lr, block)
+            opt_step = make_jit_train_step_opt(
+                config, optimizer=args.optimizer, lr=lr,
+                emb_impl=getattr(args, "adagrad_impl", "dedup"),
+                grad_clip_norm=clip)
+
+            def step(p, b):
+                (p2, box["opt"]), loss = opt_step(
+                    p, box["opt"], b["dense"], b["sparse"], b["labels"])
+                return p2, loss, 1
+        v.step = step
+        v.ckpt_payload = lambda: {"params": v.params, "opt": box["opt"]}
+    v.eval_view = lambda: v.params
+    return v
+
+
+def _build_sharded_variant(args, config, plan, params0, mgr, say):
+    """Hybrid-parallel variant: mesh + placement, sharded step/block."""
+    import jax
+    import dlrm_tpu
+    from dlrm_tpu.parallel import embedding as pemb
+    from dlrm_tpu.parallel.mesh import (batch_sharding,
+                                        block_batch_sharding, make_mesh,
+                                        param_shardings)
+    from dlrm_tpu.parallel.placement import plan_placement
+    from dlrm_tpu.train.train import (init_sharded_opt_state,
+                                      make_sharded_train_block,
+                                      make_sharded_train_block_opt,
+                                      make_sharded_train_step,
+                                      make_sharded_train_step_opt,
+                                      sharded_opt_shardings)
+
+    lr, block, clip = plan.lr, plan.block, plan.clip
+    cs_tables = tuple(int(x) for x in args.col_sharded_tables.split(",")
+                      ) if args.col_sharded_tables else ()
+    host_tabs = tuple(int(x) for x in args.host_tables.split(",")
+                      ) if getattr(args, "host_tables", None) else ()
+    if plan.ici_n:
+        from dlrm_tpu.parallel.mesh import make_mesh_2d
+        mesh = make_mesh_2d(plan.dcn_n, plan.ici_n)
+    else:
+        mesh = make_mesh(plan.n_shards)
+    placement = plan_placement(
+        config.table_sizes, plan.n_shards,
+        pack=config.pack if not cs_tables else 1,
+        max_rows_per_shard=args.max_rows_per_shard,
+        col_sharded_tables=cs_tables, host_tables=host_tabs)
+    if placement.row_sharded:
+        say(f"row-sharded tables: {list(placement.row_sharded)}")
+    if placement.host_row_sharded:
+        say("host-resident row-sharded tables: "
+            f"{list(placement.host_row_sharded)}")
+    if placement.col_sharded:
+        say(f"column-sharded tables: {list(placement.col_sharded)}")
+    sh_params = {
+        "bottom": params0["bottom"],
+        "emb": pemb.shard_tables(params0["emb"], placement, config),
+        "top": params0["top"],
+    }
+    if placement.col_sharded:
+        sh_params["emb_cs"] = pemb.shard_col_tables(params0["emb"],
+                                                    placement, config)
+    if placement.host_row_sharded:
+        sh_params["emb_h"] = pemb.shard_host_tables(params0["emb"],
+                                                    placement, config)
+    shardings = param_shardings(mesh, sh_params)
+
+    v = argparse.Namespace(mesh=mesh, placement=placement,
+                           wants_batch=False, align=None, start_step=0)
+    # blocks carry schedules (as a (K,) lr array) and the clip themselves;
+    # only block==1 runs with a schedule or clip need the opt-state step
+    v.uses_opt = (args.optimizer != "sgd"
+                  or (block == 1 and (callable(lr) or clip is not None)))
+    if not v.uses_opt:
+        sh_params, v.start_step = _resume(mgr, say, sh_params, shardings)
+        v.params = jax.device_put(sh_params, shardings)
+        if block > 1:
+            blk = make_sharded_train_block(config, lr, mesh, placement,
+                                           block, grad_clip_norm=clip)
+            if hasattr(blk, "step"):  # scheduled lr: stay step-aligned
+                v.align = lambda s: setattr(blk, "step", s)
+            v.step = _block_step(blk)
+        else:
+            v.step = _plain_step(
+                make_sharded_train_step(config, lr, mesh, placement))
+        v.ckpt_payload = lambda: v.params
+    else:
+        opt_state = init_sharded_opt_state(
+            sh_params, config=config, optimizer=args.optimizer, lr=lr,
+            mesh=mesh)
+        # the Adagrad accumulators / schedule count checkpoint alongside
+        # the params (accumulator sharded like the tables) — resuming
+        # must not reset the trajectory
+        full, v.start_step = _resume(
+            mgr, say, {"params": sh_params, "opt": opt_state},
+            {"params": shardings,
+             "opt": sharded_opt_shardings(opt_state, mesh)})
+        v.params = jax.device_put(full["params"], shardings)
+        box = {"opt": full["opt"]}
+        if block > 1:
+            blk_opt = make_sharded_train_block_opt(
+                config, optimizer=args.optimizer, lr=lr, mesh=mesh,
+                placement=placement, block=block,
+                unroll=not getattr(args, "block_scan", False),
+                grad_clip_norm=clip)
+
+            def step(p, b):
+                (p2, box["opt"]), losses = blk_opt(
+                    p, box["opt"], b["dense"], b["sparse"], b["labels"])
+                return p2, losses[-1], int(b["dense"].shape[0])
+        else:
+            opt_step = make_sharded_train_step_opt(
+                config, optimizer=args.optimizer, lr=lr, mesh=mesh,
+                placement=placement, grad_clip_norm=clip)
+
+            def step(p, b):
+                (p2, box["opt"]), loss = opt_step(
+                    p, box["opt"], b["dense"], b["sparse"], b["labels"])
+                return p2, loss, 1
+        v.step = step
+        v.ckpt_payload = lambda: {"params": v.params, "opt": box["opt"]}
+    bs = batch_sharding(mesh)
+    if block > 1:
+        stacked = block_batch_sharding(mesh)
+        v.batch_place = (lambda b: stacked
+                         if np.asarray(b["dense"]).ndim == 3 else bs)
+    else:
+        v.batch_place = bs
+    v.eval_view = lambda: v.params  # sharded eval runs ON the mesh
+    return v
+
+
+def _build_tiered_variant(args, config, plan, params0, mgr, say):
+    """Two-tier (HBM + pinned host) variant — the reference's
+    CacheManager localsize knob (src/DLRM.jl:47-53): spill the biggest
+    tables to host memory."""
+    import jax
+    import jax.numpy as jnp
+    from dlrm_tpu.parallel import host_tier as ht
+
+    lr = plan.lr
+    tiers = ht.plan_tiers(config, int(args.hbm_budget_gb * (1 << 30)))
+    say(f"host-tier tables: {list(tiers.host_tables)} "
+        f"({tiers.host_rows:,} rows)")
+    if mgr is not None and 0 in (tiers.device_rows, tiers.host_rows):
+        # orbax cannot serialize zero-size arrays; an empty tier only
+        # happens at degenerate budgets (nothing fits / nothing spills)
+        raise SystemExit(
+            "--ckpt-dir with --hbm-budget-gb needs both tiers "
+            "non-empty (adjust the budget so at least one table stays "
+            "on device and one spills)")
+    tiered0 = ht.init_tiered_params(params0, tiers, config)
+
+    v = argparse.Namespace(mesh=None, placement=None, batch_place=None,
+                           wants_batch=False, align=None, start_step=0)
+    v.uses_opt = args.optimizer != "sgd" or callable(lr)
+    if not v.uses_opt:
+        # checkpoints are memory-space-agnostic; restore re-pins the host
+        # tier (and its accumulator) to pinned_host
+        v.params, v.start_step = _resume(mgr, say, tiered0,
+                                         place=ht.place_tiered)
+        if plan.block > 1:
+            # coalesced tiered block: ONE host gather + ONE host scatter
+            # per K steps (host_tier.tiered_train_block)
+            blk = ht.make_tiered_train_block(config, args.lr, tiers,
+                                             plan.block)
+            v.step = _block_step(blk)
+        elif getattr(args, "host_prefetch", False):
+            # software-pipelined host tier: batch N+1's host gather is
+            # the LAST host op of step N's program (exact by data
+            # dependency through the updated stack); the batch stream
+            # is wrapped with a one-batch lookahead by the caller
+            if not tiers.host_tables:
+                raise SystemExit("--host-prefetch needs a host tier "
+                                 "(lower --hbm-budget-gb)")
+            pipe_step = ht.make_tiered_pipelined_step(config, args.lr,
+                                                      tiers)
+            box = {"pref": None}
+
+            def step(p, b):
+                if box["pref"] is None:  # pipeline preamble
+                    box["pref"] = ht.prime_host_prefetch(
+                        p["emb_host"], b["sparse"], tiers)
+                (p2, box["pref"]), loss = pipe_step(
+                    p, box["pref"], b["dense"], b["sparse"], b["labels"],
+                    b["sparse_next"])
+                return p2, loss, 1
+            v.wants_batch = True
+            v.step = step
+        else:
+            v.step = _plain_step(
+                ht.make_tiered_train_step(config, args.lr, tiers))
+        v.ckpt_payload = lambda: v.params
+    else:
+        opt_state = ht.init_tiered_opt_state(
+            tiered0, config=config, optimizer=args.optimizer, lr=lr,
+            plan=tiers)
+        full, v.start_step = _resume(
+            mgr, say, {"params": tiered0, "opt": opt_state},
+            place=lambda f: {"params": ht.place_tiered(f["params"]),
+                             "opt": ht.place_tiered_opt(f["opt"])})
+        v.params = full["params"]
+        box = {"opt": full["opt"]}
+        opt_step = ht.make_tiered_train_step_opt(
+            config, optimizer=args.optimizer, lr=lr, plan=tiers)
+
+        def step(p, b):
+            (p2, box["opt"]), loss = opt_step(
+                p, box["opt"], b["dense"], b["sparse"], b["labels"])
+            return p2, loss, 1
+        v.step = step
+        v.ckpt_payload = lambda: {"params": v.params, "opt": box["opt"]}
+
+    def eval_view():
+        # params in the standard storage layout for metrics.evaluate
+        from dlrm_tpu.ops import embedding as emb_ops
+        t = v.params
+        logical = ht.merge_tiers(t["emb_dev"], t["emb_host"], tiers,
+                                 config)
+        return {"bottom": t["bottom"],
+                "emb": jax.tree.map(
+                    jnp.asarray, emb_ops.pack_tables(logical, config)),
+                "top": t["top"]}
+    v.eval_view = eval_view
+    return v
+
+
+def _write_run_meta(args, config, plan, v, lead) -> None:
+    """Sidecar describing the run's storage layout, so `eval --ckpt-dir`
+    can rebuild the placement and unshard on any topology."""
+    import jax.numpy as jnp
+    import os
+
+    meta_path = os.path.join(os.path.abspath(args.ckpt_dir),
+                             "run_meta.json")
+    cs_meta = ([int(x) for x in args.col_sharded_tables.split(",")]
+               if args.col_sharded_tables else [])
+    meta_payload = {
+        "sharded": bool(plan.sharded),
+        # the table-sharding (ICI) axis size — what placement and
+        # unshard need; the DCN axis only replicates
+        "num_shards": plan.n_shards,
+        "mesh_shape": ([plan.dcn_n, plan.ici_n] if plan.ici_n else None),
+        "pack": config.pack if not cs_meta else 1,
+        "max_rows_per_shard": args.max_rows_per_shard,
+        "col_sharded_tables": cs_meta,
+        "host_tables": ([int(x) for x in args.host_tables.split(",")]
+                        if getattr(args, "host_tables", None) else []),
+        "optimizer": args.optimizer,
+        "two_tier": bool(args.hbm_budget_gb is not None),
+        "hbm_budget_gb": args.hbm_budget_gb,
+        # whether checkpoints wrap as {"params", "opt"} — taken from the
+        # variant's single source of truth (round 4 computed this twice,
+        # inconsistently, for sgd+clip runs)
+        "wrapped_opt": bool(v.uses_opt),
+        "table_sizes": list(config.table_sizes),
+        "bf16_tables": bool(getattr(args, "bf16_tables", False)),
+        # chunk geometry is batch-size-keyed (auto_chunk_budget);
+        # eval/predict must rebuild the TRAINING run's layout even
+        # when invoked with a different batch size
+        "chunk_budget_bytes": config.chunk_budget_bytes,
+        "deep_chunk_budget_bytes": config.deep_chunk_budget_bytes,
+        # numerics record (not a layout key): what wire dtype the
+        # run's exchanges used (library callers can set any dtype
+        # on the config — record the actual one, not the flag)
+        "exchange_dtype": (
+            None if config.exchange_dtype is None
+            else jnp.dtype(config.exchange_dtype).name),
+    }
+    if lead:  # one writer; orbax array writes stay collective
+        with open(meta_path, "w") as f:
+            json.dump(meta_payload, f)
+
+
+def cmd_train(args) -> int:
+    _apply_platform(args)
+    multiproc = _maybe_init_distributed(args)
+    import jax
+    import jax.numpy as jnp
+    import dlrm_tpu
+    from dlrm_tpu.data.prefetch import device_prefetch
+    from dlrm_tpu.io.checkpoint import CheckpointManager
+    from dlrm_tpu.parallel.mesh import is_lead_process
+    from dlrm_tpu.train.metrics import evaluate
+
+    # one process owns stdout/metadata; every process runs the collectives
+    lead = is_lead_process() if multiproc else True
+    config = _build_config(args)
+    n_dev = len(jax.devices())
+    plan = _train_plan(args, n_dev, multiproc)
+
+    def say(*a):  # stderr status lines: one process's voice, not N copies
+        if lead:
+            print(*a, file=sys.stderr)
+
+    say(f"devices: {n_dev} ({jax.devices()[0].platform}), "
+        f"sharded={plan.sharded}"
+        + (f", processes={jax.process_count()}" if multiproc else "")
+        + (f", mesh={plan.dcn_n}x{plan.ici_n} (dcn x ici)"
+           if plan.ici_n else ""))
+    params0 = dlrm_tpu.init_params(jax.random.key(config.seed), config)
+    mgr = None
+    if args.ckpt_dir:
+        mgr = CheckpointManager(args.ckpt_dir,
+                                save_interval=args.save_interval,
+                                max_to_keep=args.max_to_keep)
+
+    if plan.sharded:
+        v = _build_sharded_variant(args, config, plan, params0, mgr, say)
+    elif args.hbm_budget_gb is not None:
+        v = _build_tiered_variant(args, config, plan, params0, mgr, say)
+    else:
+        v = _build_single_variant(args, config, plan, params0, mgr, say)
+    if args.ckpt_dir:
+        _write_run_meta(args, config, plan, v, lead)
+
+    # multi-host feeding: which global batch rows THIS process materializes
+    # (mesh.local_batch_rows derives the stripe from the batch sharding's
+    # own index map); single-process feeds the whole batch
+    feed_rows = None
+    if multiproc:
+        from dlrm_tpu.parallel.mesh import batch_sharding, local_batch_rows
+        feed_rows = local_batch_rows(batch_sharding(v.mesh),
+                                     args.batch_size)
+
+    replica_check = None
+    if getattr(args, "paranoid", None):
+        if not (plan.sharded and plan.ici_n):
+            raise SystemExit("--paranoid guards the hybrid (DCNxICI) "
+                             "mesh; it needs --mesh-shape")
+        from dlrm_tpu.parallel.embedding import make_dcn_replica_check
+        replica_check = make_dcn_replica_check(v.mesh)
+
+    eval_record: List[dict] = []
+    eval_cache: dict = {}
+
+    def run_eval(eval_iter):
+        """Evaluate with whatever layout the training path uses: the
+        sharded path evals ON the mesh (the tables are never gathered to
+        one host — metrics.sharded_evaluate), the others through the
+        standard storage view."""
+        if plan.sharded:
+            from dlrm_tpu.train.metrics import (make_sharded_eval_forward,
+                                                sharded_evaluate)
+            if "fwd" not in eval_cache:  # compile the mesh forward once
+                eval_cache["fwd"] = make_sharded_eval_forward(
+                    config, v.mesh, v.placement)
+            return sharded_evaluate(v.params, eval_iter, config,
+                                    mesh=v.mesh, placement=v.placement,
+                                    fwd=eval_cache["fwd"])
+        return evaluate(v.eval_view(), eval_iter, config)
+
+    def make_eval_iter(seed=10_000):
+        # the reference's Every(test, n) combinator (train/utils.jl:11-46)
+        eval_data = args.eval_data or args.data
+        eval_steps = args.eval_steps
+        if eval_data is None and eval_steps is None:
+            eval_steps = 10  # synthetic eval needs a bound
+        return _data_iter(
+            argparse.Namespace(data=eval_data,
+                               batch_size=args.batch_size,
+                               synthetic=getattr(args, "synthetic",
+                                                 "uniform"),
+                               # eval covers the dataset's trailing
+                               # partial batch (sharded_evaluate pads it
+                               # to a mesh multiple); multi-host feeding
+                               # needs even stripes -> full batches
+                               keep_remainder=feed_rows is None),
+            config, steps=eval_steps, seed=seed, rows=feed_rows)
+
+    def periodic_eval():
+        m = run_eval(make_eval_iter())
+        m["step"] = step
+        if lead:  # metrics are globally reduced — identical on all procs
+            eval_record.append(m)
+            print(f"eval @ step {step}: acc={m['accuracy']:.4f} "
+                  f"auc={m['auc']:.4f} loss={m['loss']:.5f}",
+                  file=sys.stderr)
 
     losses: List[float] = []
     t_start = time.time()
-    step = start_step
-    remaining = None if args.steps is None else max(args.steps - start_step, 0)
+    step = prev = v.start_step
+    start_step = v.start_step
+    remaining = (None if args.steps is None
+                 else max(args.steps - start_step, 0))
     source = _data_iter(args, config, steps=remaining, seed=args.seed,
                         rows=feed_rows)
-    if block > 1:
-        source = _block_iter(source, block)
-    if getattr(step_fn, "wants_batch", False):
+    if plan.block > 1:
+        source = _block_iter(source, plan.block)
+    if v.wants_batch:
         source = _with_lookahead(source)
     profiling = False
+    loss = None
     for b in device_prefetch(source, size=args.prefetch,
-                             sharding=batch_place,
+                             sharding=v.batch_place,
                              global_batch=(args.batch_size if multiproc
                                            else None)):
         if args.profile_dir is not None:
-            # capture a jax.profiler trace of steps ~3..6 after warmup; the
-            # named_scope phases (lookup/interaction/...) appear in the trace
+            # capture a jax.profiler trace of steps ~3..6 after warmup;
+            # the named_scope phases (lookup/interaction/...) appear in
+            # the trace
             if not profiling and step >= start_step + 3:
                 jax.profiler.start_trace(args.profile_dir)
                 profiling = True
             elif profiling and step >= start_step + 6:
-                jax.block_until_ready(params)
+                jax.block_until_ready(v.params)
                 jax.profiler.stop_trace()
                 profiling = False
                 args.profile_dir = None
                 say("profile written")
         prev = step
-        if blk_fn is not None:
-            if hasattr(blk_fn, "step"):
-                blk_fn.step = step  # scheduled lr: stay step-aligned
-            params, blk_losses = blk_fn(params, b["dense"], b["sparse"],
-                                        b["labels"])
-            loss = blk_losses[-1]
-            step += int(b["dense"].shape[0])
-        elif getattr(step_fn, "wants_batch", False):
-            params, loss = step_fn(params, b)
-            step += 1
-        else:
-            params, loss = step_fn(params, b["dense"], b["sparse"],
-                                   b["labels"])
-            step += 1
+        if v.align is not None:
+            v.align(step)  # scheduled-lr block wrappers: stay aligned
+        v.params, loss, advanced = v.step(v.params, b)
+        step += advanced
         if _crossed(prev, step, args.log_every):
             loss = float(loss)
             losses.append(loss)
@@ -843,21 +904,20 @@ def cmd_train(args) -> int:
             periodic_eval()
         if replica_check is not None and _crossed(prev, step,
                                                   args.paranoid):
-            if not bool(np.asarray(replica_check(params)).all()):
+            if not bool(np.asarray(replica_check(v.params)).all()):
                 raise RuntimeError(
                     f"--paranoid: DCN table replicas DIVERGED at step "
                     f"{step} — a sparse update was not DCN-invariant "
                     "(see parallel/embedding._dcn_fold)")
         if mgr is not None and _crossed(prev, step, mgr.save_interval):
-            mgr.save(step, ckpt_payload())
+            mgr.save(step, v.ckpt_payload())
     if profiling:
-        import jax as _jax
-        _jax.block_until_ready(params)
+        jax.block_until_ready(v.params)
         jax.profiler.stop_trace()
         say("profile written (stream ended mid-capture)")
     if mgr is not None:
         if mgr.latest_step() != step:  # maybe_save may have just saved it
-            mgr.save(step, ckpt_payload(), force=True)
+            mgr.save(step, v.ckpt_payload(), force=True)
         mgr.wait_until_finished()
         mgr.close()
 
@@ -876,18 +936,7 @@ def cmd_train(args) -> int:
         # needs the default 10-batch cap — a real --eval-data file must
         # be consumed in full (bounding on args.data here would silently
         # truncate it)
-        final_eval_data = args.eval_data or args.data
-        final_eval_steps = args.eval_steps
-        if final_eval_data is None and final_eval_steps is None:
-            final_eval_steps = 10
-        eval_iter = _data_iter(
-            argparse.Namespace(data=final_eval_data,
-                               batch_size=args.batch_size,
-                               synthetic=getattr(args, "synthetic",
-                                                 "uniform"),
-                               keep_remainder=feed_rows is None),
-            config, steps=final_eval_steps, seed=10_000, rows=feed_rows)
-        result["eval"] = run_eval(eval_iter)
+        result["eval"] = run_eval(make_eval_iter())
     if lead:
         print(json.dumps(result))
     return 0
@@ -1357,6 +1406,10 @@ def cmd_export(args) -> int:
     directly."""
     import os
 
+    # like every other subcommand: --platform must be applied BEFORE
+    # _build_config initializes the backend (its fs>=128 auto-interaction
+    # decision probes jax.default_backend())
+    _apply_platform(args)
     config = _build_config(args)
     if getattr(args, "quantize", None) == "int8":
         import jax.numpy as jnp

@@ -355,7 +355,7 @@ def make_jit_train_step_opt(config: DLRMConfig, *, optimizer: str = "sgd",
 
 def train_block(params: dict, dense: jax.Array, sparse: jax.Array,
                 labels: jax.Array, *, config: DLRMConfig, lr: float,
-                block: int = None):
+                block: int = None, grad_clip_norm=None):
     """``block`` SGD micro-steps fused into one jitted program, with the
     big-table scatter updates COALESCED into one scatter-add per storage
     chunk at block end.
@@ -423,6 +423,15 @@ def train_block(params: dict, dense: jax.Array, sparse: jax.Array,
 
         loss, (dgrads, d_rows_big, d_smalls) = jax.value_and_grad(
             inner, argnums=(0, 1, 2))(dp, rows_big, st)
+        if grad_clip_norm is not None:
+            # clip per MICRO-step over the same pytree the per-step path
+            # clips: when no id repeats across micro-batches the block
+            # stays bit-identical to K sequential clipped train_steps
+            from dlrm_tpu.train import optim
+            with jax.named_scope("grad_clip"):
+                (dgrads, d_rows_big, d_smalls), _ = \
+                    optim.clip_by_global_norm(
+                        grad_clip_norm, (dgrads, d_rows_big, d_smalls))
         lr_k = lr if lr_arr is None else lr_arr[k]
         with jax.named_scope("dense_update"):
             dp = jax.tree.map(
@@ -461,18 +470,20 @@ def train_block(params: dict, dense: jax.Array, sparse: jax.Array,
             jnp.stack(losses))
 
 
-def make_jit_train_block(config: DLRMConfig, lr, block: int = None
-                         ) -> Callable:
+def make_jit_train_block(config: DLRMConfig, lr, block: int = None,
+                         grad_clip_norm=None) -> Callable:
     """Jitted coalesced block step: f(params, (K,B,13), (K,B,T[,H]),
     (K,B)) -> (params, (K,) losses).  ``lr`` may be a float or a schedule
     (callable step -> lr); schedules enter as a (K,) runtime array."""
     del block  # derived from the batch's leading dim at trace time
     if not callable(lr):
-        step = functools.partial(train_block, config=config, lr=lr)
+        step = functools.partial(train_block, config=config, lr=lr,
+                                 grad_clip_norm=grad_clip_norm)
         return jax.jit(step, donate_argnums=(0,))
     jitted = jax.jit(
         lambda p, d, s, l, lrs: train_block(p, d, s, l, config=config,
-                                            lr=lrs),
+                                            lr=lrs,
+                                            grad_clip_norm=grad_clip_norm),
         donate_argnums=(0,))
 
     def run(p, d, s, l):
@@ -489,7 +500,7 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
                     sparse: jax.Array, labels: jax.Array, *,
                     config: DLRMConfig, lr, block: int = None,
                     adagrad_impl: str = "dense_g", unroll: bool = True,
-                    optimizer: str = "adagrad"):
+                    optimizer: str = "adagrad", grad_clip_norm=None):
     """Coalesced K-step block with sparse ADAGRAD (see :func:`train_block`
     for the staleness contract — SGD blocks route there).
 
@@ -570,6 +581,13 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
         loss, (dgrads, d_rows_big, d_smalls) = jax.value_and_grad(
             inner, argnums=(0, 1, 2))(dp, rows_big,
                                       tuple(tab for tab, _ in st))
+        if grad_clip_norm is not None:
+            # per-micro-step clip: same pytree as train_step_opt's clip,
+            # so no-id-repeat blocks match K sequential clipped steps
+            with jax.named_scope("grad_clip"):
+                (dgrads, d_rows_big, d_smalls), _ = \
+                    optim.clip_by_global_norm(
+                        grad_clip_norm, (dgrads, d_rows_big, d_smalls))
         with jax.named_scope("dense_update"):
             updates, dense_state = tx.update(dgrads, dense_state, dp)
             dp = jax.tree.map(lambda p, q: q.astype(p.dtype), dp,
@@ -686,7 +704,8 @@ def train_block_opt(params: dict, opt_state: dict, dense: jax.Array,
 def make_jit_train_block_opt(config: DLRMConfig, *, optimizer: str,
                              lr, block: int = None,
                              adagrad_impl: str = "dense_g",
-                             unroll: bool = True) -> Callable:
+                             unroll: bool = True,
+                             grad_clip_norm=None) -> Callable:
     """Jitted Adagrad block step: f(params, opt_state, (K,B,13),
     (K,B,T[,H]), (K,B)) -> ((params, opt_state), (K,) losses).  The
     schedule count lives in opt_state, so no host-side wrapper is needed
@@ -697,7 +716,8 @@ def make_jit_train_block_opt(config: DLRMConfig, *, optimizer: str,
         "SGD blocks use make_jit_train_block"
     step = functools.partial(train_block_opt, config=config, lr=lr,
                              adagrad_impl=adagrad_impl, unroll=unroll,
-                             optimizer=optimizer)
+                             optimizer=optimizer,
+                             grad_clip_norm=grad_clip_norm)
     return jax.jit(step, donate_argnums=(0, 1))
 
 
@@ -934,7 +954,7 @@ def make_sharded_train_step_opt(config: DLRMConfig, *, optimizer: str,
 def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
                         labels: jax.Array, *, config: DLRMConfig, lr: float,
                         mesh, placement, block: int = None,
-                        axis: str = "d"):
+                        axis: str = "d", grad_clip_norm=None):
     """Coalesced K-step block on the hybrid-parallel path (see
     :func:`train_block` for the semantics — the BatchUpdater relaxation).
 
@@ -971,6 +991,14 @@ def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
         lr_k = lr if lr_arr is None else lr_arr[k]
         loss, (dgrads, d_pooled) = jax.value_and_grad(
             inner, argnums=(0, 1))(dp, pooled)
+        if grad_clip_norm is not None:
+            # per-micro-step clip over the same (dense grads, pooled
+            # grad) pytree sharded_train_step_opt clips — the norm is
+            # global (GSPMD reduces over the batch-sharded d_pooled)
+            from dlrm_tpu.train import optim
+            with jax.named_scope("grad_clip"):
+                (dgrads, d_pooled), _ = optim.clip_by_global_norm(
+                    grad_clip_norm, (dgrads, d_pooled))
         with jax.named_scope("dense_update"):
             dp = jax.tree.map(
                 lambda p, g: (p - lr_k * g).astype(p.dtype), dp, dgrads)
@@ -995,8 +1023,8 @@ def sharded_train_block(params: dict, dense: jax.Array, sparse: jax.Array,
 
 
 def make_sharded_train_block(config: DLRMConfig, lr, mesh, placement,
-                             block: int = None, axis: str = "d"
-                             ) -> Callable:
+                             block: int = None, axis: str = "d",
+                             grad_clip_norm=None) -> Callable:
     del block  # derived from the batch's leading dim at trace time
     jit_kw = dict(donate_argnums=(0,))
     if placement.host_row_sharded:
@@ -1016,12 +1044,14 @@ def make_sharded_train_block(config: DLRMConfig, lr, mesh, placement,
             jit_kw["out_shardings"] = (out_params, None)
     if not callable(lr):
         step = functools.partial(sharded_train_block, config=config, lr=lr,
-                                 mesh=mesh, placement=placement, axis=axis)
+                                 mesh=mesh, placement=placement, axis=axis,
+                                 grad_clip_norm=grad_clip_norm)
         return jax.jit(step, **jit_kw)
     jitted = jax.jit(
         lambda p, d, s, l, lrs: sharded_train_block(
             p, d, s, l, config=config, lr=lrs, mesh=mesh,
-            placement=placement, axis=axis),
+            placement=placement, axis=axis,
+            grad_clip_norm=grad_clip_norm),
         **jit_kw)
 
     def run(p, d, s, l):
@@ -1038,7 +1068,8 @@ def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
                             labels, *, config: DLRMConfig, lr, mesh,
                             placement, block: int = None, axis: str = "d",
                             unroll: bool = True,
-                            optimizer: str = "adagrad"):
+                            optimizer: str = "adagrad",
+                            grad_clip_norm=None):
     """Coalesced K-step ADAGRAD block on the hybrid-parallel path: per
     micro-step sharded lookup (tables as of block entry) + per-micro-step
     dense Adagrad; the K compressed pooled gradients are stacked and
@@ -1079,6 +1110,11 @@ def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
 
         loss, (dgrads, d_pooled) = jax.value_and_grad(
             inner, argnums=(0, 1))(dp, pooled)
+        if grad_clip_norm is not None:
+            # per-micro-step clip, same pytree as sharded_train_step_opt
+            with jax.named_scope("grad_clip"):
+                (dgrads, d_pooled), _ = optim.clip_by_global_norm(
+                    grad_clip_norm, (dgrads, d_pooled))
         with jax.named_scope("dense_update"):
             updates, new_dense_state = tx.update(dgrads, dense_state, dp)
             dp = jax.tree.map(lambda p, q: q.astype(p.dtype), dp,
@@ -1145,13 +1181,15 @@ def sharded_train_block_opt(params: dict, opt_state: dict, dense, sparse,
 def make_sharded_train_block_opt(config: DLRMConfig, *, optimizer: str,
                                  lr, mesh, placement, block: int = None,
                                  axis: str = "d",
-                                 unroll: bool = True) -> Callable:
+                                 unroll: bool = True,
+                                 grad_clip_norm=None) -> Callable:
     del block  # derived from the batch's leading dim at trace time
     assert optimizer in ("adagrad", "rowwise_adagrad"), \
         "SGD blocks use make_sharded_train_block"
     step = functools.partial(sharded_train_block_opt, config=config, lr=lr,
                              mesh=mesh, placement=placement, axis=axis,
-                             unroll=unroll, optimizer=optimizer)
+                             unroll=unroll, optimizer=optimizer,
+                             grad_clip_norm=grad_clip_norm)
     if not placement.host_row_sharded:
         return jax.jit(step, donate_argnums=(0, 1))
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -42,6 +42,11 @@ requires_fixtures = pytest.mark.skipif(
     not has_fixtures(), reason="PyTorch reference HDF5 fixtures not available")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end tests (bench smoke)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(51234)

@@ -123,6 +123,22 @@ def test_train_cli_rowwise_adagrad(capsys):
     assert rc == 0 and res["steps"] == 2
     assert np.isfinite(res["final_loss"])
 
+    # round 5: coalesced tiered blocks (one host gather/scatter per K)
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "4",
+        "--sharded", "false", "--hbm-budget-gb", "0.0001",
+        "--update-interval", "2", "--log-every", "2"])
+    assert rc == 0 and res["steps"] == 4
+    assert np.isfinite(res["final_loss"])
+    import pytest as _pytest
+    with _pytest.raises(SystemExit, match="constant lr"):
+        from dlrm_tpu import run as _cli
+        _cli.main(["train", "--config", "tiny", "--batch-size", "32",
+                   "--steps", "4", "--sharded", "false",
+                   "--hbm-budget-gb", "0.0001", "--update-interval", "2",
+                   "--optimizer", "adagrad"])
+    capsys.readouterr()
+
     from dlrm_tpu.parallel.host_tier import host_memory_supported
     if host_memory_supported():
         rc, res = _run(capsys, [

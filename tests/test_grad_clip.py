@@ -178,6 +178,88 @@ def test_clip_stabilizes_hot_sgd_but_not_adagrad():
     assert ada_hot > 10.0 and ada_clip > 10.0, (ada_hot, ada_clip)
 
 
+def _disjoint_batches(config, k, b, rng):
+    """Per-table id spaces partitioned across the K micro-batches so no
+    row is read after being written within a block (the block oracle
+    precondition, tests/test_block_update.py)."""
+    dense = rng.normal(size=(k, b, 13)).astype(np.float32)
+    sparse = np.stack([np.stack(
+        [rng.integers(i * (s // k), (i + 1) * (s // k), size=b)
+         for s in config.table_sizes], axis=1)
+        for i in range(k)]).astype(np.int32)
+    labels = (rng.random((k, b)) > 0.5).astype(np.float32)
+    return jnp.asarray(dense), jnp.asarray(sparse), jnp.asarray(labels)
+
+
+def test_sgd_block_clip_matches_sequential_clipped_steps(rng):
+    """Round-5 extension: the clip now lives inside the block paths too,
+    applied per MICRO-step over the same pytree the per-step path clips —
+    with disjoint ids a clipped K-block equals K sequential clipped
+    per-step calls."""
+    from dlrm_tpu.train.train import make_jit_train_block
+
+    config = _config()
+    k, clip = 4, 5e-2  # tight enough that every micro-step clips
+    params = dlrm_tpu.init_params(jax.random.key(3), config)
+    d, s, l = _disjoint_batches(config, k, 32, rng)
+
+    blk = make_jit_train_block(config, lr=0.1, block=k,
+                               grad_clip_norm=clip)
+    p_blk, losses = blk(jax.tree.map(jnp.copy, params), d, s, l)
+
+    # sequential oracle: sgd + clip routes through the opt-state step
+    p_seq = jax.tree.map(jnp.copy, params)
+    o = init_opt_state(p_seq, config=config, optimizer="sgd", lr=0.1)
+    step = make_jit_train_step_opt(config, optimizer="sgd", lr=0.1,
+                                   grad_clip_norm=clip)
+    for i in range(k):
+        (p_seq, o), loss = step(p_seq, o, d[i], s[i], l[i])
+        np.testing.assert_allclose(float(losses[i]), float(loss),
+                                   rtol=1e-5)
+    for x, y in zip(jax.tree.leaves(p_blk), jax.tree.leaves(p_seq)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=1e-6)
+    # and the clip actually engaged: an unclipped block lands elsewhere
+    blk0 = make_jit_train_block(config, lr=0.1, block=k)
+    p0, _ = blk0(jax.tree.map(jnp.copy, params), d, s, l)
+    moved = sum(float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+                for a, b in zip(jax.tree.leaves(p0),
+                                jax.tree.leaves(p_blk)))
+    assert moved > 0
+
+
+@pytest.mark.parametrize("unroll", [True, False])
+def test_adagrad_block_clip_matches_sequential_clipped_steps(unroll, rng):
+    from dlrm_tpu.train.train import make_jit_train_block_opt
+
+    config = _config()
+    k, clip = 2, 5e-2
+    params = dlrm_tpu.init_params(jax.random.key(4), config)
+    d, s, l = _disjoint_batches(config, k, 32, rng)
+
+    p_blk = jax.tree.map(jnp.copy, params)
+    o_blk = init_opt_state(p_blk, config=config, optimizer="adagrad",
+                           lr=0.1)
+    blk = make_jit_train_block_opt(config, optimizer="adagrad", lr=0.1,
+                                   block=k, adagrad_impl="dense_g",
+                                   unroll=unroll, grad_clip_norm=clip)
+    (p_blk, o_blk), losses = blk(p_blk, o_blk, d, s, l)
+
+    p_seq = jax.tree.map(jnp.copy, params)
+    o_seq = init_opt_state(p_seq, config=config, optimizer="adagrad",
+                           lr=0.1)
+    step = make_jit_train_step_opt(config, optimizer="adagrad", lr=0.1,
+                                   emb_impl="dense_g",
+                                   grad_clip_norm=clip)
+    for i in range(k):
+        (p_seq, o_seq), loss = step(p_seq, o_seq, d[i], s[i], l[i])
+        np.testing.assert_allclose(float(losses[i]), float(loss),
+                                   rtol=1e-5)
+    for x, y in zip(jax.tree.leaves(p_blk), jax.tree.leaves(p_seq)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_grad_clip_cli(tmp_path, capsys):
     from dlrm_tpu import run as cli
     from dlrm_tpu.data import synthetic
@@ -201,8 +283,12 @@ def test_grad_clip_cli(tmp_path, capsys):
                    "--grad-clip-norm", "1.0"]):
         rc, res = run(["train", *common, "--sharded", "false", *extra])
         assert rc == 0 and np.isfinite(res["final_loss"])
-    # unsupported combinations refuse loudly
-    with pytest.raises(SystemExit, match="per-step"):
+    # round 5: the block paths clip per micro-step — the combination runs
+    rc, res = run(["train", *common, "--sharded", "false",
+                   "--grad-clip-norm", "1.0", "--update-interval", "2"])
+    assert rc == 0 and np.isfinite(res["final_loss"])
+    # the two-tier step still refuses loudly
+    with pytest.raises(SystemExit, match="block paths"):
         cli.main(["train", *common, "--sharded", "false",
-                  "--grad-clip-norm", "1.0", "--update-interval", "4"])
+                  "--grad-clip-norm", "1.0", "--hbm-budget-gb", "0.0001"])
     capsys.readouterr()

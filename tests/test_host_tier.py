@@ -261,7 +261,8 @@ def test_tiered_rowwise_adagrad_matches_dense_oracle(n_hot):
     opt = ht.init_tiered_opt_state(tiered, config=config,
                                    optimizer="rowwise_adagrad", lr=lr,
                                    plan=plan)
-    assert opt["dev_acc"].ndim == 1 and opt["host_acc"].shape[-1] == 1
+    # both rowwise slabs are flat scalar-per-row (host: the 1-D carry)
+    assert opt["dev_acc"].ndim == 1 and opt["host_acc"].ndim == 1
     step = ht.make_tiered_train_step_opt(
         config, optimizer="rowwise_adagrad", lr=lr, plan=plan)
     state = (tiered, opt)
@@ -281,7 +282,7 @@ def test_tiered_rowwise_adagrad_matches_dense_oracle(n_hot):
     for t, lo in zip(plan.host_tables, plan.host_offsets):
         go, n = config.table_offsets[t], config.table_sizes[t]
         np.testing.assert_allclose(
-            np.asarray(state[1]["host_acc"])[lo:lo + n, 0],
+            np.asarray(state[1]["host_acc"])[lo:lo + n],
             np.asarray(acc)[go:go + n], atol=1e-6, rtol=1e-5)
     for side in ("bottom", "top"):
         for a, b in zip(state[0][side], dense_ref[side]):
@@ -466,3 +467,126 @@ def test_tiered_step_at_fs128_pack1():
         emb_ops.unpack_tables(
             jax.tree.map(np.asarray, ref_params["emb"]), config),
         atol=1e-5)
+
+
+def _tiered_disjoint_batches(config, k, b, rng):
+    """Per-table id spaces partitioned across the K micro-batches so no
+    host-tier row is read after being written within a block."""
+    dense = rng.normal(size=(k, b, 13)).astype(np.float32)
+    sparse = np.stack([np.stack(
+        [rng.integers(i * (s // k), (i + 1) * (s // k), size=b)
+         for s in config.table_sizes], axis=1)
+        for i in range(k)]).astype(np.int32)
+    labels = (rng.random((k, b)) > 0.5).astype(np.float32)
+    return jnp.asarray(dense), jnp.asarray(sparse), jnp.asarray(labels)
+
+
+def test_tiered_block1_equals_tiered_step():
+    config, params, _ = _setup()
+    plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
+    rng = np.random.default_rng(7)
+    dense, sparse, labels = _tiered_disjoint_batches(config, 1, 32, rng)
+
+    tiered = ht.init_tiered_params(jax.tree.map(np.asarray, params), plan,
+                                   config)
+    step = ht.make_tiered_train_step(config, 0.1, plan)
+    p_ref, loss_ref = step(jax.tree.map(jnp.copy, tiered),
+                           dense[0], sparse[0], labels[0])
+    blk = ht.make_tiered_train_block(config, 0.1, plan)
+    p_blk, losses = blk(jax.tree.map(jnp.copy, tiered),
+                        dense, sparse, labels)
+    np.testing.assert_allclose(float(losses[0]), float(loss_ref),
+                               rtol=1e-6)
+    for key in ("emb_dev", "emb_host"):
+        np.testing.assert_allclose(np.asarray(p_blk[key]),
+                                   np.asarray(p_ref[key]),
+                                   rtol=1e-6, atol=1e-7, err_msg=key)
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_tiered_block_disjoint_equals_sequential(k):
+    """One host gather + one host scatter per K steps: with no host-row
+    repeat across micro-batches the block == K sequential tiered steps
+    (the BatchUpdater relaxation, host-tier edition)."""
+    config, params, _ = _setup()
+    plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
+    rng = np.random.default_rng(8)
+    dense, sparse, labels = _tiered_disjoint_batches(config, k, 32, rng)
+
+    tiered = ht.init_tiered_params(jax.tree.map(np.asarray, params), plan,
+                                   config)
+    step = ht.make_tiered_train_step(config, 0.1, plan)
+    seq = jax.tree.map(jnp.copy, tiered)
+    seq_losses = []
+    for i in range(k):
+        seq, loss = step(seq, dense[i], sparse[i], labels[i])
+        seq_losses.append(float(loss))
+
+    blk = ht.make_tiered_train_block(config, 0.1, plan)
+    p_blk, losses = blk(jax.tree.map(jnp.copy, tiered),
+                        dense, sparse, labels)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    for key in ("emb_dev", "emb_host"):
+        np.testing.assert_allclose(np.asarray(p_blk[key]),
+                                   np.asarray(seq[key]),
+                                   rtol=1e-5, atol=1e-6, err_msg=key)
+    for side in ("bottom", "top"):
+        for a, b in zip(p_blk[side], seq[side]):
+            np.testing.assert_allclose(np.asarray(a["w"]),
+                                       np.asarray(b["w"]),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_tiered_block_repeated_ids_trains():
+    """With repeated host ids the relaxation still trains (commuting
+    scatter-adds; bounded staleness < K) and the loss stays finite."""
+    config, params, _ = _setup()
+    plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
+    rng = np.random.default_rng(9)
+    k, b = 3, 32
+    dense = jnp.asarray(rng.normal(size=(k, b, 13)).astype(np.float32))
+    sparse = np.stack([np.stack(
+        [rng.integers(0, s, size=b) for s in config.table_sizes], axis=1)
+        for _ in range(k)]).astype(np.int32)
+    sparse[1] = sparse[0]  # force cross-micro-batch repeats
+    labels = jnp.asarray((rng.random((k, b)) > 0.5).astype(np.float32))
+
+    tiered = ht.init_tiered_params(jax.tree.map(np.asarray, params), plan,
+                                   config)
+    host0 = np.asarray(tiered["emb_host"]).copy()
+    blk = ht.make_tiered_train_block(config, 0.1, plan)
+    tiered, losses = blk(tiered, dense, jnp.asarray(sparse), labels)
+    assert np.isfinite(np.asarray(losses)).all()
+    assert not np.array_equal(np.asarray(tiered["emb_host"]), host0)
+
+
+@pytest.mark.parametrize("n_hot", [2])
+def test_tiered_block_multihot(n_hot):
+    """Multi-hot pooled lookups through the block path: block=2 disjoint
+    == sequential."""
+    import dataclasses
+    config, params, _ = _setup(n_hot=n_hot)
+    plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
+    rng = np.random.default_rng(10)
+    k, b = 2, 16
+    dense = jnp.asarray(rng.normal(size=(k, b, 13)).astype(np.float32))
+    sparse = np.stack([np.stack(
+        [rng.integers(i * (s // k), (i + 1) * (s // k), size=(b, n_hot))
+         for s in config.table_sizes], axis=1)
+        for i in range(k)]).astype(np.int32)
+    labels = jnp.asarray((rng.random((k, b)) > 0.5).astype(np.float32))
+
+    tiered = ht.init_tiered_params(jax.tree.map(np.asarray, params), plan,
+                                   config)
+    step = ht.make_tiered_train_step(config, 0.1, plan)
+    seq = jax.tree.map(jnp.copy, tiered)
+    for i in range(k):
+        seq, _ = step(seq, dense[i], jnp.asarray(sparse[i]), labels[i])
+    blk = ht.make_tiered_train_block(config, 0.1, plan)
+    p_blk, losses = blk(jax.tree.map(jnp.copy, tiered), dense,
+                        jnp.asarray(sparse), labels)
+    assert np.isfinite(np.asarray(losses)).all()
+    for key in ("emb_dev", "emb_host"):
+        np.testing.assert_allclose(np.asarray(p_blk[key]),
+                                   np.asarray(seq[key]),
+                                   rtol=1e-5, atol=1e-6, err_msg=key)
