@@ -585,6 +585,60 @@ def _rowwise_rows(acc_sel, g, eps: float = 1e-10):
     return g2m, step
 
 
+def _device_tier_opt_apply(emb_dev, acc, flat_ids, g, *, optimizer,
+                           lr_t):
+    """Dedup-then-apply Adagrad on the DEVICE tier stack: returns
+    (new_emb_dev, new_acc).  ``g`` is (N, D) f32 per-hit gradients."""
+    from dlrm_tpu.ops import embedding as emb_ops
+
+    out = emb_ops.dedup_sparse_grad(emb_ops.SparseGrad(flat_ids, g))
+    ids_u, g_u = out.ids, out.rows
+    if optimizer == "rowwise_adagrad":
+        # (device_rows,) scalar-per-row accumulator; surplus slots
+        # (id -1, zero grads) take clamps to row 0 and add dropped/zero
+        # updates
+        sel = jnp.take(acc, jnp.maximum(ids_u, 0)) * (ids_u >= 0)
+        d_acc, step_rows = _rowwise_rows(sel, g_u)
+    else:
+        d_acc, step_rows = _adagrad_rows(jnp.take(acc, ids_u, axis=0),
+                                         g_u)
+    new_acc = acc.at[ids_u].add(d_acc, mode="drop")
+    new_dev = emb_dev.at[ids_u].add(
+        (-lr_t * step_rows).astype(emb_dev.dtype), mode="drop")
+    return new_dev, new_acc
+
+
+def _host_tier_opt_apply(emb_host, acc, flat_ids, g, *, optimizer, lr_t,
+                         config):
+    """Dedup-then-apply Adagrad on the HOST tier stack: returns
+    (new_emb_host, new_acc).  One accumulator gather + two host scatters;
+    only the deduped (ids, g), g^2 and step rows cross PCIe."""
+    from dlrm_tpu.ops import embedding as emb_ops
+
+    out = emb_ops.dedup_sparse_grad(emb_ops.SparseGrad(flat_ids, g))
+    ids_u, g_u = out.ids, out.rows
+    # clamp the -1 surplus slots to row 0 with zero updates (host
+    # scatters run PROMISE_IN_BOUNDS, no 'drop' mode)
+    valid = (ids_u >= 0)[:, None]
+    ids_u = jnp.maximum(ids_u, 0)
+    g_u = g_u * valid
+    rowwise = optimizer == "rowwise_adagrad"
+    accw = 1 if rowwise else config.feature_size
+    acc_rows = host_tier_gather(acc, ids_u, accw)
+    if rowwise:
+        # acc is a flat (host_rows,) pinned scalar slab — 1/D the
+        # slow-tier optimizer bytes AND 1/D the PCIe traffic of the
+        # accumulator round-trip
+        d_acc, step_rows = _rowwise_rows(acc_rows[:, 0], g_u)
+        d_acc = d_acc[:, None]
+    else:
+        d_acc, step_rows = _adagrad_rows(acc_rows, g_u)
+    new_acc = host_tier_scatter_add(acc, ids_u, d_acc, accw)
+    new_host = host_tier_scatter_add(emb_host, ids_u, -lr_t * step_rows,
+                                     config.feature_size)
+    return new_host, new_acc
+
+
 def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
                           config: DLRMConfig, optimizer: str, lr,
                           plan: TierPlan):
@@ -634,23 +688,9 @@ def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
                     mode="promise_in_bounds")
         else:
             with jax.named_scope("device_tier_adagrad"):
-                out = emb_ops.dedup_sparse_grad(
-                    emb_ops.SparseGrad(flat, g))
-                ids_u, g_u = out.ids, out.rows
-                acc = opt_state["dev_acc"]
-                if optimizer == "rowwise_adagrad":
-                    # (device_rows,) scalar-per-row accumulator; surplus
-                    # slots (id -1, zero grads) take clamps to row 0 and
-                    # add dropped/zero updates
-                    sel = jnp.take(acc, jnp.maximum(ids_u, 0)) \
-                        * (ids_u >= 0)
-                    d_acc, step_rows = _rowwise_rows(sel, g_u)
-                else:
-                    d_acc, step_rows = _adagrad_rows(
-                        jnp.take(acc, ids_u, axis=0), g_u)
-                new_opt["dev_acc"] = acc.at[ids_u].add(d_acc, mode="drop")
-                new_dev = emb_dev.at[ids_u].add(
-                    (-lr_t * step_rows).astype(emb_dev.dtype), mode="drop")
+                new_dev, new_opt["dev_acc"] = _device_tier_opt_apply(
+                    emb_dev, opt_state["dev_acc"], flat, g,
+                    optimizer=optimizer, lr_t=lr_t)
     if plan.host_tables:
         d_rows = d_gathered[i]
         if optimizer == "sgd":
@@ -660,38 +700,128 @@ def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
                                                  config.feature_size)
         else:
             with jax.named_scope("host_tier_adagrad"):
-                flat = ids_host.reshape(-1)
-                g = d_rows.reshape(-1, d_rows.shape[-1]
-                                   ).astype(jnp.float32)
-                out = emb_ops.dedup_sparse_grad(
-                    emb_ops.SparseGrad(flat, g))
-                # dedup on device; only the deduped (ids, g), g^2 and the
-                # step rows cross PCIe
-                ids_u, g_u = out.ids, out.rows
-                # clamp the -1 surplus slots to row 0 with zero updates
-                # (host scatters run PROMISE_IN_BOUNDS, no 'drop' mode)
-                valid = (ids_u >= 0)[:, None]
-                ids_u = jnp.maximum(ids_u, 0)
-                g_u = g_u * valid
-                rowwise = optimizer == "rowwise_adagrad"
-                accw = 1 if rowwise else config.feature_size
-                acc = opt_state["host_acc"]
-                acc_rows = host_tier_gather(acc, ids_u, accw)
-                if rowwise:
-                    # acc is a flat (host_rows,) pinned scalar slab — 1/D
-                    # the slow-tier optimizer bytes AND 1/D the PCIe
-                    # traffic of the accumulator round-trip
-                    d_acc, step_rows = _rowwise_rows(acc_rows[:, 0], g_u)
-                    d_acc = d_acc[:, None]
-                else:
-                    d_acc, step_rows = _adagrad_rows(acc_rows, g_u)
-                new_opt["host_acc"] = host_tier_scatter_add(acc, ids_u,
-                                                            d_acc, accw)
-                new_host = host_tier_scatter_add(emb_host, ids_u,
-                                                 -lr_t * step_rows,
-                                                 config.feature_size)
+                new_host, new_opt["host_acc"] = _host_tier_opt_apply(
+                    emb_host, opt_state["host_acc"],
+                    ids_host.reshape(-1),
+                    d_rows.reshape(-1, d_rows.shape[-1]
+                                   ).astype(jnp.float32),
+                    optimizer=optimizer, lr_t=lr_t, config=config)
     return ({"bottom": new_dense["bottom"], "top": new_dense["top"],
              "emb_dev": new_dev, "emb_host": new_host}, new_opt), loss
+
+
+def tiered_train_block_opt(params, opt_state, dense, sparse, labels, *,
+                           config: DLRMConfig, optimizer: str, lr,
+                           plan: TierPlan, block: int = None):
+    """Coalesced K-step two-tier block with Adagrad-family optimizers
+    (see :func:`tiered_train_block` for the host-coalescing rationale —
+    SGD blocks route there).
+
+    Exactness contract (mirrors train_block_opt):
+      * dense params and the DEVICE tier get a true per-micro-step
+        dedup-then-apply Adagrad — carried, never stale;
+      * host-tier rows for all K micro-batches are gathered ONCE at
+        block entry (stale < K), the K compressed gradients are deduped
+        ACROSS the whole block, and ONE accumulator-gather + two host
+        scatters apply at block end — a repeated host row gets one
+        accumulator update with its block-summed gradient (the same
+        bounded-staleness relaxation as the device blocks);
+      * with no host-row repeat across micro-batches the block equals K
+        sequential :func:`tiered_train_step_opt` calls up to
+        mul-reorder ulps (oracle-tested).
+
+    ``lr`` must be a constant (scheduled tiered blocks are not built).
+    """
+    from dlrm_tpu.train import optim
+    import optax
+
+    if block is None:
+        block = dense.shape[0]
+    dense_params = {"bottom": params["bottom"], "top": params["top"]}
+    emb_dev, emb_host = params["emb_dev"], params["emb_host"]
+    count = opt_state["count"]
+    tx = optim.dense_optimizer(optimizer, lr)
+
+    host_rows_all = ids_host_all = None
+    if plan.host_tables:
+        tables = list(plan.host_tables)
+        ids = (sparse[:, :, tables] if sparse.ndim == 3
+               else sparse[:, :, tables, :])
+        offs = jnp.asarray(plan.host_offsets, ids.dtype)
+        ids_host_all = ids + (offs if ids.ndim == 3 else offs[:, None])
+        with jax.named_scope("host_tier_block_gather"):
+            host_rows_all = host_tier_gather(emb_host, ids_host_all,
+                                             config.feature_size)
+
+    dp = dense_params
+    dense_state = opt_state["dense"]
+    new_dev = emb_dev
+    dev_acc = opt_state.get("dev_acc", ())
+    losses, d_rows_acc = [], []
+    for k in range(block):
+        loss, dgrads, d_gathered, ids_dev, _ = _tier_forward_backward(
+            dp, new_dev, emb_host, dense[k], sparse[k], labels[k],
+            config=config, plan=plan,
+            host_rows=(host_rows_all[k] if plan.host_tables else None))
+        with jax.named_scope("dense_update"):
+            updates, dense_state = tx.update(dgrads, dense_state, dp)
+            dp = jax.tree.map(lambda p, q: q.astype(p.dtype), dp,
+                              optax.apply_updates(dp, updates))
+        i = 0
+        if plan.device_tables:
+            d_rows = d_gathered[i]; i += 1
+            with jax.named_scope("device_tier_adagrad"):
+                new_dev, dev_acc = _device_tier_opt_apply(
+                    new_dev, dev_acc, ids_dev.reshape(-1),
+                    d_rows.reshape(-1, d_rows.shape[-1]
+                                   ).astype(jnp.float32),
+                    optimizer=optimizer, lr_t=lr)
+        if plan.host_tables:
+            d_rows_acc.append(d_gathered[i])
+        losses.append(loss)
+
+    new_host = emb_host
+    host_acc = opt_state.get("host_acc", ())
+    if plan.host_tables:
+        with jax.named_scope("host_tier_block_adagrad"):
+            d_all = jnp.stack(d_rows_acc)  # (K, B, Th[, H], D)
+            new_host, host_acc = _host_tier_opt_apply(
+                emb_host, host_acc, ids_host_all.reshape(-1),
+                d_all.reshape(-1, d_all.shape[-1]).astype(jnp.float32),
+                optimizer=optimizer, lr_t=lr, config=config)
+    new_opt = {"dense": dense_state, "count": count + block,
+               "dev_acc": dev_acc, "host_acc": host_acc}
+    return ({"bottom": dp["bottom"], "top": dp["top"],
+             "emb_dev": new_dev, "emb_host": new_host}, new_opt), \
+        jnp.stack(losses)
+
+
+def make_tiered_train_block_opt(config: DLRMConfig, *, optimizer: str,
+                                lr, plan: TierPlan, block: int = None,
+                                device=None,
+                                pin_host_output: Optional[bool] = None):
+    """Jitted coalesced tiered optimizer block (see
+    make_tiered_train_step_opt for the host-output pinning rationale)."""
+    del block  # derived from the batch's leading dim at trace time
+    assert optimizer in ("adagrad", "rowwise_adagrad"), \
+        "SGD tiered blocks use make_tiered_train_block"
+    assert not callable(lr), "scheduled tiered blocks are not built"
+    ensure_backend_primed()
+    device = device or jax.devices()[0]
+    if pin_host_output is None:
+        pin_host_output = device.platform == "tpu"
+    step = functools.partial(tiered_train_block_opt, config=config,
+                             optimizer=optimizer, lr=lr, plan=plan)
+    if not pin_host_output:
+        return jax.jit(step)
+    sh_host = jax.sharding.SingleDeviceSharding(device,
+                                                memory_kind="pinned_host")
+    opt_sh = {"dense": None, "count": None, "dev_acc": None,
+              "host_acc": sh_host}
+    out_shardings = (({"bottom": None, "top": None, "emb_dev": None,
+                       "emb_host": sh_host}, opt_sh), None)
+    return jax.jit(step, donate_argnums=(0, 1),
+                   out_shardings=out_shardings)
 
 
 def init_tiered_opt_state(params: dict, *, config: DLRMConfig,

@@ -367,22 +367,22 @@ def _train_plan(args, n_dev: int, multiproc: bool):
             raise SystemExit("--host-prefetch currently supports sgd "
                              "with a constant lr")
     if block > 1:
+        if args.optimizer not in ("sgd", "adagrad", "rowwise_adagrad"):
+            raise SystemExit("--update-interval > 1 requires sgd, "
+                             "adagrad, or rowwise_adagrad")
         if args.hbm_budget_gb is not None:
-            # round 5: tiered SGD blocks coalesce the host writeback (one
-            # host gather + one host scatter per K steps — the dominant
-            # tiered cost, host_tier.tiered_train_block); optimizer-state
-            # and scheduled-lr tiered blocks are not built yet
-            if args.optimizer != "sgd" or callable(lr):
+            # round 5: tiered blocks coalesce the host writeback (one
+            # host gather + one/two host scatters per K steps — the
+            # dominant tiered cost, host_tier.tiered_train_block[_opt]);
+            # scheduled-lr tiered blocks are not built
+            if callable(lr):
                 raise SystemExit(
                     "--update-interval > 1 with --hbm-budget-gb supports "
-                    "sgd with a constant lr")
+                    "a constant lr only")
             if getattr(args, "host_prefetch", False):
                 raise SystemExit("--host-prefetch does not compose with "
                                  "--update-interval > 1 (the block IS "
                                  "the prefetch batching)")
-        elif args.optimizer not in ("sgd", "adagrad", "rowwise_adagrad"):
-            raise SystemExit("--update-interval > 1 requires sgd, "
-                             "adagrad, or rowwise_adagrad")
     return argparse.Namespace(
         lr=lr, block=block, clip=clip, sharded=sharded, dcn_n=dcn_n,
         ici_n=ici_n, n_shards=(ici_n if ici_n else n_dev))
@@ -681,13 +681,22 @@ def _build_tiered_variant(args, config, plan, params0, mgr, say):
                              "opt": ht.place_tiered_opt(f["opt"])})
         v.params = full["params"]
         box = {"opt": full["opt"]}
-        opt_step = ht.make_tiered_train_step_opt(
-            config, optimizer=args.optimizer, lr=lr, plan=tiers)
+        if plan.block > 1:
+            blk_opt = ht.make_tiered_train_block_opt(
+                config, optimizer=args.optimizer, lr=lr, plan=tiers)
 
-        def step(p, b):
-            (p2, box["opt"]), loss = opt_step(
-                p, box["opt"], b["dense"], b["sparse"], b["labels"])
-            return p2, loss, 1
+            def step(p, b):
+                (p2, box["opt"]), losses = blk_opt(
+                    p, box["opt"], b["dense"], b["sparse"], b["labels"])
+                return p2, losses[-1], int(b["dense"].shape[0])
+        else:
+            opt_step = ht.make_tiered_train_step_opt(
+                config, optimizer=args.optimizer, lr=lr, plan=tiers)
+
+            def step(p, b):
+                (p2, box["opt"]), loss = opt_step(
+                    p, box["opt"], b["dense"], b["sparse"], b["labels"])
+                return p2, loss, 1
         v.step = step
         v.ckpt_payload = lambda: {"params": v.params, "opt": box["opt"]}
 

@@ -130,13 +130,21 @@ def test_train_cli_rowwise_adagrad(capsys):
         "--update-interval", "2", "--log-every", "2"])
     assert rc == 0 and res["steps"] == 4
     assert np.isfinite(res["final_loss"])
+    rc, res = _run(capsys, [
+        "train", "--config", "tiny", "--batch-size", "32", "--steps", "4",
+        "--sharded", "false", "--hbm-budget-gb", "0.0001",
+        "--update-interval", "2", "--optimizer", "rowwise_adagrad",
+        "--lr", "0.05", "--log-every", "2"])
+    assert rc == 0 and res["steps"] == 4
+    assert np.isfinite(res["final_loss"])
     import pytest as _pytest
     with _pytest.raises(SystemExit, match="constant lr"):
         from dlrm_tpu import run as _cli
         _cli.main(["train", "--config", "tiny", "--batch-size", "32",
                    "--steps", "4", "--sharded", "false",
                    "--hbm-budget-gb", "0.0001", "--update-interval", "2",
-                   "--optimizer", "adagrad"])
+                   "--lr-schedule", "warmup_poly_decay",
+                   "--warmup-steps", "2", "--decay-steps", "4"])
     capsys.readouterr()
 
     from dlrm_tpu.parallel.host_tier import host_memory_supported

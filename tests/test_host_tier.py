@@ -590,3 +590,77 @@ def test_tiered_block_multihot(n_hot):
         np.testing.assert_allclose(np.asarray(p_blk[key]),
                                    np.asarray(seq[key]),
                                    rtol=1e-5, atol=1e-6, err_msg=key)
+
+
+@pytest.mark.parametrize("optimizer", ["adagrad", "rowwise_adagrad"])
+def test_tiered_opt_block_disjoint_equals_sequential(optimizer):
+    """Coalesced tiered Adagrad block (one host gather + one acc-gather +
+    two host scatters per K): with no host-row repeat across
+    micro-batches it equals K sequential tiered_train_step_opt calls."""
+    config, params, _ = _setup()
+    plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
+    rng = np.random.default_rng(11)
+    k, lr = 2, 0.2
+    dense, sparse, labels = _tiered_disjoint_batches(config, k, 32, rng)
+
+    tiered = ht.init_tiered_params(jax.tree.map(np.asarray, params), plan,
+                                   config)
+    opt0 = ht.init_tiered_opt_state(tiered, config=config,
+                                    optimizer=optimizer, lr=lr, plan=plan)
+    step = ht.make_tiered_train_step_opt(config, optimizer=optimizer,
+                                         lr=lr, plan=plan)
+    seq = (jax.tree.map(jnp.copy, tiered), jax.tree.map(jnp.copy, opt0))
+    seq_losses = []
+    for i in range(k):
+        seq, loss = step(seq[0], seq[1], dense[i], sparse[i], labels[i])
+        seq_losses.append(float(loss))
+
+    blk = ht.make_tiered_train_block_opt(config, optimizer=optimizer,
+                                         lr=lr, plan=plan)
+    (p_blk, o_blk), losses = blk(jax.tree.map(jnp.copy, tiered),
+                                 jax.tree.map(jnp.copy, opt0),
+                                 dense, sparse, labels)
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    for key in ("emb_dev", "emb_host"):
+        np.testing.assert_allclose(np.asarray(p_blk[key]),
+                                   np.asarray(seq[0][key]),
+                                   rtol=1e-5, atol=1e-6, err_msg=key)
+    for key in ("dev_acc", "host_acc"):
+        np.testing.assert_allclose(np.asarray(o_blk[key]),
+                                   np.asarray(seq[1][key]),
+                                   rtol=1e-5, atol=1e-6, err_msg=key)
+    assert int(o_blk["count"]) == k
+
+
+def test_tiered_opt_block1_equals_step():
+    config, params, _ = _setup()
+    plan = ht.plan_tiers(config, 210 * config.feature_size * 4)
+    rng = np.random.default_rng(12)
+    dense, sparse, labels = _tiered_disjoint_batches(config, 1, 32, rng)
+
+    tiered = ht.init_tiered_params(jax.tree.map(np.asarray, params), plan,
+                                   config)
+    opt0 = ht.init_tiered_opt_state(tiered, config=config,
+                                    optimizer="rowwise_adagrad", lr=0.2,
+                                    plan=plan)
+    step = ht.make_tiered_train_step_opt(config,
+                                         optimizer="rowwise_adagrad",
+                                         lr=0.2, plan=plan)
+    (p_ref, o_ref), loss_ref = step(jax.tree.map(jnp.copy, tiered),
+                                    jax.tree.map(jnp.copy, opt0),
+                                    dense[0], sparse[0], labels[0])
+    blk = ht.make_tiered_train_block_opt(config,
+                                         optimizer="rowwise_adagrad",
+                                         lr=0.2, plan=plan)
+    (p_blk, o_blk), losses = blk(jax.tree.map(jnp.copy, tiered),
+                                 jax.tree.map(jnp.copy, opt0),
+                                 dense, sparse, labels)
+    np.testing.assert_allclose(float(losses[0]), float(loss_ref),
+                               rtol=1e-6)
+    for key in ("emb_dev", "emb_host"):
+        np.testing.assert_allclose(np.asarray(p_blk[key]),
+                                   np.asarray(p_ref[key]),
+                                   rtol=1e-6, atol=1e-7, err_msg=key)
+    np.testing.assert_allclose(np.asarray(o_blk["host_acc"]),
+                               np.asarray(o_ref["host_acc"]),
+                               rtol=1e-6, atol=1e-7)
