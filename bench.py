@@ -351,9 +351,10 @@ def sec_lookup(ctx, out):
 
 def sec_b2048(ctx, out):
     """Reference-protocol point (BASELINE.md): train at the reference's
-    experiment batch B=2048 (script.jl:13).  run.py keys the chunk budget
-    off the batch size (B=2048 sweep measured 64 MB at 1.70 ms vs 16 MB at
-    2.17); measure what a user of the production CLI actually gets.
+    experiment batch B=2048 (script.jl:13), at the budget run.py's
+    auto_chunk_budget_bytes picks (uniform 16 MB since the round-5
+    replication showed the round-4 64 MB win was noise) — measure what a
+    user of the production CLI actually gets.
 
     NOTE the config2 params live in their OWN variable — round 4 rebound
     ``params`` here and the later eval section called forward() on them

@@ -298,22 +298,22 @@ class DLRMConfig:
 
 
 def auto_chunk_budget_bytes(batch_size: int) -> int:
-    """Batch-size-keyed chunk budget.
+    """Chunk budget default — uniform 16 MB at every batch size.
 
-    The 16 MB default was swept at B=32768 (config.py chunk_budget_bytes
-    note) where per-chunk scatter fixed costs amortize over 32k ids; at
-    small batches each chunk sees few ids and per-op dispatch cost weighs
-    more, so the optimum shifts to fewer/larger chunks.  Measured on the
-    v5e (bench_b2048.py, round 4): at B=2048 the sweep over
-    {16, 64, 256, 1024, 4096} MB gives 2.17/1.70/2.79/2.46/2.14 ms/step —
-    64 MB wins at 1.20 M examples/s (+37% over the 16 MB default's
-    0.88 M).  run.py applies this when --chunk-budget-mb is not given;
-    library callers opt in explicitly.
+    Round 4 keyed this to 64 MB for B <= 8192 off ONE sweep
+    (bench_b2048.py: 2.17/1.70/2.79/2.46/2.14 ms over 16..4096 MB).
+    Round 5 re-ran the sweep three more times on the same chip and the
+    effect does not replicate: per-budget times vary by more than 1 ms
+    RUN TO RUN (64 MB measured 1.70, 2.20, 1.80, and 4.82 ms across the
+    four sweeps; 16 MB spans 1.74–2.54) — at ~2 ms steps the tunnel's
+    measurement noise dominates any budget effect, and the medians of
+    16/64/4096 MB are indistinguishable (~2.0 ms).  The batch-keyed
+    special case is therefore withdrawn (PERFORMANCE.md "B=2048
+    chunk-budget sweep" carries the four-run table); the signature stays
+    so a future REPLICATED optimum can slot back in, and
+    --chunk-budget-mb remains the explicit override.
     """
-    if batch_size <= 8192:
-        # measured at B=2048; small batches share the dispatch-bound
-        # regime the 64 MB point was tuned for
-        return 64 << 20
+    del batch_size
     return 16 << 20
 
 

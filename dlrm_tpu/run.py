@@ -83,10 +83,11 @@ def _build_config(args) -> "DLRMConfig":
         over["chunk_budget_bytes"] = args.chunk_budget_mb << 20
         over["deep_chunk_budget_bytes"] = args.chunk_budget_mb << 20
     elif getattr(args, "batch_size", None) is not None:
-        # batch-size-keyed default (swept per batch size; bench_b2048.py)
-        # — only when it actually differs from the preset's choice, and
-        # only the general budget (the deep budget is an independent knob
-        # a preset may set on its own)
+        # auto default (uniform since round 5 — the batch-keyed 64 MB
+        # point did not replicate; see auto_chunk_budget_bytes) — applied
+        # only when it differs from the preset's choice, and only the
+        # general budget (the deep budget is an independent knob a preset
+        # may set on its own)
         auto = cfg.auto_chunk_budget_bytes(args.batch_size)
         if auto != c.chunk_budget_bytes:
             over["chunk_budget_bytes"] = auto
@@ -115,7 +116,7 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
                    help="comma-separated table row counts (overrides preset)")
     p.add_argument("--chunk-budget-mb", type=int, default=None,
                    help="embedding chunk budget in MB (default: "
-                   "batch-size-keyed, config.auto_chunk_budget_bytes)")
+                   "config.auto_chunk_budget_bytes)")
     p.add_argument("--validate-data", action="store_true",
                    help="scan every categorical id in --data against the "
                    "config's table sizes before running (one streaming "
@@ -744,9 +745,9 @@ def _write_run_meta(args, config, plan, v, lead) -> None:
         "wrapped_opt": bool(v.uses_opt),
         "table_sizes": list(config.table_sizes),
         "bf16_tables": bool(getattr(args, "bf16_tables", False)),
-        # chunk geometry is batch-size-keyed (auto_chunk_budget);
-        # eval/predict must rebuild the TRAINING run's layout even
-        # when invoked with a different batch size
+        # chunk geometry keys storage layout (--chunk-budget-mb
+        # overrides); eval/predict must rebuild the TRAINING run's
+        # layout whatever budget it used
         "chunk_budget_bytes": config.chunk_budget_bytes,
         "deep_chunk_budget_bytes": config.deep_chunk_budget_bytes,
         # numerics record (not a layout key): what wire dtype the
