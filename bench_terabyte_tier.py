@@ -1,0 +1,137 @@
+"""Terabyte-shaped two-tier dress rehearsal, round-5 edition.
+
+Round 4 measured this config (the Terabyte table-size DISTRIBUTION
+scaled to ~16.8 M rows at fs=128, f32, the two biggest tables host-
+resident under a 3.5 GiB HBM budget, B=16384) at **783.6 ms/step** and
+initially misattributed the overhead to tunnel transport.  Round 5
+re-measures it with the flat 1-D pinned carry and the coalesced tiered
+block — same shapes, device-side init (no tunnel bulk upload), fixed
+device-resident batch (pure step time).
+
+Run on the chip: ``python bench_terabyte_tier.py``.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import numpy as np
+
+B = 16384
+TARGET_ROWS = 16_800_000
+HBM_BUDGET = int(3.5 * (1 << 30))
+K = 8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from bench_util import init_devices
+    init_devices("terabyte_tier", timeout_s=300.0)
+    import jax
+    import jax.numpy as jnp
+    import dlrm_tpu
+    from dlrm_tpu.config import TERABYTE_TABLE_SIZES
+    from dlrm_tpu.parallel import host_tier as ht
+
+    scale = TARGET_ROWS / sum(TERABYTE_TABLE_SIZES)
+    sizes = tuple(max(int(s * scale), 4) for s in TERABYTE_TABLE_SIZES)
+    config = dataclasses.replace(
+        dlrm_tpu.terabyte_config(feature_size=128), table_sizes=sizes)
+    plan = ht.plan_tiers(config, HBM_BUDGET)
+    log(f"rows={config.total_rows:,} f32={config.total_rows*128*4/2**30:.1f}"
+        f" GiB; host tables {list(plan.host_tables)} "
+        f"({plan.host_rows:,} rows, "
+        f"{plan.host_rows*128*4/2**30:.1f} GiB pinned)")
+
+    dev = jax.devices()[0]
+    sh_host = ht._host_sharding(dev)
+    if not isinstance(sh_host, jax.sharding.Sharding):
+        sh_host = jax.sharding.SingleDeviceSharding(dev)
+    D = config.feature_size
+    small_cfg = dataclasses.replace(config,
+                                    table_sizes=(8,) * len(sizes))
+    p0 = dlrm_tpu.init_params(jax.random.key(0), small_cfg)
+    k1, k2 = jax.random.split(jax.random.key(1))
+    emb_dev = jax.jit(lambda k: 0.01 * jax.random.normal(
+        k, (plan.device_rows, D), jnp.float32))(k1)
+    emb_host = jax.jit(
+        lambda k: 0.01 * jax.random.normal(
+            k, (plan.host_rows * D,), jnp.float32),
+        out_shardings=sh_host)(k2)
+    params = {"bottom": p0["bottom"], "top": p0["top"],
+              "emb_dev": emb_dev, "emb_host": emb_host}
+    p0 = emb_dev = emb_host = None
+
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.normal(size=(B, 13)).astype(np.float32))
+    s = jnp.asarray(np.stack(
+        [rng.integers(0, sz, size=B) for sz in sizes], axis=1
+        ).astype(np.int32))
+    l = jnp.asarray((rng.random(B) > 0.5).astype(np.float32))
+
+    out = {"metric": "terabyte_tier_b16384", "rows": config.total_rows,
+           "round4_ms": 783.6}
+
+    def slope(window, iters):
+        ts = []
+        for n in iters:
+            t0 = time.perf_counter()
+            window(n)
+            ts.append(time.perf_counter() - t0)
+        return (ts[1] - ts[0]) / (iters[1] - iters[0])
+
+    # per-step
+    step = ht.make_tiered_train_step(config, 0.1, plan)
+    state = [params]
+    t0 = time.perf_counter()
+    loss = None
+    for _ in range(3):
+        state[0], loss = step(state[0], d, s, l)
+    _ = float(loss)
+    log(f"per-step compile+warmup {time.perf_counter()-t0:.0f}s")
+
+    def w1(n):
+        nonlocal loss
+        for _ in range(n):
+            state[0], loss = step(state[0], d, s, l)
+        _ = float(loss)
+
+    t = slope(w1, (3, 9))
+    out["tiered_ms"] = round(t * 1e3, 2)
+    out["tiered_examples_per_s"] = round(B / t, 1)
+    log(f"tiered per-step: {t*1e3:.2f} ms -> {B/t:,.0f} ex/s "
+        f"(round 4: 783.6 ms)")
+
+    # block K
+    kd = jnp.asarray(rng.normal(size=(K, B, 13)).astype(np.float32))
+    ks = jnp.asarray(np.stack(
+        [np.stack([rng.integers(0, sz, size=B) for sz in sizes], axis=1)
+         for _ in range(K)]).astype(np.int32))
+    kl = jnp.asarray((rng.random((K, B)) > 0.5).astype(np.float32))
+    blk = ht.make_tiered_train_block(config, 0.1, plan)
+    t0 = time.perf_counter()
+    bl = None
+    for _ in range(2):
+        state[0], bl = blk(state[0], kd, ks, kl)
+    _ = float(bl[-1])
+    log(f"block compile+warmup {time.perf_counter()-t0:.0f}s")
+
+    def w2(n):
+        nonlocal bl
+        for _ in range(n):
+            state[0], bl = blk(state[0], kd, ks, kl)
+        _ = float(bl[-1])
+
+    tb = slope(w2, (2, 6)) / K
+    out[f"tiered_block{K}_ms"] = round(tb * 1e3, 2)
+    out[f"tiered_block{K}_examples_per_s"] = round(B / tb, 1)
+    log(f"tiered block K={K}: {tb*1e3:.2f} ms/step -> {B/tb:,.0f} ex/s")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
