@@ -469,17 +469,21 @@ def sec_hosttier(ctx, out):
     D = config.feature_size
 
     # dense params from a same-topology tiny-tables config (bottom/top
-    # shapes depend on MLP sizes + table COUNT only)
+    # shapes depend on MLP sizes + table COUNT only); device tier in
+    # ENGINE chunks per the device sub-config (round 5)
     small_cfg = _dc.replace(config, table_sizes=(8,) * len(
         config.table_sizes))
     p0 = dlrm_tpu.init_params(jax.random.key(0), small_cfg)
-    k1, k2 = jax.random.split(jax.random.key(1))
-    emb_dev = jax.jit(lambda k: 0.01 * jax.random.normal(
-        k, (plan.device_rows, D), jnp.float32))(k1)
+    dev_cfg = ht.device_subconfig(plan, config)
+    keys = jax.random.split(jax.random.key(1), len(dev_cfg.emb_shapes) + 1)
+    emb_dev = tuple(
+        jax.jit(lambda k, s=s: 0.01 * jax.random.normal(
+            k, s, jnp.float32))(keys[i])
+        for i, s in enumerate(dev_cfg.emb_shapes))
     emb_host = jax.jit(
         lambda k: 0.01 * jax.random.normal(
             k, (plan.host_rows * D,), jnp.float32),
-        out_shardings=sh_host)(k2)
+        out_shardings=sh_host)(keys[-1])
     params = {"bottom": p0["bottom"], "top": p0["top"],
               "emb_dev": emb_dev, "emb_host": emb_host}
     p0 = emb_dev = emb_host = None

@@ -160,10 +160,31 @@ def plan_tiers(config: DLRMConfig, hbm_budget_bytes: Optional[int],
                     tuple(sorted(device)), tuple(sorted(host)))
 
 
+def device_subconfig(plan: TierPlan, config: DLRMConfig
+                     ) -> Optional[DLRMConfig]:
+    """DLRMConfig describing ONLY the device-tier tables.
+
+    Round 5: the device tier stores its tables in the PRODUCTION engine
+    format (lane-packed chunked storage, ops/embedding.py) under this
+    sub-config — the round-4 design held a plain (R_dev, D) stack, which
+    at fs=16 tiles to 8× its bytes (fact 1) and made every device-tier
+    scatter a 20.4 ms full-stack pass (profiler trace,
+    artifacts/r5_tpu).  Table order inside the sub-config is
+    ``plan.device_tables`` (global order); ids are per-table local, so
+    selecting the device columns of ``sparse`` feeds the engine
+    directly.  Returns None when no tables live on device."""
+    if not plan.device_tables:
+        return None
+    return dataclasses.replace(
+        config, table_sizes=tuple(config.table_sizes[t]
+                                  for t in plan.device_tables))
+
+
 def split_tiers(emb: np.ndarray, plan: TierPlan, config: DLRMConfig,
                 device=None):
-    """Split the global (R, D) stack into tier stacks and place them:
-    device tier in default memory, host tier in pinned_host."""
+    """Split the global (R, D) stack into tier storage and place it:
+    device tier as ENGINE CHUNKS (lane-packed, device memory), host tier
+    as one FLAT pinned_host array."""
     from dlrm_tpu.ops import embedding as emb_ops
 
     device = device or jax.devices()[0]
@@ -181,7 +202,14 @@ def split_tiers(emb: np.ndarray, plan: TierPlan, config: DLRMConfig,
                  config.table_offsets[t] + config.table_sizes[t]]
              for t in tables], axis=0)
 
-    emb_dev = jax.device_put(stack(plan.device_tables), device)
+    dev_cfg = device_subconfig(plan, config)
+    if dev_cfg is None:
+        emb_dev = ()
+    else:
+        emb_dev = tuple(
+            jax.device_put(c, device)
+            for c in emb_ops.pack_tables(stack(plan.device_tables),
+                                         dev_cfg))
     # host tier carried FLAT across the jit boundary (module docstring)
     host_np = stack(plan.host_tables).reshape(-1)
     # same backend fallback as _host_sharding / place_tiered: CPU tests
@@ -193,8 +221,18 @@ def split_tiers(emb: np.ndarray, plan: TierPlan, config: DLRMConfig,
 def merge_tiers(emb_dev, emb_host, plan: TierPlan, config: DLRMConfig
                 ) -> np.ndarray:
     """Inverse of split_tiers: reassemble the global (R, D) stack on host.
-    Accepts the flat (round-5) or legacy (N, D) host-stack layout."""
-    dev = np.asarray(emb_dev)
+    Accepts engine-chunk (round-5) or legacy (R_dev, D) device storage,
+    and the flat (round-5) or legacy (N, D) host layout."""
+    from dlrm_tpu.ops import embedding as emb_ops
+
+    if isinstance(emb_dev, (tuple, list)):
+        dev_cfg = device_subconfig(plan, config)
+        dev = (np.asarray(emb_ops.unpack_tables(
+            tuple(np.asarray(c) for c in emb_dev), dev_cfg))
+            if dev_cfg is not None
+            else np.zeros((0, config.feature_size), np.float32))
+    else:
+        dev = np.asarray(emb_dev)
     host = np.asarray(emb_host).reshape(-1, config.feature_size)
     out = np.zeros((config.total_rows, config.feature_size), dev.dtype
                    if dev.size else host.dtype)
@@ -271,20 +309,26 @@ def host_tier_scatter_add(emb_host, flat_ids, updates, width: int):
 
 def tiered_lookup(emb_dev, emb_host, sparse, plan: TierPlan,
                   config: DLRMConfig) -> jax.Array:
-    """Pooled (B, T, D) lookup across both tiers (inference path)."""
+    """Pooled (B, T, D) lookup across both tiers (inference path).
+    Device tier is engine storage under the device sub-config."""
+    from dlrm_tpu.ops import embedding as emb_ops
+
     parts = []
     order = []
     if plan.device_tables:
-        ids = _tier_ids(sparse, list(plan.device_tables), plan.device_offsets)
-        rows = jnp.take(emb_dev, ids, axis=0)
-        parts.append(rows if rows.ndim == 3 else jnp.sum(rows, axis=2))
-        order += list(plan.device_tables)
+        dev_cfg = device_subconfig(plan, config)
+        dts = list(plan.device_tables)
+        dev_ids = sparse[:, dts] if sparse.ndim == 2 else sparse[:, dts, :]
+        parts.append(emb_ops.mixed_lookup(emb_dev, dev_ids, dev_cfg))
+        order += dts
     if plan.host_tables:
         ids = _tier_ids(sparse, list(plan.host_tables), plan.host_offsets)
         rows = host_tier_gather(emb_host, ids, config.feature_size)
         parts.append(rows if rows.ndim == 3 else jnp.sum(rows, axis=2))
         order += list(plan.host_tables)
-    stacked = jnp.concatenate(parts, axis=1)
+    stacked = jnp.concatenate(
+        [p.astype(jnp.dtype(config.embedding_dtype)) for p in parts],
+        axis=1)
     inv = np.argsort(np.asarray(order))
     return jnp.take(stacked, jnp.asarray(inv), axis=1)
 
@@ -294,26 +338,50 @@ def _tier_forward_backward(dense_params, emb_dev, emb_host, dense, sparse,
                            host_rows=None):
     """Shared two-tier lookup + loss + backward for the tiered steps
     (the one place the tier-gather / pooled-order / value_and_grad logic
-    lives — the SGD, pipelined, and optimizer steps all call this).
+    lives — the SGD, block, pipelined, and optimizer steps all call it).
 
-    ``host_rows``: pre-gathered host-tier rows (the pipelined step's
-    prefetch payload); ``None`` gathers from ``emb_host`` inline.
+    Round 5: the device tier is PRODUCTION ENGINE storage under
+    :func:`device_subconfig` — its lookups follow the engine's mixed
+    strategy (big tables: compressed gathered-row grads via one fused
+    lane-packed gather per chunk; small tables: one-hot MXU with dense
+    (R, D) grads), exactly like train.train_step.  The round-4 plain
+    (R_dev, D) stack tiled to 8x its bytes at fs=16 and made every
+    device-tier update a 20 ms full-stack pass (profiler trace,
+    artifacts/r5_tpu).
 
-    Returns ``(loss, dgrads, d_gathered, ids_dev, ids_host)`` where
-    ``d_gathered`` lists the gradients w.r.t. the gathered row blocks in
-    [device-tier, host-tier] order (absent tiers skipped)."""
+    ``host_rows``: pre-gathered host-tier rows (the pipelined/block
+    paths' payload); ``None`` gathers from ``emb_host`` inline.
+
+    Returns ``(loss, dgrads, d_rows_big, d_smalls, d_host, ids_dev_big,
+    ids_host)``: the device grads in the engine decomposition
+    (``ids_dev_big`` are per-table LOCAL ids into the sub-config's
+    ``big`` tables), ``d_host`` the grad w.r.t. the host-tier rows."""
     from dlrm_tpu.models import dlrm as model_lib
-    from dlrm_tpu.ops.loss import bce_loss
+    from dlrm_tpu.ops import embedding as emb_ops
 
-    gathered = []
-    order = []
-    ids_dev = ids_host = None
-    if plan.device_tables:
-        ids_dev = _tier_ids(sparse, list(plan.device_tables),
-                            plan.device_offsets)
-        with jax.named_scope("lookup_device_tier"):
-            gathered.append(jnp.take(emb_dev, ids_dev, axis=0))
-        order += list(plan.device_tables)
+    emb_dtype = jnp.dtype(config.embedding_dtype)
+    B = dense.shape[0]
+    dev_cfg = device_subconfig(plan, config)
+    small, big = (), ()
+    dev_sparse = ids_dev_big = None
+    small_tabs = ()
+    rows_big = jnp.zeros((B, 0, config.feature_size), emb_dtype)
+    if dev_cfg is not None:
+        emb_ops.check_storage(emb_dev, dev_cfg)
+        dts = list(plan.device_tables)
+        dev_sparse = (sparse[:, dts] if sparse.ndim == 2
+                      else sparse[:, dts, :])
+        small, big = emb_ops.partition_tables(
+            dev_cfg.table_sizes, dev_cfg.small_table_threshold)
+        if big:
+            ids_dev_big = (dev_sparse[:, big] if dev_sparse.ndim == 2
+                           else dev_sparse[:, big, :])
+            with jax.named_scope("lookup_device_gather"):
+                rows_big = emb_ops.gather_tables(emb_dev, ids_dev_big,
+                                                 dev_cfg, big)
+        small_tabs = tuple(emb_ops.get_logical_table(emb_dev, dev_cfg, t)
+                           for t in small)
+    ids_host = None
     if plan.host_tables:
         ids_host = _tier_ids(sparse, list(plan.host_tables),
                              plan.host_offsets)
@@ -321,32 +389,78 @@ def _tier_forward_backward(dense_params, emb_dev, emb_host, dense, sparse,
             with jax.named_scope("lookup_host_tier"):
                 host_rows = host_tier_gather(emb_host, ids_host,
                                              config.feature_size)
-        gathered.append(host_rows)
-        order += list(plan.host_tables)
+    else:
+        host_rows = jnp.zeros((B, 0, config.feature_size), emb_dtype)
+
+    # pooled column order: [dev big..., dev small..., host...] -> global
+    order = ([plan.device_tables[t] for t in big]
+             + [plan.device_tables[t] for t in small]
+             + list(plan.host_tables))
     inv = jnp.asarray(np.argsort(np.asarray(order)))
 
-    def inner(dp, gathered):
+    def inner(dp, rows_big_, small_tabs_, host_rows_):
+        parts = [emb_ops.pool(rows_big_)]
+        with jax.named_scope("lookup_onehot"):
+            for j, t in enumerate(small):
+                idt = (dev_sparse[:, t] if dev_sparse.ndim == 2
+                       else dev_sparse[:, t, :])
+                parts.append(emb_ops.onehot_lookup(
+                    small_tabs_[j], idt, config.compute_dtype
+                    )[:, None, :])
+        parts.append(host_rows_ if host_rows_.ndim == 3
+                     else jnp.sum(host_rows_, axis=2))
         pooled = jnp.concatenate(
-            [g if g.ndim == 3 else jnp.sum(g, axis=2) for g in gathered],
-            axis=1)
+            [p.astype(emb_dtype) for p in parts], axis=1)
         pooled = jnp.take(pooled, inv, axis=1)
         # the shared loss closure: config.remat covers this path too
         return model_lib.loss_from_pooled(dp, pooled, dense, labels,
                                           config)
 
-    loss, (dgrads, d_gathered) = jax.value_and_grad(
-        inner, argnums=(0, 1))(dense_params, gathered)
-    return loss, dgrads, d_gathered, ids_dev, ids_host
+    loss, (dgrads, d_rows_big, d_smalls, d_host) = jax.value_and_grad(
+        inner, argnums=(0, 1, 2, 3))(dense_params, rows_big, small_tabs,
+                                     host_rows)
+    return (loss, dgrads, d_rows_big, d_smalls, d_host, ids_dev_big,
+            ids_host)
+
+
+def _device_sgd_apply(emb_dev, dev_cfg, ids_dev_big, d_rows_big, d_smalls,
+                      lr):
+    """train_step's mixed SGD update on the device sub-config storage:
+    one scatter per chunk for big tables, contiguous dense adds for the
+    one-hot small tables."""
+    from dlrm_tpu.ops import embedding as emb_ops
+
+    small, big = emb_ops.partition_tables(dev_cfg.table_sizes,
+                                          dev_cfg.small_table_threshold)
+    new_emb = list(emb_dev)
+    emb_dtype = new_emb[0].dtype
+    if big:
+        new_emb = list(emb_ops.apply_sgd_chunked(
+            new_emb, ids_dev_big, d_rows_big, lr, dev_cfg, big))
+    for j, t in enumerate(small):
+        upd = (-lr * d_smalls[j]).astype(emb_dtype)
+        c = dev_cfg.table_chunk[t]
+        po = dev_cfg.chunk_table_offsets[t]
+        pn = dev_cfg.packed_table_rows[t]
+        pad = pn * dev_cfg.pack - dev_cfg.table_sizes[t]
+        if pad:
+            upd = jnp.concatenate(
+                [upd, jnp.zeros((pad, upd.shape[1]), upd.dtype)])
+        new_emb[c] = new_emb[c].at[po:po + pn].add(
+            upd.reshape(pn, dev_cfg.row_width))
+    return tuple(new_emb)
 
 
 def tiered_train_step(params, dense, sparse, labels, *, config: DLRMConfig,
                       lr: float, plan: TierPlan):
-    """One SGD step with two-tier tables; params = {bottom, top, emb_dev,
-    emb_host}.  Embedding grads stay compressed on both tiers."""
+    """One SGD step with two-tier tables; params = {bottom, top, emb_dev
+    (engine chunks), emb_host (flat pinned)}.  Embedding grads stay
+    compressed on both tiers."""
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     emb_dev, emb_host = params["emb_dev"], params["emb_host"]
 
-    loss, dgrads, d_gathered, ids_dev, ids_host = _tier_forward_backward(
+    (loss, dgrads, d_rows_big, d_smalls, d_host, ids_dev_big,
+     ids_host) = _tier_forward_backward(
         dense_params, emb_dev, emb_host, dense, sparse, labels,
         config=config, plan=plan)
 
@@ -354,18 +468,15 @@ def tiered_train_step(params, dense, sparse, labels, *, config: DLRMConfig,
         new_dense = jax.tree.map(
             lambda p, g: (p - lr * g).astype(p.dtype), dense_params, dgrads)
     new_dev, new_host = emb_dev, emb_host
-    i = 0
     if plan.device_tables:
-        d_rows = d_gathered[i]; i += 1
         with jax.named_scope("device_tier_update"):
-            new_dev = emb_dev.at[ids_dev.reshape(-1)].add(
-                (-lr * d_rows.reshape(-1, d_rows.shape[-1])
-                 ).astype(emb_dev.dtype), mode="promise_in_bounds")
+            new_dev = _device_sgd_apply(
+                emb_dev, device_subconfig(plan, config), ids_dev_big,
+                d_rows_big, d_smalls, lr)
     if plan.host_tables:
-        d_rows = d_gathered[i]
         with jax.named_scope("host_tier_update"):
             new_host = host_tier_scatter_add(emb_host, ids_host,
-                                             -lr * d_rows,
+                                             -lr * d_host,
                                              config.feature_size)
     return ({"bottom": new_dense["bottom"], "top": new_dense["top"],
              "emb_dev": new_dev, "emb_host": new_host}, loss)
@@ -375,7 +486,9 @@ def tiered_train_block(params, dense, sparse, labels, *,
                        config: DLRMConfig, lr: float, plan: TierPlan,
                        block: int = None):
     """``block`` tiered SGD micro-steps fused into one program with the
-    HOST-TIER work coalesced to ONE gather + ONE scatter per block.
+    HOST-TIER work coalesced to ONE gather + ONE scatter per block, and
+    the DEVICE tier's big-table scatters coalesced to one per chunk per
+    block (train.train_block's relaxation, applied per tier).
 
     Why: the functional host scatter copies the whole pinned stack
     (bench_hosttier_scatter.py: ~11 GB/s, linear in stack bytes —
@@ -383,27 +496,32 @@ def tiered_train_block(params, dense, sparse, labels, *,
     carries ~13 ms of fixed overhead.  Amortizing both over K steps is
     the same lever the reference's BatchUpdater applies to its slow PMM
     tier (src/model/embedding_update.jl:1-37: aggregate updates in DRAM,
-    trickle to the slow tier behind the forward pass) and the device
-    blocks apply to scatter dispatch (train.train_block).
+    trickle to the slow tier behind the forward pass).
 
     Exactness contract (mirrors train_block):
-      * dense params and the DEVICE tier update every micro-step — never
-        stale;
-      * host-tier rows for ALL K micro-batches are gathered once at
-        block entry (stale by < ``block`` steps) and the K compressed
-        gradients apply in one commuting scatter-add at block end, so
-        with no host-row repeat across micro-batches the block is
-        bit-identical to K sequential :func:`tiered_train_step` calls
+      * dense params and the device tier's SMALL (one-hot) tables update
+        every micro-step — carried, never stale;
+      * device BIG-table and host-tier rows are read as of block entry
+        (stale < ``block``) and their commuting scatter-adds coalesce at
+        block end, so with no row repeat across micro-batches the block
+        is bit-identical to K sequential :func:`tiered_train_step` calls
         (oracle-tested);
       * ``block=1`` is exactly :func:`tiered_train_step`.
 
     Args: ``dense`` (K, B, 13), ``sparse`` (K, B, T[, H]), ``labels``
     (K, B).  Returns (new_params, (K,) losses).
     """
+    from dlrm_tpu.ops import embedding as emb_ops
+
     if block is None:
         block = dense.shape[0]
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     emb_dev, emb_host = params["emb_dev"], params["emb_host"]
+    dev_cfg = device_subconfig(plan, config)
+    small, big = (), ()
+    if dev_cfg is not None:
+        small, big = emb_ops.partition_tables(
+            dev_cfg.table_sizes, dev_cfg.small_table_threshold)
 
     host_rows_all = ids_host_all = None
     if plan.host_tables:
@@ -418,37 +536,58 @@ def tiered_train_block(params, dense, sparse, labels, *,
             host_rows_all = host_tier_gather(emb_host, ids_host_all,
                                              config.feature_size)
 
+    # device small tables carried exactly; big tables stale-within-block
+    new_dev = list(emb_dev) if dev_cfg is not None else []
+    emb_dtype = new_dev[0].dtype if new_dev else None
     dp = dense_params
-    new_dev = emb_dev
-    losses, d_rows_acc = [], []
+    losses, ids_big_acc, d_big_acc, d_host_acc = [], [], [], []
     for k in range(block):
-        loss, dgrads, d_gathered, ids_dev, _ = _tier_forward_backward(
-            dp, new_dev, emb_host, dense[k], sparse[k], labels[k],
+        (loss, dgrads, d_rows_big, d_smalls, d_host, ids_dev_big,
+         _) = _tier_forward_backward(
+            dp, tuple(new_dev), emb_host, dense[k], sparse[k], labels[k],
             config=config, plan=plan,
             host_rows=(host_rows_all[k] if plan.host_tables else None))
         with jax.named_scope("dense_update"):
             dp = jax.tree.map(
                 lambda p, g: (p - lr * g).astype(p.dtype), dp, dgrads)
-        i = 0
-        if plan.device_tables:
-            d_rows = d_gathered[i]; i += 1
-            with jax.named_scope("device_tier_update"):
-                new_dev = new_dev.at[ids_dev.reshape(-1)].add(
-                    (-lr * d_rows.reshape(-1, d_rows.shape[-1])
-                     ).astype(new_dev.dtype), mode="promise_in_bounds")
+        if dev_cfg is not None and small:
+            # small tables update per micro-step (contiguous adds)
+            with jax.named_scope("small_table_update"):
+                for j, t in enumerate(small):
+                    upd = (-lr * d_smalls[j]).astype(emb_dtype)
+                    c = dev_cfg.table_chunk[t]
+                    po = dev_cfg.chunk_table_offsets[t]
+                    pn = dev_cfg.packed_table_rows[t]
+                    pad = pn * dev_cfg.pack - dev_cfg.table_sizes[t]
+                    if pad:
+                        upd = jnp.concatenate(
+                            [upd,
+                             jnp.zeros((pad, upd.shape[1]), upd.dtype)])
+                    new_dev[c] = new_dev[c].at[po:po + pn].add(
+                        upd.reshape(pn, dev_cfg.row_width))
+        if big:
+            ids_big_acc.append(ids_dev_big)
+            d_big_acc.append(d_rows_big)
         if plan.host_tables:
-            d_rows_acc.append(d_gathered[i])
+            d_host_acc.append(d_host)
         losses.append(loss)
+
+    if big:
+        with jax.named_scope("device_block_scatter"):
+            ids_cat = jnp.concatenate(ids_big_acc, axis=0)
+            d_cat = jnp.concatenate(d_big_acc, axis=0)
+            new_dev = list(emb_ops.apply_sgd_chunked(
+                new_dev, ids_cat, d_cat, lr, dev_cfg, big))
 
     new_host = emb_host
     if plan.host_tables:
         with jax.named_scope("host_tier_block_scatter"):
             # ONE commuting scatter-add for the whole block
-            d_all = jnp.stack(d_rows_acc)  # (K, B, Th[, H], D)
+            d_all = jnp.stack(d_host_acc)  # (K, B, Th[, H], D)
             new_host = host_tier_scatter_add(
                 emb_host, ids_host_all, -lr * d_all, config.feature_size)
     return ({"bottom": dp["bottom"], "top": dp["top"],
-             "emb_dev": new_dev, "emb_host": new_host},
+             "emb_dev": tuple(new_dev), "emb_host": new_host},
             jnp.stack(losses))
 
 
@@ -499,7 +638,8 @@ def tiered_train_step_pipelined(params, pref_rows, dense, sparse, labels,
     emb_dev, emb_host = params["emb_dev"], params["emb_host"]
 
     # host rows prefetched by the PREVIOUS step ride in as pref_rows
-    loss, dgrads, d_gathered, ids_dev, ids_host = _tier_forward_backward(
+    (loss, dgrads, d_rows_big, d_smalls, d_host, ids_dev_big,
+     ids_host) = _tier_forward_backward(
         dense_params, emb_dev, emb_host, dense, sparse, labels,
         config=config, plan=plan, host_rows=pref_rows)
 
@@ -508,19 +648,16 @@ def tiered_train_step_pipelined(params, pref_rows, dense, sparse, labels,
             lambda p, g: (p - lr * g).astype(p.dtype), dense_params,
             dgrads)
     new_dev, new_host = emb_dev, emb_host
-    i = 0
     if plan.device_tables:
-        d_rows = d_gathered[i]; i += 1
         with jax.named_scope("device_tier_update"):
-            new_dev = emb_dev.at[ids_dev.reshape(-1)].add(
-                (-lr * d_rows.reshape(-1, d_rows.shape[-1])
-                 ).astype(emb_dev.dtype), mode="promise_in_bounds")
+            new_dev = _device_sgd_apply(
+                emb_dev, device_subconfig(plan, config), ids_dev_big,
+                d_rows_big, d_smalls, lr)
     next_pref = pref_rows
     if plan.host_tables:
-        d_rows = d_gathered[i]
         with jax.named_scope("host_tier_update"):
             new_host = host_tier_scatter_add(emb_host, ids_host,
-                                             -lr * d_rows,
+                                             -lr * d_host,
                                              config.feature_size)
         ids_next = _tier_ids(sparse_next, list(plan.host_tables),
                              plan.host_offsets)
@@ -585,27 +722,55 @@ def _rowwise_rows(acc_sel, g, eps: float = 1e-10):
     return g2m, step
 
 
-def _device_tier_opt_apply(emb_dev, acc, flat_ids, g, *, optimizer,
-                           lr_t):
-    """Dedup-then-apply Adagrad on the DEVICE tier stack: returns
-    (new_emb_dev, new_acc).  ``g`` is (N, D) f32 per-hit gradients."""
+def _device_tier_opt_apply(emb_dev, acc, dev_cfg, ids_dev_big, d_rows_big,
+                           d_smalls, *, optimizer, lr_t):
+    """Exact Adagrad-family update on the device tier's ENGINE storage:
+    big tables via the production per-chunk hybrid (dedup-then-apply),
+    small (one-hot) tables via dense-table Adagrad on their chunk views.
+    ``acc`` is the tuple of per-chunk accumulators; returns
+    (new_emb_dev, new_acc)."""
     from dlrm_tpu.ops import embedding as emb_ops
+    from dlrm_tpu.train import optim
 
-    out = emb_ops.dedup_sparse_grad(emb_ops.SparseGrad(flat_ids, g))
-    ids_u, g_u = out.ids, out.rows
-    if optimizer == "rowwise_adagrad":
-        # (device_rows,) scalar-per-row accumulator; surplus slots
-        # (id -1, zero grads) take clamps to row 0 and add dropped/zero
-        # updates
-        sel = jnp.take(acc, jnp.maximum(ids_u, 0)) * (ids_u >= 0)
-        d_acc, step_rows = _rowwise_rows(sel, g_u)
-    else:
-        d_acc, step_rows = _adagrad_rows(jnp.take(acc, ids_u, axis=0),
-                                         g_u)
-    new_acc = acc.at[ids_u].add(d_acc, mode="drop")
-    new_dev = emb_dev.at[ids_u].add(
-        (-lr_t * step_rows).astype(emb_dev.dtype), mode="drop")
-    return new_dev, new_acc
+    rowwise = optimizer == "rowwise_adagrad"
+    small, big = emb_ops.partition_tables(dev_cfg.table_sizes,
+                                          dev_cfg.small_table_threshold)
+    state = (optim.EmbRowwiseAdagradState(acc=tuple(acc)) if rowwise
+             else optim.EmbAdagradState(acc=tuple(acc)))
+    new_emb = list(emb_dev)
+    if big:
+        new_emb, state = optim.apply_adagrad_hybrid(
+            new_emb, state, ids_dev_big,
+            d_rows_big.astype(jnp.float32), lr_t, dev_cfg, big,
+            rowwise=rowwise)
+        new_emb = list(new_emb)
+    new_acc = list(state.acc)
+    small_apply = (optim.apply_rowwise_adagrad_dense_table if rowwise
+                   else optim.apply_adagrad_dense_table)
+    d = dev_cfg.feature_size
+    for j, t in enumerate(small):
+        c = dev_cfg.table_chunk[t]
+        po = dev_cfg.chunk_table_offsets[t]
+        pn = dev_cfg.packed_table_rows[t]
+        n = dev_cfg.table_sizes[t]
+        tab = new_emb[c][po:po + pn].reshape(-1, d)[:n]
+        acc_view = (new_acc[c][po:po + pn].reshape(-1)[:n] if rowwise
+                    else new_acc[c][po:po + pn].reshape(-1, d)[:n])
+        tab2, acc2 = small_apply(tab, acc_view, d_smalls[j], lr_t)
+        pad = pn * dev_cfg.pack - n
+        if pad:
+            # pad slots are never read but must round-trip unchanged
+            orig = new_emb[c][po:po + pn].reshape(-1, d)
+            tab2 = jnp.concatenate([tab2, orig[n:]])
+            orig_acc = (new_acc[c][po:po + pn].reshape(-1) if rowwise
+                        else new_acc[c][po:po + pn].reshape(-1, d))
+            acc2 = jnp.concatenate([acc2, orig_acc[n:]])
+        new_emb[c] = new_emb[c].at[po:po + pn].set(
+            tab2.reshape(pn, dev_cfg.row_width))
+        new_acc[c] = new_acc[c].at[po:po + pn].set(
+            acc2.reshape(pn, dev_cfg.pack if rowwise
+                         else dev_cfg.row_width))
+    return tuple(new_emb), tuple(new_acc)
 
 
 def _host_tier_opt_apply(emb_host, acc, flat_ids, g, *, optimizer, lr_t,
@@ -651,14 +816,14 @@ def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
     src/model/embedding_update.jl).  Duplicate ids are deduped before the
     nonlinear accumulator update (dedup-then-apply contract).
     """
-    from dlrm_tpu.ops import embedding as emb_ops
     from dlrm_tpu.train import optim
     import optax
 
     dense_params = {"bottom": params["bottom"], "top": params["top"]}
     emb_dev, emb_host = params["emb_dev"], params["emb_host"]
 
-    loss, dgrads, d_gathered, ids_dev, ids_host = _tier_forward_backward(
+    (loss, dgrads, d_rows_big, d_smalls, d_host, ids_dev_big,
+     ids_host) = _tier_forward_backward(
         dense_params, emb_dev, emb_host, dense, sparse, labels,
         config=config, plan=plan)
 
@@ -676,34 +841,29 @@ def tiered_train_step_opt(params, opt_state, dense, sparse, labels, *,
     new_opt = {"dense": new_dense_state, "count": count + 1,
                "dev_acc": opt_state.get("dev_acc", ()),
                "host_acc": opt_state.get("host_acc", ())}
-    i = 0
     if plan.device_tables:
-        d_rows = d_gathered[i]; i += 1
-        flat = ids_dev.reshape(-1)
-        g = d_rows.reshape(-1, d_rows.shape[-1]).astype(jnp.float32)
+        dev_cfg = device_subconfig(plan, config)
         if optimizer == "sgd":
             with jax.named_scope("device_tier_update"):
-                new_dev = emb_dev.at[flat].add(
-                    (-lr_t * g).astype(emb_dev.dtype),
-                    mode="promise_in_bounds")
+                new_dev = _device_sgd_apply(emb_dev, dev_cfg, ids_dev_big,
+                                            d_rows_big, d_smalls, lr_t)
         else:
             with jax.named_scope("device_tier_adagrad"):
                 new_dev, new_opt["dev_acc"] = _device_tier_opt_apply(
-                    emb_dev, opt_state["dev_acc"], flat, g,
-                    optimizer=optimizer, lr_t=lr_t)
+                    emb_dev, opt_state["dev_acc"], dev_cfg, ids_dev_big,
+                    d_rows_big, d_smalls, optimizer=optimizer, lr_t=lr_t)
     if plan.host_tables:
-        d_rows = d_gathered[i]
         if optimizer == "sgd":
             with jax.named_scope("host_tier_update"):
                 new_host = host_tier_scatter_add(emb_host, ids_host,
-                                                 -lr_t * d_rows,
+                                                 -lr_t * d_host,
                                                  config.feature_size)
         else:
             with jax.named_scope("host_tier_adagrad"):
                 new_host, new_opt["host_acc"] = _host_tier_opt_apply(
                     emb_host, opt_state["host_acc"],
                     ids_host.reshape(-1),
-                    d_rows.reshape(-1, d_rows.shape[-1]
+                    d_host.reshape(-1, d_host.shape[-1]
                                    ).astype(jnp.float32),
                     optimizer=optimizer, lr_t=lr_t, config=config)
     return ({"bottom": new_dense["bottom"], "top": new_dense["top"],
@@ -756,10 +916,12 @@ def tiered_train_block_opt(params, opt_state, dense, sparse, labels, *,
     dp = dense_params
     dense_state = opt_state["dense"]
     new_dev = emb_dev
+    dev_cfg = device_subconfig(plan, config)
     dev_acc = opt_state.get("dev_acc", ())
     losses, d_rows_acc = [], []
     for k in range(block):
-        loss, dgrads, d_gathered, ids_dev, _ = _tier_forward_backward(
+        (loss, dgrads, d_rows_big, d_smalls, d_host, ids_dev_big,
+         _) = _tier_forward_backward(
             dp, new_dev, emb_host, dense[k], sparse[k], labels[k],
             config=config, plan=plan,
             host_rows=(host_rows_all[k] if plan.host_tables else None))
@@ -767,17 +929,13 @@ def tiered_train_block_opt(params, opt_state, dense, sparse, labels, *,
             updates, dense_state = tx.update(dgrads, dense_state, dp)
             dp = jax.tree.map(lambda p, q: q.astype(p.dtype), dp,
                               optax.apply_updates(dp, updates))
-        i = 0
         if plan.device_tables:
-            d_rows = d_gathered[i]; i += 1
             with jax.named_scope("device_tier_adagrad"):
                 new_dev, dev_acc = _device_tier_opt_apply(
-                    new_dev, dev_acc, ids_dev.reshape(-1),
-                    d_rows.reshape(-1, d_rows.shape[-1]
-                                   ).astype(jnp.float32),
-                    optimizer=optimizer, lr_t=lr)
+                    new_dev, dev_acc, dev_cfg, ids_dev_big, d_rows_big,
+                    d_smalls, optimizer=optimizer, lr_t=lr)
         if plan.host_tables:
-            d_rows_acc.append(d_gathered[i])
+            d_rows_acc.append(d_host)
         losses.append(loss)
 
     new_host = emb_host
@@ -837,18 +995,21 @@ def init_tiered_opt_state(params: dict, *, config: DLRMConfig,
              "count": jnp.zeros((), jnp.int32),
              "dev_acc": (), "host_acc": ()}
     if optimizer in ("adagrad", "rowwise_adagrad"):
-        # rowwise: one f32 scalar per row — (R,) device tier, flat
-        # (host_rows,) pinned host slab; the host slabs are 1-D across
-        # the jit boundary like the tables (module docstring)
+        # device tier: the PRODUCTION engine accumulator layout (per-chunk
+        # arrays under the device sub-config; rowwise = (chunk_rows, pack)
+        # scalar-per-row).  host tier: flat pinned slab, 1-D across the
+        # jit boundary like the tables (module docstring); rowwise = one
+        # f32 scalar per row (1/D the slow-tier optimizer bytes).
+        dev_cfg = device_subconfig(plan, config)
+        if dev_cfg is not None:
+            state["dev_acc"] = tuple(
+                jax.device_put(a, device)
+                for a in optim.init_emb_state(
+                    dev_cfg, optimizer, params["emb_dev"]).acc)
         host_rows = params["emb_host"].size // config.feature_size
-        dev_shape = (params["emb_dev"].shape
-                     if optimizer == "adagrad"
-                     else (params["emb_dev"].shape[0],))
         host_shape = ((host_rows * config.feature_size,)
                       if optimizer == "adagrad"
                       else (host_rows,))
-        state["dev_acc"] = jax.device_put(
-            jnp.zeros(dev_shape, jnp.float32), device)
         host_sh = jax.sharding.SingleDeviceSharding(
             device, memory_kind="pinned_host")
         try:
@@ -924,17 +1085,33 @@ def _host_sharding(device):
     return device  # CPU tests: no pinned space, default memory
 
 
-def place_tiered(restored: dict, device=None) -> dict:
+def place_tiered(restored: dict, device=None, plan: TierPlan = None,
+                 config: DLRMConfig = None) -> dict:
     """Checkpoint-restored (host numpy) tiered params -> placed: device
-    tier + MLPs in HBM, host tier back in pinned_host.  The checkpoint
-    itself is memory-space-agnostic (orbax fetches to host on save).
-    Legacy (N, D) host stacks (round-4 checkpoints) flatten to the
-    round-5 1-D carry on restore."""
+    tier (engine chunks) + MLPs in HBM, host tier back in pinned_host.
+    The checkpoint itself is memory-space-agnostic (orbax fetches to
+    host on save).  Legacy round-4 layouts convert on restore: a 2-D
+    (R_dev, D) device stack packs into engine chunks (needs ``plan`` +
+    ``config``), an (N, D) host stack flattens to the 1-D carry."""
+    from dlrm_tpu.ops import embedding as emb_ops
+
     device = device or jax.devices()[0]
+    dev = restored["emb_dev"]
+    if isinstance(dev, (tuple, list)):
+        dev = tuple(jax.device_put(np.asarray(c), device) for c in dev)
+    else:
+        dev = np.asarray(dev)
+        if dev.ndim == 2 and plan is not None and config is not None:
+            dev_cfg = device_subconfig(plan, config)
+            dev = (tuple(jax.device_put(c, device)
+                         for c in emb_ops.pack_tables(dev, dev_cfg))
+                   if dev_cfg is not None else ())
+        else:
+            dev = jax.device_put(dev, device)
     return {
         "bottom": jax.device_put(restored["bottom"], device),
         "top": jax.device_put(restored["top"], device),
-        "emb_dev": jax.device_put(restored["emb_dev"], device),
+        "emb_dev": dev,
         "emb_host": jax.device_put(
             np.asarray(restored["emb_host"]).reshape(-1),
             _host_sharding(device)),

@@ -638,8 +638,10 @@ def _build_tiered_variant(args, config, plan, params0, mgr, say):
     if not v.uses_opt:
         # checkpoints are memory-space-agnostic; restore re-pins the host
         # tier (and its accumulator) to pinned_host
-        v.params, v.start_step = _resume(mgr, say, tiered0,
-                                         place=ht.place_tiered)
+        v.params, v.start_step = _resume(
+            mgr, say, tiered0,
+            place=functools.partial(ht.place_tiered, plan=tiers,
+                                    config=config))
         if plan.block > 1:
             # coalesced tiered block: ONE host gather + ONE host scatter
             # per K steps (host_tier.tiered_train_block)
@@ -678,7 +680,8 @@ def _build_tiered_variant(args, config, plan, params0, mgr, say):
             plan=tiers)
         full, v.start_step = _resume(
             mgr, say, {"params": tiered0, "opt": opt_state},
-            place=lambda f: {"params": ht.place_tiered(f["params"]),
+            place=lambda f: {"params": ht.place_tiered(
+                                 f["params"], plan=tiers, config=config),
                              "opt": ht.place_tiered_opt(f["opt"])})
         v.params = full["params"]
         box = {"opt": full["opt"]}
@@ -1173,7 +1176,7 @@ def _load_eval_params(args, config, host: bool = False):
             _check_meta_sizes(meta, config)
             plan = ht.plan_tiers(config,
                                  int(meta["hbm_budget_gb"] * (1 << 30)))
-            logical = ht.merge_tiers(np.asarray(params["emb_dev"]),
+            logical = ht.merge_tiers(params["emb_dev"],
                                      np.asarray(params["emb_host"]),
                                      plan, config)
             params = {"bottom": params["bottom"],

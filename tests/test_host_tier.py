@@ -261,8 +261,10 @@ def test_tiered_rowwise_adagrad_matches_dense_oracle(n_hot):
     opt = ht.init_tiered_opt_state(tiered, config=config,
                                    optimizer="rowwise_adagrad", lr=lr,
                                    plan=plan)
-    # both rowwise slabs are flat scalar-per-row (host: the 1-D carry)
-    assert opt["dev_acc"].ndim == 1 and opt["host_acc"].ndim == 1
+    # device acc: engine layout (per-chunk (rows, pack) scalar-per-row);
+    # host acc: flat 1-D pinned scalar-per-row carry
+    assert all(a.ndim == 2 for a in opt["dev_acc"])
+    assert opt["host_acc"].ndim == 1
     step = ht.make_tiered_train_step_opt(
         config, optimizer="rowwise_adagrad", lr=lr, plan=plan)
     state = (tiered, opt)
@@ -273,12 +275,17 @@ def test_tiered_rowwise_adagrad_matches_dense_oracle(n_hot):
                             plan, config)
     np.testing.assert_allclose(np.asarray(merged), np.asarray(emb_ref),
                                atol=1e-5, rtol=1e-5)
-    # tier accumulators must hold the oracle's per-row scalars
-    for t, lo in zip(plan.device_tables, plan.device_offsets):
+    # tier accumulators must hold the oracle's per-row scalars (device:
+    # read the per-table view out of the chunked engine accumulator)
+    dev_cfg = ht.device_subconfig(plan, config)
+    for k, t in enumerate(plan.device_tables):
         go, n = config.table_offsets[t], config.table_sizes[t]
+        c = dev_cfg.table_chunk[k]
+        po = dev_cfg.chunk_table_offsets[k]
+        pn = dev_cfg.packed_table_rows[k]
+        got = np.asarray(state[1]["dev_acc"][c])[po:po + pn].reshape(-1)[:n]
         np.testing.assert_allclose(
-            np.asarray(state[1]["dev_acc"])[lo:lo + n],
-            np.asarray(acc)[go:go + n], atol=1e-6, rtol=1e-5)
+            got, np.asarray(acc)[go:go + n], atol=1e-6, rtol=1e-5)
     for t, lo in zip(plan.host_tables, plan.host_offsets):
         go, n = config.table_offsets[t], config.table_sizes[t]
         np.testing.assert_allclose(
