@@ -688,8 +688,15 @@ def make_tiered_pipelined_step(config: DLRMConfig, lr: float,
                                                 memory_kind="pinned_host")
     out_shardings = ((({"bottom": None, "top": None, "emb_dev": None,
                         "emb_host": sh_host}), None), None)
-    return jax.jit(step, donate_argnums=(0, 1),
-                   out_shardings=out_shardings)
+    # NO donation here (unlike the other tiered makers): with the round-5
+    # engine-chunk device tier, donating into the pipelined program —
+    # whose tail gather reads the freshly-scattered host stack — SIGABRTs
+    # the TPU compiler (tpu_compile_helper, bisected on-chip: donate
+    # crashes with or without output pinning, no-donate+pinned compiles
+    # and matches the inline step).  Cost: the device tier and pinned
+    # stack are transiently 2x resident; revisit when the toolchain
+    # moves.
+    return jax.jit(step, out_shardings=out_shardings)
 
 
 def prime_host_prefetch(emb_host, sparse, plan: TierPlan):
