@@ -71,3 +71,32 @@ def test_slope_time_rejects_negative_slopes():
                                 repeats=3)
     assert not fallback
     assert secs == pytest.approx((2.5 - 0.9) / 8)
+
+
+@pytest.mark.slow
+def test_auc_curve_script_tiny():
+    """make_auc_curve.py --tiny end-to-end on CPU: the committed curve
+    artifacts (AUC_CURVE.json / AUC_CURVE_fs128.json) must stay
+    reproducible by a tested script, not a one-off session."""
+    out = os.path.join(REPO, ".pytest_auc_tiny.json")
+    try:
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "make_auc_curve.py"),
+             "--tiny", "--feature-size", "16", "--batch-size", "256",
+             "--steps", "40", "--eval-every", "20", "--eval-batches",
+             "2", "--out", out],
+            env=env, capture_output=True, text=True, timeout=900)
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        payload = json.loads(open(out).read())
+        curve = payload["curve"]
+        assert len(curve) == 3
+        for row in curve:
+            for key in ("accuracy", "auc", "loss", "examples", "step",
+                        "wall_s"):
+                assert key in row
+        # the planted-truth task is learnable: AUC must rise from chance
+        assert curve[-1]["auc"] > curve[0]["auc"] + 0.05
+    finally:
+        if os.path.exists(out):
+            os.remove(out)
