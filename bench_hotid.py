@@ -147,10 +147,15 @@ def main():
                 upd, mode="promise_in_bounds")
             return new, jnp.sum(new[12345]), k + 1
 
-        # keep ids >= 0 path separate: drop-mode uses the raw ids
+        # drop-mode path: perturb ONLY the non-negative ids — a bare
+        # `ids + (k & 1)` would turn the -1 drop sentinels into row 0 on
+        # every odd iteration, timing a no-drop program half the time
+        # (round-5 review finding; the drop measurements were re-run
+        # after this fix)
         if (ids_np < 0).any():
             def sc(table, ids, k):  # noqa: F811
-                new = table.at[ids + (k & 1)].add(upd, mode="drop")
+                new = table.at[ids + (k & 1) * (ids >= 0)].add(
+                    upd, mode="drop")
                 return new, jnp.sum(new[12345]), k + 1
 
         jit_sc = jax.jit(sc, donate_argnums=(0,))

@@ -264,11 +264,15 @@ def _raw_scatter_add(table, flat_ids, updates):
                            mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
-def _tier_ids(sparse, tables, offsets):
-    """(B, T[, H]) global sparse ids -> flat row ids into a tier stack."""
-    ids = sparse[:, tables] if sparse.ndim == 2 else sparse[:, tables, :]
+def _tier_ids(sparse, tables, offsets, block_leading: bool = False):
+    """(B, T[, H]) — or (K, B, T[, H]) with ``block_leading`` — global
+    sparse ids -> flat row ids into a tier stack."""
+    t_axis = 2 if block_leading else 1
+    idx = [slice(None)] * t_axis + [tables]
+    ids = sparse[tuple(idx)]
     offs = jnp.asarray(offsets, ids.dtype)
-    ids = ids + (offs if ids.ndim == 2 else offs[:, None])
+    # offsets broadcast over the trailing H axis when multi-hot
+    ids = ids + (offs if ids.ndim == t_axis + 1 else offs[:, None])
     return ids
 
 
@@ -423,20 +427,12 @@ def _tier_forward_backward(dense_params, emb_dev, emb_host, dense, sparse,
             ids_host)
 
 
-def _device_sgd_apply(emb_dev, dev_cfg, ids_dev_big, d_rows_big, d_smalls,
-                      lr):
-    """train_step's mixed SGD update on the device sub-config storage:
-    one scatter per chunk for big tables, contiguous dense adds for the
-    one-hot small tables."""
-    from dlrm_tpu.ops import embedding as emb_ops
-
-    small, big = emb_ops.partition_tables(dev_cfg.table_sizes,
-                                          dev_cfg.small_table_threshold)
-    new_emb = list(emb_dev)
+def _small_sgd_add(new_emb, dev_cfg, small, d_smalls, lr):
+    """Contiguous dense SGD adds for the one-hot small tables onto their
+    chunk slices (shared by _device_sgd_apply and tiered_train_block —
+    pad slots get zero updates and round-trip unchanged).  Mutates and
+    returns ``new_emb`` (a list of chunks)."""
     emb_dtype = new_emb[0].dtype
-    if big:
-        new_emb = list(emb_ops.apply_sgd_chunked(
-            new_emb, ids_dev_big, d_rows_big, lr, dev_cfg, big))
     for j, t in enumerate(small):
         upd = (-lr * d_smalls[j]).astype(emb_dtype)
         c = dev_cfg.table_chunk[t]
@@ -448,7 +444,23 @@ def _device_sgd_apply(emb_dev, dev_cfg, ids_dev_big, d_rows_big, d_smalls,
                 [upd, jnp.zeros((pad, upd.shape[1]), upd.dtype)])
         new_emb[c] = new_emb[c].at[po:po + pn].add(
             upd.reshape(pn, dev_cfg.row_width))
-    return tuple(new_emb)
+    return new_emb
+
+
+def _device_sgd_apply(emb_dev, dev_cfg, ids_dev_big, d_rows_big, d_smalls,
+                      lr):
+    """train_step's mixed SGD update on the device sub-config storage:
+    one scatter per chunk for big tables, contiguous dense adds for the
+    one-hot small tables."""
+    from dlrm_tpu.ops import embedding as emb_ops
+
+    small, big = emb_ops.partition_tables(dev_cfg.table_sizes,
+                                          dev_cfg.small_table_threshold)
+    new_emb = list(emb_dev)
+    if big:
+        new_emb = list(emb_ops.apply_sgd_chunked(
+            new_emb, ids_dev_big, d_rows_big, lr, dev_cfg, big))
+    return tuple(_small_sgd_add(new_emb, dev_cfg, small, d_smalls, lr))
 
 
 def tiered_train_step(params, dense, sparse, labels, *, config: DLRMConfig,
@@ -525,12 +537,8 @@ def tiered_train_block(params, dense, sparse, labels, *,
 
     host_rows_all = ids_host_all = None
     if plan.host_tables:
-        # block-leading _tier_ids: sparse is (K, B, T[, H])
-        tables = list(plan.host_tables)
-        ids = (sparse[:, :, tables] if sparse.ndim == 3
-               else sparse[:, :, tables, :])
-        offs = jnp.asarray(plan.host_offsets, ids.dtype)
-        ids_host_all = ids + (offs if ids.ndim == 3 else offs[:, None])
+        ids_host_all = _tier_ids(sparse, list(plan.host_tables),
+                                 plan.host_offsets, block_leading=True)
         with jax.named_scope("host_tier_block_gather"):
             # ONE host call for all K micro-batches' rows
             host_rows_all = host_tier_gather(emb_host, ids_host_all,
@@ -538,7 +546,6 @@ def tiered_train_block(params, dense, sparse, labels, *,
 
     # device small tables carried exactly; big tables stale-within-block
     new_dev = list(emb_dev) if dev_cfg is not None else []
-    emb_dtype = new_dev[0].dtype if new_dev else None
     dp = dense_params
     losses, ids_big_acc, d_big_acc, d_host_acc = [], [], [], []
     for k in range(block):
@@ -553,18 +560,8 @@ def tiered_train_block(params, dense, sparse, labels, *,
         if dev_cfg is not None and small:
             # small tables update per micro-step (contiguous adds)
             with jax.named_scope("small_table_update"):
-                for j, t in enumerate(small):
-                    upd = (-lr * d_smalls[j]).astype(emb_dtype)
-                    c = dev_cfg.table_chunk[t]
-                    po = dev_cfg.chunk_table_offsets[t]
-                    pn = dev_cfg.packed_table_rows[t]
-                    pad = pn * dev_cfg.pack - dev_cfg.table_sizes[t]
-                    if pad:
-                        upd = jnp.concatenate(
-                            [upd,
-                             jnp.zeros((pad, upd.shape[1]), upd.dtype)])
-                    new_dev[c] = new_dev[c].at[po:po + pn].add(
-                        upd.reshape(pn, dev_cfg.row_width))
+                new_dev = _small_sgd_add(new_dev, dev_cfg, small,
+                                         d_smalls, lr)
         if big:
             ids_big_acc.append(ids_dev_big)
             d_big_acc.append(d_rows_big)
@@ -911,11 +908,8 @@ def tiered_train_block_opt(params, opt_state, dense, sparse, labels, *,
 
     host_rows_all = ids_host_all = None
     if plan.host_tables:
-        tables = list(plan.host_tables)
-        ids = (sparse[:, :, tables] if sparse.ndim == 3
-               else sparse[:, :, tables, :])
-        offs = jnp.asarray(plan.host_offsets, ids.dtype)
-        ids_host_all = ids + (offs if ids.ndim == 3 else offs[:, None])
+        ids_host_all = _tier_ids(sparse, list(plan.host_tables),
+                                 plan.host_offsets, block_leading=True)
         with jax.named_scope("host_tier_block_gather"):
             host_rows_all = host_tier_gather(emb_host, ids_host_all,
                                              config.feature_size)
