@@ -10,6 +10,12 @@ before any rework.  Compares against the same placement with the table
 device-resident.
 
 Run: ``python bench_hostrs.py [host_rows]``.
+
+Caveat (measured): the mesh-1 sharded step's XLA compile time grows
+pathologically with the deep table's row count through the tunnel
+(~115 s at 100 k rows; >15 min at 2 M — killed).  Run this probe at
+small host_rows; the fixed per-host-call overhead it measures is
+size-independent (SCALING.md).
 """
 
 import dataclasses
